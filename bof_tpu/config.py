@@ -1,0 +1,63 @@
+"""Runtime configuration for bof_tpu.
+
+The reference library configures everything at compile time via ~25 CMake
+cache variables (reference: CMakeLists.txt:38-91 — N_IO_THR, N_COMPUTE_THR,
+PROGRAM_BUDGET, SECTOR_LEN, GEMM_BLK_SIZE, CSRMM_* block sizes, MAX_NNZS,
+...).  Here they are a runtime dataclass, overridable per-context and
+per-kernel call.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+SECTOR_LEN = 512  # SSD sector size; O_DIRECT alignment granularity
+
+
+@dataclasses.dataclass
+class FlashConfig:
+    """All runtime knobs.  Defaults mirror the reference's CMake defaults
+    where a direct analog exists (reference: CMakeLists.txt:38-91)."""
+
+    # ---- I/O engine (reference: N_IO_THR, MAX_SIMUL_REQS, MAX_EVENTS) ----
+    n_io_threads: int = 8
+    max_simul_reqs: int = 64           # in-flight aio requests per batch
+    max_chunk_bytes: int = 32 << 20    # split requests larger than this
+    use_o_direct: bool = False         # O_DIRECT on file stores (bench turns on)
+    io_backend: str = "auto"           # "native" | "python" | "auto"
+
+    # ---- scheduler / cache (reference: N_COMPUTE_THR, PROGRAM_BUDGET) ----
+    n_compute_threads: int = 4
+    program_budget: int = 8 << 30      # host tile-cache budget in bytes
+    enable_prioritizer: bool = True
+    single_use_discard: bool = False
+    max_in_mem_tasks_factor: int = 4   # max in-flight tasks = factor * n_compute
+
+    # ---- device pipeline (new; no reference analog — TPU-specific) ----
+    hbm_budget: int = 12 << 30         # HBM working-set budget for tiles
+    pipeline_depth: int = 3            # lookahead superblocks in flight
+    device_compute: str = "auto"       # "pallas" | "xla" | "auto"
+
+    # ---- dense kernels (reference: GEMM_BLK_SIZE=8192) ----
+    gemm_blk_size: int = 8192          # superblock edge for out-of-core gemm
+    gemm_tile: tuple = (512, 512, 512)  # pallas (bm, bn, bk) MXU tile
+
+    # ---- sparse kernels (reference: MAX_NNZS, CSRMM_*_CBLK_SIZE) ----
+    max_nnzs: int = 1 << 26            # nnz budget per CSR row block
+    csrmm_cblk_size: int = 4096        # column block width for csrmm
+    csrgemv_blk_size: int = 1 << 20    # rows per csrgemv block
+
+    # ---- lib funcs (reference: MAP_BLK_SIZE, REDUCE_BLK_SIZE, SORT) ----
+    map_blk_elems: int = 1 << 24       # elements per map/reduce block
+    sort_blk_elems: int = 1 << 24      # elements per sort block
+
+    # ---- misc ----
+    scratch_dir: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("BOF_SCRATCH", "/tmp/bof_tpu"))
+    log_level: str = "info"
+
+    def replace(self, **kw) -> "FlashConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = FlashConfig()

@@ -1,0 +1,151 @@
+"""Library context: backend selection, store registry, scratch allocation.
+
+Replaces the reference's global singletons (reference: src/lib_funcs.cpp:7-33
+— global Scheduler, Logger, mnt_dir scratch directory, flash_setup/
+flash_destroy) with an explicit context object.  A default context is
+created on demand; `flash_setup()/flash_destroy()` keep the reference's
+two-call API shape.
+"""
+from __future__ import annotations
+
+import atexit
+import os
+import tempfile
+import threading
+import uuid
+from typing import Optional
+
+from .config import DEFAULT_CONFIG, FlashConfig
+from .io.pystore import PyFileStore, PyIoPool
+from .io.store import BaseStore, MemStore
+from .utils import LOG
+
+
+class FlashContext:
+    def __init__(self, config: Optional[FlashConfig] = None):
+        self.config = config or DEFAULT_CONFIG
+        os.makedirs(self.config.scratch_dir, exist_ok=True)
+        self._py_pool: Optional[PyIoPool] = None
+        self._lock = threading.Lock()
+        self._backend = self._resolve_backend()
+        self._scheduler = None
+        self._scratch_files: set[str] = set()
+
+    def _resolve_backend(self) -> str:
+        want = self.config.io_backend
+        if want == "python":
+            return "python"
+        from .io import native
+        if native.load_library() is not None:
+            return "native"
+        if want == "native":
+            raise RuntimeError("native io backend requested but unavailable")
+        return "python"
+
+    @property
+    def backend(self) -> str:
+        return self._backend
+
+    def py_pool(self) -> PyIoPool:
+        with self._lock:
+            if self._py_pool is None:
+                self._py_pool = PyIoPool(self.config.n_io_threads)
+            return self._py_pool
+
+    def open_store(self, path: str, create: bool = False,
+                   truncate_to: int = 0,
+                   o_direct: Optional[bool] = None) -> BaseStore:
+        od = self.config.use_o_direct if o_direct is None else o_direct
+        if self._backend == "native":
+            from .io.native import NativeFileStore
+            return NativeFileStore(
+                path, create=create, truncate_to=truncate_to, o_direct=od,
+                n_threads=self.config.n_io_threads,
+                max_chunk_bytes=self.config.max_chunk_bytes)
+        return PyFileStore(path, self.py_pool(), create=create,
+                           truncate_to=truncate_to,
+                           max_chunk_bytes=self.config.max_chunk_bytes)
+
+    def scratch_store(self, nbytes: int) -> BaseStore:
+        """Temp-file store under scratch_dir (reference: flash_malloc,
+        lib_funcs.h:103-120)."""
+        path = os.path.join(self.config.scratch_dir,
+                            f"bof_scratch_{uuid.uuid4().hex}.bin")
+        st = self.open_store(path, create=True, truncate_to=nbytes)
+        self._scratch_files.add(path)
+        return st
+
+    def free_scratch(self, store: BaseStore):
+        """Unlink a scratch store (reference: flash_free, lib_funcs.h:122-128)."""
+        path = getattr(store, "path", None)
+        store.close()
+        if path and path in self._scratch_files:
+            self._scratch_files.discard(path)
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+
+    def scheduler(self):
+        with self._lock:
+            if self._scheduler is None:
+                from .core.scheduler import Scheduler
+                self._scheduler = Scheduler(self)
+            return self._scheduler
+
+    def destroy(self):
+        with self._lock:
+            if self._scheduler is not None:
+                self._scheduler.shutdown()
+                self._scheduler = None
+            if self._py_pool is not None:
+                self._py_pool.close()
+                self._py_pool = None
+        for path in list(self._scratch_files):
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        self._scratch_files.clear()
+
+
+_default_ctx: Optional[FlashContext] = None
+_ctx_lock = threading.Lock()
+
+
+def flash_setup(scratch_dir: Optional[str] = None,
+                config: Optional[FlashConfig] = None) -> FlashContext:
+    """Initialize the default context (reference: flash_setup,
+    lib_funcs.cpp:18-23)."""
+    global _default_ctx
+    with _ctx_lock:
+        if _default_ctx is not None:
+            LOG.warning("flash_setup called twice; destroying old context")
+            _default_ctx.destroy()
+        cfg = config or DEFAULT_CONFIG
+        if scratch_dir:
+            cfg = cfg.replace(scratch_dir=scratch_dir)
+        _default_ctx = FlashContext(cfg)
+        return _default_ctx
+
+
+def flash_destroy():
+    """Tear down the default context (reference: flash_destroy)."""
+    global _default_ctx
+    with _ctx_lock:
+        if _default_ctx is not None:
+            _default_ctx.destroy()
+            _default_ctx = None
+
+
+def get_context() -> FlashContext:
+    global _default_ctx
+    with _ctx_lock:
+        if _default_ctx is None:
+            _default_ctx = FlashContext(
+                DEFAULT_CONFIG.replace(scratch_dir=tempfile.mkdtemp(
+                    prefix="bof_tpu_")))
+        return _default_ctx
+
+
+atexit.register(flash_destroy)

@@ -1,0 +1,180 @@
+"""FlashArray — a typed array handle over a byte store.
+
+The TPU-native analog of the reference's `flash_ptr<T>` + `map_file`
+(reference: include/pointers/pointer.h:14-60, include/pointers/
+allocator.h:19-59): a (store, byte-offset) pair plus dtype/shape/layout
+metadata, with block-granular strided access instead of raw pointer
+arithmetic.  2-D arrays carry a leading dimension (`ld`, in elements) so
+sub-matrices of larger on-disk matrices are first-class, matching the
+reference kernels' `lda` support (reference: src/blas/gemm.cpp:44-67).
+
+Layout convention: `order='R'` stores row-major (element (i,j) at
+offset + (i*ld + j)*itemsize), `order='C'` column-major (element (i,j) at
+offset + (j*ld + i)*itemsize).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..context import FlashContext, get_context
+from ..io.store import BaseStore, MemStore, Ticket
+from ..io.stride import StrideInfo
+
+
+class FlashArray:
+    def __init__(self, store: BaseStore, shape: Tuple[int, ...],
+                 dtype=np.float32, order: str = "R", offset: int = 0,
+                 ld: Optional[int] = None,
+                 ctx: Optional[FlashContext] = None):
+        if len(shape) not in (1, 2):
+            raise ValueError("FlashArray supports 1-D and 2-D shapes")
+        if order not in ("R", "C"):
+            raise ValueError("order must be 'R' or 'C'")
+        self.store = store
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+        self.order = order
+        self.offset = int(offset)
+        if len(self.shape) == 2:
+            default_ld = self.shape[1] if order == "R" else self.shape[0]
+            self.ld = int(ld) if ld is not None else default_ld
+        else:
+            self.ld = int(ld) if ld is not None else self.shape[0]
+        self.ctx = ctx or get_context()
+
+    # ------------------------------------------------------------- helpers
+    @property
+    def itemsize(self) -> int:
+        return self.dtype.itemsize
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.shape)) * self.itemsize
+
+    def __repr__(self):
+        return (f"FlashArray(shape={self.shape}, dtype={self.dtype}, "
+                f"order={self.order}, offset={self.offset}, ld={self.ld})")
+
+    # ------------------------------------------------- access specifiers
+    def block_access(self, r0: int, nr: int, c0: int = 0,
+                     nc: Optional[int] = None) -> Tuple[int, StrideInfo]:
+        """(byte offset, StrideInfo) for logical block [r0:r0+nr, c0:c0+nc].
+        The contiguous buffer side is storage-major: row-major blocks gather
+        rows, column-major blocks gather columns."""
+        it = self.itemsize
+        if len(self.shape) == 1:
+            if nc is not None and nc != 1:
+                raise ValueError("1-D array block takes rows only")
+            off = self.offset + r0 * it
+            return off, StrideInfo.contiguous(nr * it)
+        nc = self.shape[1] - c0 if nc is None else nc
+        if self.order == "R":
+            off = self.offset + (r0 * self.ld + c0) * it
+            if nc == self.ld:  # full-width rows are contiguous
+                return off, StrideInfo.contiguous(nr * nc * it)
+            return off, StrideInfo(stride=self.ld * it, n_strides=nr,
+                                   len_per_stride=nc * it)
+        off = self.offset + (c0 * self.ld + r0) * it
+        if nr == self.ld:
+            return off, StrideInfo.contiguous(nr * nc * it)
+        return off, StrideInfo(stride=self.ld * it, n_strides=nc,
+                               len_per_stride=nr * it)
+
+    def _block_shape_storage(self, nr: int, nc: int):
+        """Shape of the gathered buffer viewed storage-major."""
+        return (nr, nc) if self.order == "R" else (nc, nr)
+
+    # ---------------------------------------------------------- sync I/O
+    def read_block(self, r0: int, nr: int, c0: int = 0,
+                   nc: Optional[int] = None) -> np.ndarray:
+        """Read block as a logical (nr, nc) ndarray (1-D: (nr,))."""
+        off, sinfo = self.block_access(r0, nr, c0, nc)
+        raw = self.store.read_sync(off, sinfo)
+        if len(self.shape) == 1:
+            return raw.view(self.dtype)
+        nc = self.shape[1] - c0 if nc is None else nc
+        arr = raw.view(self.dtype).reshape(self._block_shape_storage(nr, nc))
+        return arr if self.order == "R" else arr.T
+
+    def write_block(self, r0: int, data: np.ndarray, c0: int = 0):
+        data = np.ascontiguousarray(data, dtype=self.dtype)
+        if len(self.shape) == 1:
+            off, sinfo = self.block_access(r0, data.shape[0])
+            self.store.write_sync(off, sinfo, data.view(np.uint8).ravel())
+            return
+        nr, nc = data.shape
+        off, sinfo = self.block_access(r0, nr, c0, nc)
+        storage = data if self.order == "R" else np.ascontiguousarray(data.T)
+        self.store.write_sync(off, sinfo, storage.view(np.uint8).ravel())
+
+    def read_all(self) -> np.ndarray:
+        if len(self.shape) == 1:
+            return self.read_block(0, self.shape[0])
+        return self.read_block(0, self.shape[0], 0, self.shape[1])
+
+    def write_all(self, data: np.ndarray):
+        self.write_block(0, np.asarray(data).reshape(self.shape)
+                         if len(self.shape) > 1 else np.asarray(data))
+
+    # --------------------------------------------------------- async I/O
+    def read_block_async(self, r0: int, nr: int, c0: int, nc: int,
+                         out: np.ndarray) -> Ticket:
+        off, sinfo = self.block_access(r0, nr, c0, nc)
+        return self.store.read(off, sinfo, out)
+
+    def write_block_async(self, r0: int, nr: int, c0: int, nc: int,
+                          src: np.ndarray) -> Ticket:
+        off, sinfo = self.block_access(r0, nr, c0, nc)
+        return self.store.write(off, sinfo, src)
+
+    # ------------------------------------------------------------- views
+    def vec_view(self, start: int, n: int) -> "FlashArray":
+        """1-D sub-view (flash_ptr + offset arithmetic analog)."""
+        if len(self.shape) != 1:
+            raise ValueError("vec_view on 1-D arrays only")
+        return FlashArray(self.store, (n,), self.dtype, "R",
+                          self.offset + start * self.itemsize, ctx=self.ctx)
+
+
+# ----------------------------------------------------------- constructors
+def map_array(path: str, shape, dtype=np.float32, order: str = "R",
+              create: bool = False, ctx: Optional[FlashContext] = None,
+              o_direct: Optional[bool] = None) -> FlashArray:
+    """Open a file as a FlashArray (reference: map_file, allocator.h:19-45)."""
+    ctx = ctx or get_context()
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    store = ctx.open_store(path, create=create,
+                           truncate_to=nbytes if create else 0,
+                           o_direct=o_direct)
+    if not create and store.size() < nbytes:
+        raise IOError(f"{path}: file smaller than requested array "
+                      f"({store.size()} < {nbytes})")
+    return FlashArray(store, shape, dtype, order, ctx=ctx)
+
+
+def flash_empty(shape, dtype=np.float32, order: str = "R",
+                ctx: Optional[FlashContext] = None) -> FlashArray:
+    """Scratch-file-backed array (reference: flash_malloc,
+    lib_funcs.h:103-120)."""
+    ctx = ctx or get_context()
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    return FlashArray(ctx.scratch_store(nbytes), shape, dtype, order, ctx=ctx)
+
+
+def flash_free(arr: FlashArray):
+    arr.ctx.free_scratch(arr.store)
+
+
+def mem_array(shape, dtype=np.float32, order: str = "R",
+              data: Optional[np.ndarray] = None,
+              ctx: Optional[FlashContext] = None) -> FlashArray:
+    """DRAM-backed FlashArray over MemStore — the no-SSD test seam
+    (reference: MemFileHandle)."""
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    arr = FlashArray(MemStore(nbytes), shape, dtype, order, ctx=ctx)
+    if data is not None:
+        arr.write_all(np.asarray(data, dtype=dtype))
+    return arr

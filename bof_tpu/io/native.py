@@ -1,0 +1,169 @@
+"""ctypes bindings to the native I/O engine (native/bof_io.cpp).
+
+The shared library is built lazily with g++ on first use and cached next to
+the source.  `NativeFileStore` implements the BaseStore interface on top of
+it, giving O_DIRECT + multi-threaded strided I/O — the role the reference's
+FlashFileHandle/IoExecutor pair plays (reference: flash_file_handle.cpp,
+io_executor.cpp).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..config import SECTOR_LEN
+from ..utils import LOG
+from .store import BaseStore, Ticket, _check_access
+from .stride import StrideInfo
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "bof_io.cpp"))
+_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libbof_io.so"))
+
+_lib = None
+_lib_lock = threading.Lock()
+_engine_started = False
+
+
+def _build() -> str:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           _SRC, "-o", _SO]
+    LOG.info("building native io engine: %s", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def load_library():
+    """Load (building if needed) the native engine; returns None on failure
+    so callers can fall back to the Python backend."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_SO)
+        except (OSError, subprocess.CalledProcessError) as e:
+            LOG.warning("native io engine unavailable (%s); using python io", e)
+            return None
+        lib.bof_engine_start.argtypes = [ctypes.c_int]
+        lib.bof_engine_stop.argtypes = []
+        lib.bof_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_longlong]
+        lib.bof_open.restype = ctypes.c_longlong
+        lib.bof_close.argtypes = [ctypes.c_longlong]
+        lib.bof_file_size.argtypes = [ctypes.c_longlong]
+        lib.bof_file_size.restype = ctypes.c_longlong
+        lib.bof_truncate.argtypes = [ctypes.c_longlong, ctypes.c_longlong]
+        lib.bof_fsync.argtypes = [ctypes.c_longlong]
+        lib.bof_submit.argtypes = [ctypes.c_longlong] * 5 + [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong]
+        lib.bof_submit.restype = ctypes.c_longlong
+        lib.bof_poll.argtypes = [ctypes.c_longlong]
+        lib.bof_wait.argtypes = [ctypes.c_longlong]
+        _lib = lib
+        return _lib
+
+
+def ensure_engine(n_threads: int):
+    global _engine_started
+    lib = load_library()
+    if lib is None:
+        return None
+    with _lib_lock:
+        if not _engine_started:
+            lib.bof_engine_start(n_threads)
+            _engine_started = True
+    return lib
+
+
+def alloc_aligned(nbytes: int, alignment: int = SECTOR_LEN) -> np.ndarray:
+    """Sector-aligned uint8 buffer (reference: alloc_aligned,
+    src/utils.cpp:13-20) so O_DIRECT transfers take the zero-copy path."""
+    raw = np.empty(nbytes + alignment, dtype=np.uint8)
+    off = (-raw.ctypes.data) % alignment
+    return raw[off:off + nbytes]
+
+
+class NativeTicket(Ticket):
+    __slots__ = ("_lib", "_tid", "_waited")
+
+    def __init__(self, lib, tid: int, buf):
+        super().__init__(buf)
+        self._lib = lib
+        self._tid = tid
+        self._waited = False
+
+    def done(self) -> bool:
+        with self._cv:
+            if self._done:
+                return True
+        return self._lib.bof_poll(self._tid) != 0
+
+    def wait(self):
+        with self._cv:
+            if self._done:
+                if self._error:
+                    raise IOError(self._error)
+                return
+        rc = self._lib.bof_wait(self._tid)  # releases the GIL
+        err = None if rc == 0 else f"native io error: errno {-rc}"
+        self._complete(err)
+        self._buf = None
+        if err:
+            raise IOError(err)
+
+
+class NativeFileStore(BaseStore):
+    def __init__(self, path: str, create: bool = False, truncate_to: int = 0,
+                 o_direct: bool = False, n_threads: int = 8,
+                 max_chunk_bytes: int = 32 << 20):
+        lib = ensure_engine(n_threads)
+        if lib is None:
+            raise RuntimeError("native io engine unavailable")
+        self._lib = lib
+        fd = lib.bof_open(path.encode(), 1 if create else 0,
+                          1 if o_direct else 0, truncate_to)
+        if fd < 0:
+            raise IOError(f"open({path}) failed: errno {-fd}")
+        self._fd = fd
+        self.path = path
+        self.o_direct = o_direct
+        self._max_chunk = max_chunk_bytes
+
+    def size(self) -> int:
+        return self._lib.bof_file_size(self._fd)
+
+    def truncate(self, nbytes: int):
+        self._lib.bof_truncate(self._fd, nbytes)
+
+    def _submit(self, offset: int, sinfo: StrideInfo, buf: np.ndarray,
+                is_write: bool) -> Ticket:
+        _check_access(sinfo, buf)
+        tid = self._lib.bof_submit(
+            self._fd, offset, sinfo.stride, sinfo.n_strides,
+            sinfo.len_per_stride, buf.ctypes.data, 1 if is_write else 0,
+            self._max_chunk)
+        if tid < 0:
+            raise IOError(f"submit failed: errno {-tid}")
+        return NativeTicket(self._lib, tid, buf)
+
+    def read(self, offset: int, sinfo: StrideInfo, out: np.ndarray) -> Ticket:
+        return self._submit(offset, sinfo, out, is_write=False)
+
+    def write(self, offset: int, sinfo: StrideInfo, src: np.ndarray) -> Ticket:
+        return self._submit(offset, sinfo, src, is_write=True)
+
+    def flush(self):
+        self._lib.bof_fsync(self._fd)
+
+    def close(self):
+        if self._fd is not None and self._fd >= 0:
+            self._lib.bof_close(self._fd)
+            self._fd = None

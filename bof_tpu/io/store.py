@@ -1,0 +1,144 @@
+"""Store interface + in-memory fake backend.
+
+Mirrors the reference's BaseFileHandle abstraction (reference:
+include/file_handles/file_handle.h:39-73): open/close + contiguous and
+strided read/write, asynchronous with completion.  Completion callbacks are
+replaced by Ticket futures (poll/wait), which compose better with Python and
+with the pipeline's prefetch queues.
+
+`MemStore` is the DRAM fake (reference: mem_file_handle.{h,cpp}) — the test
+seam that lets every kernel run without an SSD.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .stride import StrideInfo
+
+
+class Ticket:
+    """Completion future for one submitted access."""
+
+    __slots__ = ("_done", "_error", "_cv", "_buf")
+
+    def __init__(self, buf=None):
+        self._done = False
+        self._error: Optional[str] = None
+        self._cv = threading.Condition()
+        self._buf = buf  # keep source/dest buffer alive until completion
+
+    def _complete(self, error: Optional[str] = None):
+        with self._cv:
+            self._done = True
+            self._error = error
+            self._cv.notify_all()
+
+    def done(self) -> bool:
+        with self._cv:
+            return self._done
+
+    def wait(self):
+        with self._cv:
+            while not self._done:
+                self._cv.wait()
+            if self._error:
+                raise IOError(self._error)
+        self._buf = None
+
+    @staticmethod
+    def completed() -> "Ticket":
+        t = Ticket()
+        t._done = True
+        return t
+
+
+class BaseStore:
+    """Async byte store with strided access (BaseFileHandle analog)."""
+
+    def size(self) -> int:
+        raise NotImplementedError
+
+    def truncate(self, nbytes: int):
+        raise NotImplementedError
+
+    def read(self, offset: int, sinfo: StrideInfo, out: np.ndarray) -> Ticket:
+        """Gather `sinfo` at `offset` into contiguous uint8 `out`; async."""
+        raise NotImplementedError
+
+    def write(self, offset: int, sinfo: StrideInfo, src: np.ndarray) -> Ticket:
+        """Scatter contiguous uint8 `src` to `sinfo` at `offset`; async."""
+        raise NotImplementedError
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+    # -- sync conveniences (reference: read_sync/write_sync lib_funcs.h:63-72)
+    def read_sync(self, offset: int, sinfo: StrideInfo) -> np.ndarray:
+        out = np.empty(sinfo.nbytes, dtype=np.uint8)
+        self.read(offset, sinfo, out).wait()
+        return out
+
+    def write_sync(self, offset: int, sinfo: StrideInfo, src: np.ndarray):
+        self.write(offset, sinfo, src).wait()
+
+
+def _check_access(sinfo: StrideInfo, buf: np.ndarray):
+    if buf.dtype != np.uint8 or buf.ndim != 1:
+        raise ValueError("store buffers must be 1-D uint8 views")
+    if buf.nbytes < sinfo.nbytes:
+        raise ValueError(f"buffer too small: {buf.nbytes} < {sinfo.nbytes}")
+    if sinfo.len_per_stride > sinfo.stride and sinfo.n_strides > 1:
+        raise ValueError("overlapping strides in access specifier")
+
+
+class MemStore(BaseStore):
+    """In-DRAM store implementing the full interface (reference:
+    mem_file_handle.cpp:9-145).  Completion is immediate but still returns a
+    Ticket so callers exercise the async protocol."""
+
+    def __init__(self, nbytes: int = 0):
+        self._data = np.zeros(nbytes, dtype=np.uint8)
+        self._lock = threading.Lock()
+
+    def size(self) -> int:
+        return self._data.nbytes
+
+    def truncate(self, nbytes: int):
+        with self._lock:
+            if nbytes <= self._data.nbytes:
+                self._data = self._data[:nbytes].copy()
+            else:
+                self._data = np.concatenate(
+                    [self._data, np.zeros(nbytes - self._data.nbytes, np.uint8)])
+
+    def _runs(self, offset: int, sinfo: StrideInfo):
+        for i in range(sinfo.n_strides):
+            fo = offset + i * sinfo.stride
+            bo = i * sinfo.len_per_stride
+            yield fo, bo, sinfo.len_per_stride
+
+    def read(self, offset: int, sinfo: StrideInfo, out: np.ndarray) -> Ticket:
+        _check_access(sinfo, out)
+        with self._lock:
+            if offset + sinfo.file_extent > self._data.nbytes:
+                raise IOError("MemStore read past end")
+            for fo, bo, ln in self._runs(offset, sinfo):
+                out[bo:bo + ln] = self._data[fo:fo + ln]
+        return Ticket.completed()
+
+    def write(self, offset: int, sinfo: StrideInfo, src: np.ndarray) -> Ticket:
+        _check_access(sinfo, src)
+        with self._lock:
+            end = offset + sinfo.file_extent
+            if end > self._data.nbytes:  # grow like a file would
+                self._data = np.concatenate(
+                    [self._data, np.zeros(end - self._data.nbytes, np.uint8)])
+            for fo, bo, ln in self._runs(offset, sinfo):
+                self._data[fo:fo + ln] = src[bo:bo + ln]
+        return Ticket.completed()

@@ -1,0 +1,412 @@
+// bof_io — native asynchronous strided-I/O engine for bof_tpu.
+//
+// TPU-native re-design of the reference's I/O plane (reference:
+// src/file_handles/flash_file_handle.cpp + src/scheduler/io_executor.cpp):
+// a pool of I/O worker threads services strided read/write requests against
+// O_DIRECT (or buffered) files.  Per the reference's decomposition, one
+// strided request becomes one sub-op per stride run (flash_file_handle.cpp
+// :429-506 issues one iocb per stride), runs larger than a chunk limit are
+// split (MAX_CHUNK_SIZE, :25), unaligned O_DIRECT reads bounce through an
+// aligned buffer (:247-312), and unaligned O_DIRECT writes do locked
+// read-modify-write of the boundary sectors (:314-407).  Where the
+// reference *detects* write-write sector overlap pairwise and defers
+// conflicting writes (io_executor.cpp:249-361), we *exclude* it by
+// construction: a per-file sector-interval lock serializes RMW writes whose
+// sector extents intersect.  Completion callbacks are replaced by ticket
+// futures polled/awaited from Python (ctypes releases the GIL in bof_wait).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -pthread bof_io.cpp -o libbof_io.so
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <thread>
+#include <unordered_map>
+#include <utility>
+#include <vector>
+
+#include <errno.h>
+#include <fcntl.h>
+#include <sys/stat.h>
+#include <sys/types.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr int64_t kSector = 512;
+
+static int64_t round_down(int64_t x, int64_t m) { return (x / m) * m; }
+static int64_t round_up(int64_t x, int64_t m) { return ((x + m - 1) / m) * m; }
+
+// ---------------------------------------------------------------- tickets
+struct TicketSlot {
+  std::atomic<int64_t> remaining{0};
+  std::atomic<int> err{0};
+  bool in_use = false;
+  int64_t id = -1;
+};
+
+struct TicketTable {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<TicketSlot*> free_slots;
+  std::vector<TicketSlot*> slots;  // index = ticket id
+
+  int64_t acquire(int64_t n_ops) {
+    std::lock_guard<std::mutex> g(mu);
+    TicketSlot* s;
+    int64_t id;
+    if (!free_slots.empty()) {
+      s = free_slots.front();
+      free_slots.pop_front();
+      id = s->id;
+    } else {
+      s = new TicketSlot();
+      slots.push_back(s);
+      id = (int64_t)slots.size() - 1;
+      s->id = id;
+    }
+    s->remaining.store(n_ops, std::memory_order_relaxed);
+    s->err.store(0, std::memory_order_relaxed);
+    s->in_use = true;
+    return id;
+  }
+
+  TicketSlot* get(int64_t id) {
+    std::lock_guard<std::mutex> g(mu);
+    if (id < 0 || id >= (int64_t)slots.size() || !slots[id]->in_use)
+      return nullptr;
+    return slots[id];
+  }
+
+  void op_done(TicketSlot* s, int err) {
+    if (err) s->err.store(err, std::memory_order_relaxed);
+    if (s->remaining.fetch_sub(1, std::memory_order_acq_rel) == 1) {
+      std::lock_guard<std::mutex> g(mu);
+      cv.notify_all();
+    }
+  }
+
+  // Returns 0 ok / -errno; frees the slot.
+  int wait_free(int64_t id) {
+    TicketSlot* s = get(id);
+    if (!s) return -EINVAL;
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [&] { return s->remaining.load(std::memory_order_acquire) == 0; });
+    int e = s->err.load(std::memory_order_relaxed);
+    s->in_use = false;
+    free_slots.push_back(s);
+    return e ? -e : 0;
+  }
+
+  int poll(int64_t id) {  // 1 done-ok, 0 pending, -errno done-error
+    TicketSlot* s = get(id);
+    if (!s) return -EINVAL;
+    if (s->remaining.load(std::memory_order_acquire) != 0) return 0;
+    int e = s->err.load(std::memory_order_relaxed);
+    return e ? -e : 1;
+  }
+};
+
+// ------------------------------------------- sector-interval write locks
+// Serializes O_DIRECT RMW writes whose sector extents intersect — the
+// race the reference detects at io_executor.cpp:10-156 is prevented here.
+struct IntervalLocks {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::unordered_map<int, std::vector<std::pair<int64_t, int64_t>>> held;
+
+  void lock(int fd, int64_t lo, int64_t hi) {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      auto& v = held[fd];
+      bool clash = false;
+      for (auto& p : v)
+        if (lo < p.second && p.first < hi) { clash = true; break; }
+      if (!clash) { v.emplace_back(lo, hi); return; }
+      cv.wait(lk);
+    }
+  }
+
+  void unlock(int fd, int64_t lo, int64_t hi) {
+    std::lock_guard<std::mutex> g(mu);
+    auto& v = held[fd];
+    for (size_t i = 0; i < v.size(); ++i)
+      if (v[i].first == lo && v[i].second == hi) {
+        v[i] = v.back();
+        v.pop_back();
+        break;
+      }
+    cv.notify_all();
+  }
+};
+
+// ----------------------------------------------------------------- engine
+struct Op {
+  int fd;
+  int64_t off;
+  int64_t len;
+  char* buf;
+  bool is_write;
+  bool o_direct;
+  TicketSlot* slot;
+};
+
+struct Engine {
+  std::mutex qmu;
+  std::condition_variable qcv;
+  std::deque<Op> q;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  TicketTable tickets;
+  IntervalLocks wlocks;
+  std::mutex fdmu;
+  std::unordered_map<int, bool> fd_direct;  // fd -> opened O_DIRECT
+
+  void push(Op op) {
+    {
+      std::lock_guard<std::mutex> g(qmu);
+      q.push_back(op);
+    }
+    qcv.notify_one();
+  }
+
+  void worker();
+};
+
+static Engine* g_engine = nullptr;
+
+// Thread-local aligned bounce buffer for O_DIRECT unaligned paths.
+struct Bounce {
+  char* p = nullptr;
+  size_t cap = 0;
+  ~Bounce() { free(p); }
+  char* ensure(size_t n) {
+    if (cap < n) {
+      free(p);
+      if (posix_memalign((void**)&p, 4096, n) != 0) { p = nullptr; cap = 0; }
+      else cap = n;
+    }
+    return p;
+  }
+};
+thread_local Bounce tl_bounce;
+
+static int full_pread(int fd, char* buf, int64_t len, int64_t off) {
+  int64_t pos = 0;
+  while (pos < len) {
+    ssize_t n = pread(fd, buf + pos, (size_t)(len - pos), off + pos);
+    if (n < 0) {
+      if (errno == EINTR) continue;
+      return errno;
+    }
+    if (n == 0) {  // read past EOF: zero-fill (sparse/short file)
+      memset(buf + pos, 0, (size_t)(len - pos));
+      return 0;
+    }
+    pos += n;
+  }
+  return 0;
+}
+
+static int full_pwrite(int fd, const char* buf, int64_t len, int64_t off) {
+  int64_t pos = 0;
+  while (pos < len) {
+    ssize_t n = pwrite(fd, buf + pos, (size_t)(len - pos), off + pos);
+    if (n < 0) {
+      if (errno == EINTR) continue;
+      return errno;
+    }
+    pos += n;
+  }
+  return 0;
+}
+
+static bool ptr_aligned(const void* p) {
+  return (reinterpret_cast<uintptr_t>(p) % kSector) == 0;
+}
+
+// O_DIRECT read with bounce for unaligned offset/len/pointer
+// (reference: flash_file_handle.cpp:247-312).
+static int direct_read(int fd, char* buf, int64_t len, int64_t off) {
+  if ((off % kSector) == 0 && (len % kSector) == 0 && ptr_aligned(buf))
+    return full_pread(fd, buf, len, off);
+  int64_t lo = round_down(off, kSector), hi = round_up(off + len, kSector);
+  char* bb = tl_bounce.ensure((size_t)(hi - lo));
+  if (!bb) return ENOMEM;
+  int e = full_pread(fd, bb, hi - lo, lo);
+  if (e) return e;
+  memcpy(buf, bb + (off - lo), (size_t)len);
+  return 0;
+}
+
+// O_DIRECT write; unaligned paths read-modify-write the sector extent under
+// a per-file interval lock (reference: flash_file_handle.cpp:314-407 + the
+// io_executor overlap machinery).
+static int direct_write(Engine* eng, int fd, const char* buf, int64_t len,
+                        int64_t off) {
+  if ((off % kSector) == 0 && (len % kSector) == 0 && ptr_aligned(buf))
+    return full_pwrite(fd, buf, len, off);
+  int64_t lo = round_down(off, kSector), hi = round_up(off + len, kSector);
+  eng->wlocks.lock(fd, lo, hi);
+  char* bb = tl_bounce.ensure((size_t)(hi - lo));
+  int e = bb ? 0 : ENOMEM;
+  if (!e) {
+    // Preload the extent so untouched boundary bytes are preserved; bytes
+    // past EOF are zeroed.  Extents are small (tile edges), so reading the
+    // whole extent instead of just boundary sectors is cheap.
+    memset(bb, 0, (size_t)(hi - lo));
+    int64_t fsz = lseek(fd, 0, SEEK_END);
+    if (fsz > lo) {
+      int64_t rd = std::min(hi, round_up(fsz, kSector)) - lo;
+      e = full_pread(fd, bb, rd, lo);
+    }
+    if (!e) {
+      memcpy(bb + (off - lo), buf, (size_t)len);
+      e = full_pwrite(fd, bb, hi - lo, lo);
+    }
+  }
+  eng->wlocks.unlock(fd, lo, hi);
+  return e;
+}
+
+void Engine::worker() {
+  for (;;) {
+    Op op;
+    {
+      std::unique_lock<std::mutex> lk(qmu);
+      qcv.wait(lk, [&] { return stop.load() || !q.empty(); });
+      if (q.empty()) return;  // stop && drained
+      op = q.front();
+      q.pop_front();
+    }
+    int e;
+    if (op.is_write)
+      e = op.o_direct ? direct_write(this, op.fd, op.buf, op.len, op.off)
+                      : full_pwrite(op.fd, op.buf, op.len, op.off);
+    else
+      e = op.o_direct ? direct_read(op.fd, op.buf, op.len, op.off)
+                      : full_pread(op.fd, op.buf, op.len, op.off);
+    tickets.op_done(op.slot, e);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int bof_engine_start(int n_threads) {
+  if (g_engine) return 0;
+  g_engine = new Engine();
+  if (n_threads < 1) n_threads = 1;
+  for (int i = 0; i < n_threads; ++i)
+    g_engine->workers.emplace_back([] { g_engine->worker(); });
+  return 0;
+}
+
+void bof_engine_stop() {
+  if (!g_engine) return;
+  g_engine->stop.store(true);
+  g_engine->qcv.notify_all();
+  for (auto& t : g_engine->workers) t.join();
+  delete g_engine;
+  g_engine = nullptr;
+}
+
+// mode: create? ; o_direct: open with O_DIRECT; truncate_to >0 sets size.
+long long bof_open(const char* path, int create, int o_direct,
+                   long long truncate_to) {
+  int flags = O_RDWR | (create ? O_CREAT : 0);
+#ifdef O_DIRECT
+  if (o_direct) flags |= O_DIRECT;
+#endif
+  int fd = open(path, flags, 0644);
+  if (fd < 0) return -errno;
+  if (truncate_to > 0 && ftruncate(fd, truncate_to) != 0) {
+    int e = errno;
+    close(fd);
+    return -e;
+  }
+  if (g_engine) {
+    std::lock_guard<std::mutex> g(g_engine->fdmu);
+    g_engine->fd_direct[fd] = (o_direct != 0);
+  }
+  return fd;
+}
+
+int bof_close(long long fd) {
+  if (g_engine) {
+    std::lock_guard<std::mutex> g(g_engine->fdmu);
+    g_engine->fd_direct.erase((int)fd);
+  }
+  return close((int)fd) == 0 ? 0 : -errno;
+}
+
+long long bof_file_size(long long fd) {
+  struct stat st;
+  if (fstat((int)fd, &st) != 0) return -errno;
+  return st.st_size;
+}
+
+int bof_truncate(long long fd, long long size) {
+  return ftruncate((int)fd, size) == 0 ? 0 : -errno;
+}
+
+int bof_fsync(long long fd) { return fsync((int)fd) == 0 ? 0 : -errno; }
+
+// Submit one strided access; returns ticket id (>=0) or -errno.
+long long bof_submit(long long fd, long long offset, long long stride,
+                     long long n_strides, long long len_per_stride, void* buf,
+                     int is_write, long long max_chunk) {
+  if (!g_engine) return -EINVAL;
+  if (max_chunk <= 0) max_chunk = 32ll << 20;
+  bool o_direct = false;
+  {
+    std::lock_guard<std::mutex> g(g_engine->fdmu);
+    auto it = g_engine->fd_direct.find((int)fd);
+    if (it != g_engine->fd_direct.end()) o_direct = it->second;
+  }
+  // Count ops: per stride run, split at max_chunk.
+  int64_t n_ops = 0;
+  for (int64_t i = 0; i < n_strides; ++i)
+    n_ops += (len_per_stride + max_chunk - 1) / max_chunk;
+  if (n_ops == 0) {
+    int64_t id = g_engine->tickets.acquire(1);
+    g_engine->tickets.op_done(g_engine->tickets.get(id), 0);
+    return id;
+  }
+  int64_t id = g_engine->tickets.acquire(n_ops);
+  TicketSlot* slot = g_engine->tickets.get(id);
+  char* base = (char*)buf;
+  for (int64_t i = 0; i < n_strides; ++i) {
+    int64_t fo = offset + i * stride;
+    int64_t bo = i * len_per_stride;
+    int64_t ln = len_per_stride;
+    while (ln > 0) {
+      int64_t c = ln < max_chunk ? ln : max_chunk;
+      g_engine->push(Op{(int)fd, fo, c, base + bo, is_write != 0, o_direct,
+                        slot});
+      fo += c;
+      bo += c;
+      ln -= c;
+    }
+  }
+  return id;
+}
+
+int bof_poll(long long ticket) {
+  if (!g_engine) return -EINVAL;
+  return g_engine->tickets.poll(ticket);
+}
+
+int bof_wait(long long ticket) {
+  if (!g_engine) return -EINVAL;
+  return g_engine->tickets.wait_free(ticket);
+}
+
+}  // extern "C"

@@ -1,0 +1,64 @@
+"""FlashArray block-access semantics (flash_ptr/map_file analog)."""
+import numpy as np
+import pytest
+
+from bof_tpu import FlashArray, flash_empty, flash_free, map_array, mem_array
+
+
+@pytest.mark.parametrize("order", ["R", "C"])
+def test_roundtrip_blocks(order, ctx, rng):
+    m, n = 64, 48
+    ref = rng.standard_normal((m, n)).astype(np.float32)
+    arr = mem_array((m, n), np.float32, order, data=ref, ctx=ctx)
+    np.testing.assert_array_equal(arr.read_all(), ref)
+    blk = arr.read_block(16, 32, 8, 24)
+    np.testing.assert_array_equal(blk, ref[16:48, 8:32])
+    patch = rng.standard_normal((10, 5)).astype(np.float32)
+    arr.write_block(3, patch, 7)
+    ref[3:13, 7:12] = patch
+    np.testing.assert_array_equal(arr.read_all(), ref)
+
+
+@pytest.mark.parametrize("order", ["R", "C"])
+def test_file_backed(order, ctx, tmp_path, rng):
+    m, n = 33, 21  # deliberately unaligned
+    ref = rng.standard_normal((m, n)).astype(np.float32)
+    path = str(tmp_path / "arr.bin")
+    arr = map_array(path, (m, n), np.float32, order, create=True, ctx=ctx)
+    arr.write_all(ref)
+    arr.store.flush()
+    arr2 = map_array(path, (m, n), np.float32, order, ctx=ctx)
+    np.testing.assert_array_equal(arr2.read_all(), ref)
+    np.testing.assert_array_equal(arr2.read_block(5, 11, 2, 13),
+                                  ref[5:16, 2:15])
+    arr.store.close()
+    arr2.store.close()
+
+
+def test_lda_subview(ctx, rng):
+    """Sub-matrix of a larger on-disk matrix via ld (reference lda support)."""
+    big = rng.standard_normal((40, 50)).astype(np.float32)
+    arr = mem_array((40, 50), np.float32, "R", data=big, ctx=ctx)
+    sub = FlashArray(arr.store, (20, 30), np.float32, "R",
+                     offset=(4 * 50 + 6) * 4, ld=50, ctx=ctx)
+    np.testing.assert_array_equal(sub.read_all(), big[4:24, 6:36])
+    patch = rng.standard_normal((20, 30)).astype(np.float32)
+    sub.write_all(patch)
+    got = arr.read_all()
+    np.testing.assert_array_equal(got[4:24, 6:36], patch)
+
+
+def test_scratch_alloc(ctx):
+    arr = flash_empty((100,), np.float32, ctx=ctx)
+    arr.write_all(np.arange(100, dtype=np.float32))
+    np.testing.assert_array_equal(arr.read_all(),
+                                  np.arange(100, dtype=np.float32))
+    flash_free(arr)
+
+
+def test_1d_vec_view(ctx):
+    arr = mem_array((100,), np.int32, data=np.arange(100, dtype=np.int32),
+                    ctx=ctx)
+    v = arr.vec_view(10, 20)
+    np.testing.assert_array_equal(v.read_all(),
+                                  np.arange(10, 30, dtype=np.int32))

@@ -1,0 +1,188 @@
+"""Randomized storage-layer correctness tests.
+
+Re-creation of the reference's I/O test strategy (reference:
+misc/flash_file_handle_test.cpp — iota-filled file, randomized
+read/write/sread/swrite trials verified against the arithmetic pattern),
+parametrized over every backend: MemStore, PyFileStore, NativeFileStore
+(buffered and O_DIRECT).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from bof_tpu.io.store import MemStore, Ticket
+from bof_tpu.io.stride import StrideInfo
+
+FILE_ELEMS = 1 << 18  # 256K uint32 = 1 MiB
+
+
+def iota_file(n=FILE_ELEMS):
+    return np.arange(n, dtype=np.uint32)
+
+
+def make_store(kind, tmp_path, data):
+    raw = data.view(np.uint8).ravel()
+    if kind == "mem":
+        st = MemStore(raw.nbytes)
+        st.write(0, StrideInfo.contiguous(raw.nbytes), raw).wait()
+        return st
+    path = str(tmp_path / f"io_{kind}.bin")
+    with open(path, "wb") as f:
+        f.write(raw.tobytes())
+    if kind == "py":
+        from bof_tpu.io.pystore import PyFileStore, PyIoPool
+        pool = PyIoPool(4)
+        return PyFileStore(path, pool)
+    from bof_tpu.io.native import NativeFileStore, load_library
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+    return NativeFileStore(path, o_direct=(kind == "native_direct"),
+                           n_threads=4)
+
+BACKENDS = ["mem", "py", "native", "native_direct"]
+
+
+@pytest.mark.parametrize("kind", BACKENDS)
+def test_contiguous_read_randomized(kind, tmp_path, rng):
+    data = iota_file()
+    st = make_store(kind, tmp_path, data)
+    for _ in range(50):
+        # random unaligned offsets/lengths in elements
+        start = int(rng.integers(0, FILE_ELEMS - 2))
+        n = int(rng.integers(1, min(FILE_ELEMS - start, 5000)))
+        out = st.read_sync(start * 4, StrideInfo.contiguous(n * 4))
+        np.testing.assert_array_equal(out.view(np.uint32),
+                                      np.arange(start, start + n,
+                                                dtype=np.uint32))
+    st.close()
+
+
+@pytest.mark.parametrize("kind", BACKENDS)
+def test_strided_read_randomized(kind, tmp_path, rng):
+    data = iota_file()
+    st = make_store(kind, tmp_path, data)
+    for _ in range(50):
+        len_el = int(rng.integers(1, 200))
+        stride_el = len_el + int(rng.integers(0, 300))
+        max_strides = (FILE_ELEMS - len_el) // max(stride_el, 1)
+        if max_strides < 1:
+            continue
+        n_str = int(rng.integers(1, min(max_strides, 64) + 1))
+        base = int(rng.integers(
+            0, FILE_ELEMS - ((n_str - 1) * stride_el + len_el) + 1))
+        sinfo = StrideInfo(stride=stride_el * 4, n_strides=n_str,
+                           len_per_stride=len_el * 4)
+        out = st.read_sync(base * 4, sinfo).view(np.uint32)
+        expect = np.concatenate([
+            np.arange(base + i * stride_el, base + i * stride_el + len_el,
+                      dtype=np.uint32) for i in range(n_str)])
+        np.testing.assert_array_equal(out, expect)
+    st.close()
+
+
+@pytest.mark.parametrize("kind", BACKENDS)
+def test_write_read_back_randomized(kind, tmp_path, rng):
+    data = iota_file()
+    st = make_store(kind, tmp_path, data)
+    shadow = data.copy()
+    for _ in range(40):
+        start = int(rng.integers(0, FILE_ELEMS - 2))
+        n = int(rng.integers(1, min(FILE_ELEMS - start, 3000)))
+        vals = rng.integers(0, 2**32, n, dtype=np.uint32)
+        st.write_sync(start * 4, StrideInfo.contiguous(n * 4),
+                      vals.view(np.uint8).ravel())
+        shadow[start:start + n] = vals
+        # verify a superset region (reference DEBUG read-back verify)
+        lo = max(0, start - 100)
+        hi = min(FILE_ELEMS, start + n + 100)
+        got = st.read_sync(lo * 4, StrideInfo.contiguous((hi - lo) * 4))
+        np.testing.assert_array_equal(got.view(np.uint32), shadow[lo:hi])
+    st.close()
+
+
+@pytest.mark.parametrize("kind", BACKENDS)
+def test_strided_write_randomized(kind, tmp_path, rng):
+    data = iota_file()
+    st = make_store(kind, tmp_path, data)
+    shadow = data.copy()
+    for _ in range(30):
+        len_el = int(rng.integers(1, 100))
+        stride_el = len_el + int(rng.integers(0, 200))
+        n_str = int(rng.integers(1, 32))
+        extent = (n_str - 1) * stride_el + len_el
+        if extent >= FILE_ELEMS:
+            continue
+        base = int(rng.integers(0, FILE_ELEMS - extent))
+        vals = rng.integers(0, 2**32, n_str * len_el, dtype=np.uint32)
+        sinfo = StrideInfo(stride=stride_el * 4, n_strides=n_str,
+                           len_per_stride=len_el * 4)
+        st.write_sync(base * 4, sinfo, vals.view(np.uint8).ravel())
+        for i in range(n_str):
+            shadow[base + i * stride_el:base + i * stride_el + len_el] = \
+                vals[i * len_el:(i + 1) * len_el]
+        got = st.read_sync(0, StrideInfo.contiguous(FILE_ELEMS * 4))
+        np.testing.assert_array_equal(got.view(np.uint32), shadow)
+    st.close()
+
+
+@pytest.mark.parametrize("kind", ["py", "native", "native_direct"])
+def test_concurrent_async_reads(kind, tmp_path, rng):
+    """Many tickets in flight at once (exercises the queue + pool)."""
+    data = iota_file()
+    st = make_store(kind, tmp_path, data)
+    tickets = []
+    bufs = []
+    metas = []
+    for _ in range(64):
+        start = int(rng.integers(0, FILE_ELEMS - 1000))
+        n = int(rng.integers(1, 1000))
+        buf = np.empty(n * 4, dtype=np.uint8)
+        tickets.append(st.read(start * 4, StrideInfo.contiguous(n * 4), buf))
+        bufs.append(buf)
+        metas.append((start, n))
+    for t, buf, (start, n) in zip(tickets, bufs, metas):
+        t.wait()
+        np.testing.assert_array_equal(
+            buf.view(np.uint32), np.arange(start, start + n, dtype=np.uint32))
+    st.close()
+
+
+def test_concurrent_unaligned_direct_writes(tmp_path, rng):
+    """Adjacent unaligned O_DIRECT writes sharing boundary sectors must not
+    corrupt each other — the reference's write-write overlap hazard
+    (reference: io_executor.cpp:249-361); we serialize via sector-interval
+    locks in the native engine."""
+    from bof_tpu.io.native import NativeFileStore, load_library
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+    n = 1 << 16
+    data = np.zeros(n, dtype=np.uint32)
+    path = str(tmp_path / "ww.bin")
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+    st = NativeFileStore(path, o_direct=True, n_threads=8)
+    # adjacent runs of 77 elements (308 B, never sector aligned)
+    run = 77
+    tickets = []
+    for i in range(n // run):
+        vals = np.full(run, i + 1, dtype=np.uint32)
+        tickets.append(st.write(i * run * 4,
+                                StrideInfo.contiguous(run * 4),
+                                vals.view(np.uint8).ravel()))
+    for t in tickets:
+        t.wait()
+    got = st.read_sync(0, StrideInfo.contiguous((n // run) * run * 4))
+    got = got.view(np.uint32)
+    for i in range(n // run):
+        np.testing.assert_array_equal(got[i * run:(i + 1) * run], i + 1)
+    st.close()
+
+
+def test_memstore_grows_on_write():
+    st = MemStore(16)
+    vals = np.arange(8, dtype=np.uint32)
+    st.write_sync(8, StrideInfo.contiguous(32), vals.view(np.uint8).ravel())
+    assert st.size() == 40
+    got = st.read_sync(8, StrideInfo.contiguous(32)).view(np.uint32)
+    np.testing.assert_array_equal(got, vals)
