@@ -1,0 +1,248 @@
+"""Budgeted host tile cache — the "Program Cache".
+
+Re-design of the reference's Cache (reference: include/scheduler/cache.h,
+src/scheduler/cache.cpp): a single-mutex, budget-bounded buffer cache keyed
+by (store, offset, StrideInfo).  Tracks promised (`commit_size`) vs
+allocated (`real_size`) bytes against the budget (cache.h:98-105), admits a
+task's working set only if it fits after evicting zero-referenced entries
+not needed by that task (cache.cpp:346-390), services a backlog of pending
+allocations by issuing async reads (cache.cpp:432-547), and on eviction
+write-backs dirty buffers asynchronously, freeing them on completion
+(cache.cpp:72-113).
+
+Differences from the reference, by design:
+- completion callbacks → Ticket futures reaped in service_backlog;
+- evicted-dirty buffers with writes still in flight can be *resurrected*
+  by a new allocation of the same key (the reference spin-waits flush);
+- buffers are sector-aligned so the native O_DIRECT engine takes its
+  zero-copy path.
+"""
+from __future__ import annotations
+
+import collections
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..io.native import alloc_aligned
+from ..io.store import Ticket
+from ..utils import LOG, METRICS
+from .task import Task, TaskStatus, access_key
+
+
+class _Entry:
+    __slots__ = ("store", "offset", "sinfo", "buf", "refs", "dirty",
+                 "alloc_only", "complete", "nbytes")
+
+    def __init__(self, store, offset, sinfo, alloc_only: bool):
+        self.store = store
+        self.offset = offset
+        self.sinfo = sinfo
+        self.buf: Optional[np.ndarray] = None
+        self.refs = 1
+        self.dirty = False
+        self.alloc_only = alloc_only  # write-only: no read needed
+        self.complete = False         # buffer resident & contents valid
+        self.nbytes = sinfo.nbytes
+
+
+class TileCache:
+    def __init__(self, max_size: int, single_use_discard: bool = False):
+        self.max_size = max_size
+        self.single_use_discard = single_use_discard
+        self._lock = threading.Lock()
+        self._entries: Dict[tuple, _Entry] = {}
+        self._zero_ref = collections.OrderedDict()  # key -> None, LRU order
+        self._backlog: collections.deque = collections.deque()
+        self._inflight_reads: Dict[tuple, Ticket] = {}
+        self._inflight_writes: Dict[tuple, tuple] = {}  # key->(tkt,nbytes,buf)
+        self._orphan_tickets: List[Ticket] = []
+        self.commit_size = 0
+        self.real_size = 0
+        self._dirty_stores: Dict[int, object] = {}
+
+    # ------------------------------------------------------------ internal
+    def _task_keys(self, task: Task):
+        """Unique accesses of a task with read/write classification."""
+        keys: Dict[tuple, dict] = {}
+        for store, off, si in task.read_list:
+            k = access_key(store, off, si)
+            keys.setdefault(k, {"store": store, "offset": off, "sinfo": si,
+                                "read": False, "write": False})["read"] = True
+        for store, off, si in task.write_list:
+            k = access_key(store, off, si)
+            keys.setdefault(k, {"store": store, "offset": off, "sinfo": si,
+                                "read": False, "write": False})["write"] = True
+        return keys
+
+    def _evict_locked(self, key: tuple):
+        """Evict one zero-ref entry (reference: cache.cpp:72-113)."""
+        e = self._entries.pop(key)
+        self._zero_ref.pop(key, None)
+        self.commit_size -= e.nbytes
+        if e.dirty:
+            tkt = e.store.write(e.offset, e.sinfo, e.buf)
+            self._inflight_writes[key] = (tkt, e.nbytes, e.buf)
+            self._dirty_stores[id(e.store)] = e.store
+            METRICS.add("cache.evict_dirty")
+            # real_size stays until the write completes
+        else:
+            self.real_size -= e.nbytes if e.buf is not None else 0
+            METRICS.add("cache.evict_clean")
+
+    def _reap_locked(self):
+        for k, tkt in list(self._inflight_reads.items()):
+            if tkt.done():
+                tkt.wait()  # raise on error
+                self._entries[k].complete = True
+                del self._inflight_reads[k]
+        for k, (tkt, nb, _buf) in list(self._inflight_writes.items()):
+            if tkt.done():
+                tkt.wait()
+                self.real_size -= nb
+                del self._inflight_writes[k]
+        self._orphan_tickets = [t for t in self._orphan_tickets
+                                if not t.done()]
+
+    # ------------------------------------------------------------- public
+    def allocate(self, task: Task) -> bool:
+        """Admit a task's working set; False if over budget even after
+        eviction (reference: cache.cpp:346-390)."""
+        keys = self._task_keys(task)
+        with self._lock:
+            needed = 0
+            for k, info in keys.items():
+                if k not in self._entries and k not in self._inflight_writes:
+                    needed += info["sinfo"].nbytes
+            if self.commit_size + needed > self.max_size:
+                # evict LRU zero-ref entries not needed by this task
+                for zk in list(self._zero_ref.keys()):
+                    if zk in keys:
+                        continue
+                    self._evict_locked(zk)
+                    if self.commit_size + needed <= self.max_size:
+                        break
+                if self.commit_size + needed > self.max_size:
+                    METRICS.add("cache.alloc_fail")
+                    return False
+            for k, info in keys.items():
+                e = self._entries.get(k)
+                if e is not None:
+                    e.refs += 1
+                    self._zero_ref.pop(k, None)
+                    if info["write"]:
+                        e.dirty = True
+                        e.alloc_only = False
+                    METRICS.add("cache.hit")
+                    continue
+                if k in self._inflight_writes:
+                    # resurrect: write still in flight, contents valid
+                    tkt, nb, buf = self._inflight_writes.pop(k)
+                    self._orphan_tickets.append(tkt)
+                    e = _Entry(info["store"], info["offset"], info["sinfo"],
+                               alloc_only=False)
+                    e.buf = buf
+                    e.complete = True
+                    e.dirty = info["write"]
+                    self._entries[k] = e
+                    self.commit_size += nb
+                    METRICS.add("cache.resurrect")
+                    continue
+                alloc_only = info["write"] and not info["read"]
+                e = _Entry(info["store"], info["offset"], info["sinfo"],
+                           alloc_only=alloc_only)
+                e.dirty = info["write"]
+                self._entries[k] = e
+                self.commit_size += e.nbytes
+                self._backlog.append(k)
+                METRICS.add("cache.miss")
+            task.set_status(TaskStatus.ALLOC)
+            return True
+
+    def service_backlog(self):
+        """Reap finished I/O; allocate + issue reads for backlog entries
+        that fit in real memory (reference: cache.cpp:432-547)."""
+        with self._lock:
+            self._reap_locked()
+            while self._backlog:
+                k = self._backlog[0]
+                e = self._entries.get(k)
+                if e is None:  # cancelled
+                    self._backlog.popleft()
+                    continue
+                if self.real_size + e.nbytes > self.max_size:
+                    break
+                self._backlog.popleft()
+                e.buf = alloc_aligned(e.nbytes)
+                self.real_size += e.nbytes
+                if e.alloc_only:
+                    e.complete = True  # no read needed (cache.cpp:497-505)
+                else:
+                    self._inflight_reads[k] = e.store.read(
+                        e.offset, e.sinfo, e.buf)
+            # reap again: MemStore tickets complete synchronously
+            self._reap_locked()
+
+    def alloc_ready(self, task: Task) -> bool:
+        """All of the task's buffers resident (reference: scheduler.cpp
+        alloc_ready filter, :46-71).  Fills task.buffers on success."""
+        keys = self._task_keys(task)
+        with self._lock:
+            for k in keys:
+                e = self._entries.get(k)
+                if e is None or not e.complete:
+                    return False
+            task.buffers = {k: self._entries[k].buf for k in keys}
+            return True
+
+    def release(self, task: Task):
+        """Drop the task's references (reference: cache.cpp:392-430)."""
+        keys = self._task_keys(task)
+        task.buffers = {}
+        with self._lock:
+            for k in keys:
+                e = self._entries.get(k)
+                if e is None:
+                    continue
+                e.refs -= 1
+                if e.refs == 0:
+                    if self.single_use_discard and not e.dirty:
+                        self._entries.pop(k)
+                        self.commit_size -= e.nbytes
+                        self.real_size -= e.nbytes if e.buf is not None else 0
+                    else:
+                        self._zero_ref[k] = None
+                        self._zero_ref.move_to_end(k)
+
+    def cached_keys(self, keys) -> set:
+        """Subset of `keys` currently resident or arriving — powers the
+        prioritizer's bytes-to-fetch ranking (reference:
+        keep_if_in_cache, cache.cpp:549-579)."""
+        with self._lock:
+            return {k for k in keys if k in self._entries}
+
+    def flush(self):
+        """Write back every dirty zero-ref entry and drain all I/O
+        (reference: cache.cpp:45-70)."""
+        import time
+        with self._lock:
+            for k in list(self._zero_ref.keys()):
+                self._evict_locked(k)
+        while True:
+            with self._lock:
+                self._reap_locked()
+                busy = (self._inflight_reads or self._inflight_writes
+                        or self._orphan_tickets or self._backlog)
+                if not busy:
+                    stores = dict(self._dirty_stores)
+                    self._dirty_stores.clear()
+                    break
+            time.sleep(0.001)
+        for st in stores.values():
+            st.flush()
+
+    @property
+    def active_count(self) -> int:
+        with self._lock:
+            return len(self._entries)

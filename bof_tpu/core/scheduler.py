@@ -1,0 +1,258 @@
+"""Task scheduler — the 5-stage out-of-core execution pipeline.
+
+Re-design of the reference's Scheduler (reference: include/scheduler/
+scheduler.h, src/scheduler/scheduler.cpp): a scheduler thread moves tasks
+through Wait → AllocReady → Alloc(prefetch) → ComputeReady → Compute →
+Complete (scheduler.cpp:73-216): (1) drain completions, record them, release
+cache refs, enqueue continuations (:120-137); (2) promote waiting tasks
+whose parents completed into the prioritizer (:139-164); (3) admit up to
+`max_in_mem_tasks` = factor × n_compute tasks into the cache, stopping at
+the first that doesn't fit (:166-184, :78); (4) move tasks whose buffers
+all arrived to the compute queue (:186-198); (5) service the cache backlog
+(:200-201).  A pool of compute threads executes `task.execute()`
+(:218-267); JAX device work inside execute() releases the GIL, so compute
+threads overlap both each other and the I/O threads.
+
+The event-driven loop replaces the reference's 50-100 ms adaptive sleep
+(:204-212) — sub-millisecond reaction at small task counts.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, List, Optional
+
+from ..utils import LOG, METRICS, Timer
+from .cache import TileCache
+from .prioritizer import Prioritizer
+from .task import Task, TaskStatus
+
+
+class CompletionRecord:
+    """Growable record of completed task ids (reference: scheduler.h:20-68
+    uses a bitmap; a set with a lock serves the same queries)."""
+
+    def __init__(self):
+        self._done: set[int] = set()
+        self._lock = threading.Lock()
+
+    def mark(self, task_id: int):
+        with self._lock:
+            self._done.add(task_id)
+
+    def is_complete(self, task_id: int) -> bool:
+        with self._lock:
+            return task_id in self._done
+
+    def all_complete(self, ids: Iterable[int]) -> bool:
+        with self._lock:
+            return all(i in self._done for i in ids)
+
+
+class SchedulerOptions:
+    """Runtime toggles (reference: SchedulerOptions, scheduler.h:70-83)."""
+
+    def __init__(self, enable_prioritizer: bool = True,
+                 single_use_discard: bool = False):
+        self.enable_prioritizer = enable_prioritizer
+        self.single_use_discard = single_use_discard
+
+
+class Scheduler:
+    def __init__(self, ctx, options: Optional[SchedulerOptions] = None):
+        cfg = ctx.config
+        self.options = options or SchedulerOptions(
+            enable_prioritizer=cfg.enable_prioritizer,
+            single_use_discard=cfg.single_use_discard)
+        self.cache = TileCache(cfg.program_budget,
+                               self.options.single_use_discard)
+        self.prio = Prioritizer(self.cache, self.options.enable_prioritizer)
+        self.c_rec = CompletionRecord()
+        self._n_compute = cfg.n_compute_threads
+        self._max_in_mem = cfg.max_in_mem_tasks_factor * self._n_compute
+
+        self._wait_tasks: List[Task] = []
+        self._alloced: List[Task] = []
+        self._compute_q: queue.Queue = queue.Queue()
+        self._complete_q: queue.Queue = queue.Queue()
+        self._in_flight = 0  # tasks admitted to cache, not yet complete
+
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._all_done = threading.Event()
+        self._all_done.set()
+        self._shutdown = False
+        self._pending = 0  # tasks added, not yet complete
+
+        self._sched_thread = threading.Thread(
+            target=self._sched_loop, name="bof-sched", daemon=True)
+        self._sched_thread.start()
+        self._compute_threads: List[threading.Thread] = []
+        self.set_num_compute_threads(self._n_compute)
+
+    # ------------------------------------------------------------- public
+    def add_task(self, task: Task):
+        with self._lock:
+            self._wait_tasks.append(task)
+            self._pending += 1
+            self._all_done.clear()
+        self._wake.set()
+
+    def add_tasks(self, tasks: Iterable[Task]):
+        tasks = list(tasks)
+        with self._lock:
+            self._wait_tasks.extend(tasks)
+            self._pending += len(tasks)
+            if tasks:
+                self._all_done.clear()
+        self._wake.set()
+
+    def wait_for(self, tasks: Iterable[Task], timeout: Optional[float] = None):
+        """Barrier on specific tasks (reference: sleep_wait_for_complete,
+        bof_utils.h:25-38 — 10 ms polling; here event-driven)."""
+        import time
+        deadline = None if timeout is None else time.monotonic() + timeout
+        for t in tasks:
+            while t.get_status() != TaskStatus.COMPLETE:
+                if deadline and time.monotonic() > deadline:
+                    raise TimeoutError(f"task {t.id} not complete")
+                time.sleep(0.0005)
+            if t.error is not None:
+                raise RuntimeError(f"task {t.id} failed") from t.error
+
+    def wait_all(self):
+        self._all_done.wait()
+
+    def flush_cache(self):
+        """Persist all dirty tiles (reference: Scheduler::flush_cache,
+        scheduler.h:131, cache.cpp:45-70)."""
+        self.cache.flush()
+
+    def set_num_compute_threads(self, n: int):
+        """Grow the compute pool (reference supports shrink/grow,
+        scheduler.cpp:284-296; we only grow — shrink is a no-op)."""
+        while len(self._compute_threads) < n:
+            t = threading.Thread(target=self._compute_loop,
+                                 name=f"bof-compute-{len(self._compute_threads)}",
+                                 daemon=True)
+            t.start()
+            self._compute_threads.append(t)
+        self._n_compute = max(self._n_compute, n)
+
+    def shutdown(self):
+        with self._lock:
+            self._shutdown = True
+        self._wake.set()
+        for _ in self._compute_threads:
+            self._compute_q.put(None)
+        self._sched_thread.join(timeout=10)
+        for t in self._compute_threads:
+            t.join(timeout=10)
+        self.cache.flush()
+
+    # ------------------------------------------------------------ threads
+    def _sched_loop(self):
+        while True:
+            self._wake.wait(timeout=0.002)
+            self._wake.clear()
+            with self._lock:
+                if self._shutdown:
+                    return
+            progressed = True
+            while progressed:
+                progressed = self._sched_round()
+
+    def _sched_round(self) -> bool:
+        progressed = False
+        # (1) drain completions (scheduler.cpp:120-137)
+        while True:
+            try:
+                tsk = self._complete_q.get_nowait()
+            except queue.Empty:
+                break
+            progressed = True
+            self.c_rec.mark(tsk.id)
+            self.cache.release(tsk)
+            tsk.set_status(TaskStatus.COMPLETE)
+            with self._lock:
+                self._in_flight -= 1
+                self._pending -= 1
+                if tsk.next is not None:
+                    self._wait_tasks.append(tsk.next)
+                    self._pending += 1
+                if self._pending == 0:
+                    self._all_done.set()
+            METRICS.add("sched.completed")
+
+        # (2) Wait → Ready where all parents complete (scheduler.cpp:142-147)
+        with self._lock:
+            still_waiting = []
+            for t in self._wait_tasks:
+                if self.c_rec.all_complete(t.parents):
+                    t.set_status(TaskStatus.ALLOC_READY)
+                    self.prio.insert(t)
+                    progressed = True
+                else:
+                    still_waiting.append(t)
+            self._wait_tasks = still_waiting
+        if progressed:
+            self.prio.update()
+
+        # (3) admit tasks to cache while under the in-flight cap
+        # (scheduler.cpp:166-184, max = 4*n_compute :78)
+        while self._in_flight < self._max_in_mem:
+            t = self.prio.get_prio()
+            if t is None:
+                break
+            if self.cache.allocate(t):
+                with self._lock:
+                    self._in_flight += 1
+                    self._alloced.append(t)
+                progressed = True
+            elif t.size > self.cache.max_size:
+                # can never fit: fail the task instead of deadlocking
+                t.error = MemoryError(
+                    f"task working set {t.size} B exceeds program budget "
+                    f"{self.cache.max_size} B")
+                LOG.error("task %d: %s", t.id, t.error)
+                self._complete_q.put(t)
+                with self._lock:
+                    self._in_flight += 1  # balanced by completion drain
+                progressed = True
+            else:
+                self.prio.return_prio(t)
+                break
+
+        # (5 first: issue I/O so step 4 can observe fresh completions)
+        self.cache.service_backlog()
+
+        # (4) Alloc → ComputeReady (scheduler.cpp:186-198)
+        with self._lock:
+            pending = self._alloced
+            self._alloced = []
+        for t in pending:
+            if self.cache.alloc_ready(t):
+                t.set_status(TaskStatus.COMPUTE_READY)
+                self._compute_q.put(t)
+                progressed = True
+            else:
+                with self._lock:
+                    self._alloced.append(t)
+        return progressed
+
+    def _compute_loop(self):
+        while True:
+            tsk = self._compute_q.get()
+            if tsk is None:
+                return
+            tsk.set_status(TaskStatus.COMPUTE)
+            timer = Timer()
+            try:
+                tsk.execute()
+            except Exception as e:  # pragma: no cover
+                tsk.error = e
+                LOG.exception("task %d failed", tsk.id)
+                METRICS.add("sched.task_errors")
+            METRICS.add("sched.compute_ms", timer.elapsed_ms())
+            self._complete_q.put(tsk)
+            self._wake.set()

@@ -1,0 +1,192 @@
+"""Scheduler/cache/prioritizer pipeline tests.
+
+Exercises the 5-stage task pipeline against file and memory stores:
+dependencies, continuation chains, budget-bounded eviction with write-back,
+and failure propagation.
+"""
+import threading
+
+import numpy as np
+import pytest
+
+from bof_tpu.core.task import FnTask, TaskStatus, access_key
+from bof_tpu.io.stride import StrideInfo
+
+
+def make_sched(ctx):
+    return ctx.scheduler()
+
+
+def test_simple_map_task(ctx, rng):
+    """One task doubling a block in place: read + write same access."""
+    from bof_tpu import mem_array
+    arr = mem_array((1024,), np.float32,
+                    data=rng.standard_normal(1024).astype(np.float32), ctx=ctx)
+    ref = arr.read_all().copy()
+    sched = make_sched(ctx)
+
+    off, sinfo = arr.block_access(0, 1024)
+
+    def run(task):
+        buf = task.buf(arr.store, off, sinfo, np.float32)
+        buf *= 2.0
+
+    t = FnTask(run)
+    t.add_read(arr.store, off, sinfo)
+    t.add_write(arr.store, off, sinfo)
+    sched.add_task(t)
+    sched.wait_for([t])
+    sched.flush_cache()
+    np.testing.assert_allclose(arr.read_all(), ref * 2.0)
+
+
+def test_dependency_chain_order(ctx):
+    """Parents gate children (reference: accumulate chains,
+    gemm.cpp:114-126)."""
+    from bof_tpu import mem_array
+    arr = mem_array((128,), np.float32, data=np.zeros(128, np.float32),
+                    ctx=ctx)
+    sched = make_sched(ctx)
+    off, sinfo = arr.block_access(0, 128)
+    order = []
+    lock = threading.Lock()
+
+    tasks = []
+    prev = None
+    for i in range(8):
+        def run(task, i=i):
+            with lock:
+                order.append(i)
+            buf = task.buf(arr.store, off, sinfo, np.float32)
+            buf += float(i + 1)
+        t = FnTask(run)
+        t.add_read(arr.store, off, sinfo)
+        t.add_write(arr.store, off, sinfo)
+        if prev is not None:
+            t.add_parent(prev.id)
+        tasks.append(t)
+        prev = t
+    sched.add_tasks(tasks)
+    sched.wait_for(tasks)
+    sched.flush_cache()
+    assert order == list(range(8))
+    np.testing.assert_allclose(arr.read_all(), np.full(128, 36.0))
+
+
+def test_continuation_chain(ctx):
+    """task.next runs after completion (reference: add_next,
+    task.h:79-84)."""
+    from bof_tpu import mem_array
+    arr = mem_array((64,), np.float32, data=np.ones(64, np.float32), ctx=ctx)
+    sched = make_sched(ctx)
+    off, sinfo = arr.block_access(0, 64)
+
+    def mul(task):
+        task.buf(arr.store, off, sinfo, np.float32)[:] *= 3.0
+
+    t1, t2 = FnTask(mul), FnTask(mul)
+    for t in (t1, t2):
+        t.add_read(arr.store, off, sinfo)
+        t.add_write(arr.store, off, sinfo)
+    t1.add_next(t2)
+    sched.add_task(t1)
+    sched.wait_for([t1, t2])
+    sched.flush_cache()
+    np.testing.assert_allclose(arr.read_all(), np.full(64, 9.0))
+
+
+def test_budget_eviction_writeback(tmp_path, rng):
+    """Working set exceeds the budget: tiles must be evicted with
+    write-back and re-read; final file contents must be exact."""
+    from bof_tpu import FlashConfig, FlashContext, map_array
+    cfg = FlashConfig(scratch_dir=str(tmp_path / "s"), n_io_threads=4,
+                      n_compute_threads=2,
+                      program_budget=1 << 20)  # 1 MiB budget
+    ctx = FlashContext(cfg)
+    try:
+        n_blocks, blk = 16, 64 * 1024 // 4  # 16 blocks x 64 KiB = 1 MiB data
+        arr = map_array(str(tmp_path / "d.bin"), (n_blocks * blk,),
+                        np.float32, create=True, ctx=ctx)
+        init = rng.standard_normal(n_blocks * blk).astype(np.float32)
+        arr.write_all(init)
+        sched = ctx.scheduler()
+        tasks = []
+        # two passes over all blocks; pass 2 depends on pass 1 per block
+        for p in range(2):
+            for b in range(n_blocks):
+                off, sinfo = arr.block_access(b * blk, blk)
+
+                def run(task, off=off, sinfo=sinfo):
+                    task.buf(arr.store, off, sinfo, np.float32)[:] += 1.0
+                t = FnTask(run)
+                t.add_read(arr.store, off, sinfo)
+                t.add_write(arr.store, off, sinfo)
+                if p == 1:
+                    t.add_parent(tasks[b].id)
+                tasks.append(t)
+        sched.add_tasks(tasks)
+        sched.wait_for(tasks, timeout=60)
+        sched.flush_cache()
+        expect = (init + np.float32(1.0)) + np.float32(1.0)  # fp32 assoc
+        np.testing.assert_allclose(arr.read_all(), expect, rtol=0)
+        assert sched.cache.commit_size <= cfg.program_budget
+    finally:
+        ctx.destroy()
+
+
+def test_oversized_task_fails_cleanly(ctx):
+    from bof_tpu import mem_array
+    sched = make_sched(ctx)
+    arr = mem_array((1,), np.float32, ctx=ctx)
+    t = FnTask(lambda task: None)
+    # fake access larger than the 256 MiB test budget
+    t.add_read(arr.store, 0, StrideInfo(stride=1 << 20, n_strides=512,
+                                        len_per_stride=1 << 20))
+    sched.add_task(t)
+    with pytest.raises(RuntimeError):
+        sched.wait_for([t], timeout=30)
+
+
+def test_failing_task_propagates(ctx):
+    from bof_tpu import mem_array
+    arr = mem_array((16,), np.float32, ctx=ctx)
+    sched = make_sched(ctx)
+    off, sinfo = arr.block_access(0, 16)
+
+    def boom(task):
+        raise ValueError("kaboom")
+    t = FnTask(boom)
+    t.add_read(arr.store, off, sinfo)
+    sched.add_task(t)
+    with pytest.raises(RuntimeError):
+        sched.wait_for([t], timeout=30)
+
+
+def test_shared_tile_reuse(ctx, rng):
+    """Tasks sharing a read tile hit the cache, not the store."""
+    from bof_tpu import mem_array
+    from bof_tpu.utils import METRICS
+    arr = mem_array((256,), np.float32,
+                    data=rng.standard_normal(256).astype(np.float32), ctx=ctx)
+    out = mem_array((8,), np.float32, data=np.zeros(8, np.float32), ctx=ctx)
+    sched = make_sched(ctx)
+    off, sinfo = arr.block_access(0, 256)
+    METRICS.reset()
+    tasks = []
+    for i in range(8):
+        ooff, osinfo = out.block_access(i, 1)
+
+        def run(task, ooff=ooff, osinfo=osinfo):
+            x = task.buf(arr.store, off, sinfo, np.float32)
+            task.buf(out.store, ooff, osinfo, np.float32)[:] = x.sum()
+        t = FnTask(run)
+        t.add_read(arr.store, off, sinfo)
+        t.add_write(out.store, ooff, osinfo)
+        tasks.append(t)
+    sched.add_tasks(tasks)
+    sched.wait_for(tasks)
+    sched.flush_cache()
+    expect = arr.read_all().sum()
+    np.testing.assert_allclose(out.read_all(), np.full(8, expect), rtol=1e-6)
+    snap = METRICS.snapshot()
+    assert snap.get("cache.hit", 0) >= 7  # shared tile fetched once
