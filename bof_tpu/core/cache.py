@@ -215,6 +215,79 @@ class TileCache:
                         self._zero_ref[k] = None
                         self._zero_ref.move_to_end(k)
 
+    # ---------------------------------------------- pin API (pipelines)
+    # Single-access get/promote path (reference: Cache::get_buf,
+    # cache.cpp:148-178) used by the streaming GEMM pipeline instead of
+    # whole-task allocation.
+    def pin_read(self, store, offset, sinfo) -> tuple:
+        """Pin one read access; returns its key.  The tile is fetched via
+        the backlog; poll `ready(key)` then view with `buf(key)`."""
+        k = (id(store), offset, sinfo)
+        with self._lock:
+            e = self._entries.get(k)
+            if e is not None:
+                e.refs += 1
+                self._zero_ref.pop(k, None)
+                METRICS.add("cache.hit")
+                return k
+            if k in self._inflight_writes:
+                tkt, nb, buf = self._inflight_writes.pop(k)
+                self._orphan_tickets.append(tkt)
+                e = _Entry(store, offset, sinfo, alloc_only=False)
+                e.buf = buf
+                e.complete = True
+                self._entries[k] = e
+                self.commit_size += nb
+                METRICS.add("cache.resurrect")
+                return k
+            if self.commit_size + sinfo.nbytes > self.max_size:
+                for zk in list(self._zero_ref.keys()):
+                    if zk == k:
+                        continue
+                    self._evict_locked(zk)
+                    if self.commit_size + sinfo.nbytes <= self.max_size:
+                        break
+            e = _Entry(store, offset, sinfo, alloc_only=False)
+            self._entries[k] = e
+            self.commit_size += e.nbytes
+            self._backlog.append(k)
+            METRICS.add("cache.miss")
+            return k
+
+    def ready(self, key: tuple) -> bool:
+        with self._lock:
+            e = self._entries.get(key)
+            return e is not None and e.complete
+
+    def buf(self, key: tuple) -> np.ndarray:
+        with self._lock:
+            return self._entries[key].buf
+
+    def unpin(self, key: tuple):
+        with self._lock:
+            e = self._entries.get(key)
+            if e is None:
+                return
+            e.refs -= 1
+            if e.refs == 0:
+                if self.single_use_discard and not e.dirty:
+                    self._entries.pop(key)
+                    self.commit_size -= e.nbytes
+                    if e.buf is not None:
+                        self.real_size -= e.nbytes
+                else:
+                    self._zero_ref[key] = None
+                    self._zero_ref.move_to_end(key)
+
+    def wait_ready(self, key: tuple, pump: bool = True):
+        """Block until a pinned tile arrives, pumping the backlog (for use
+        outside the scheduler thread)."""
+        import time
+        while not self.ready(key):
+            if pump:
+                self.service_backlog()
+            time.sleep(0.0002)
+
     def cached_keys(self, keys) -> set:
         """Subset of `keys` currently resident or arriving — powers the
         prioritizer's bytes-to-fetch ranking (reference:

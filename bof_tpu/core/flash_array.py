@@ -130,6 +130,31 @@ class FlashArray:
         off, sinfo = self.block_access(r0, nr, c0, nc)
         return self.store.write(off, sinfo, src)
 
+    # ----------------------------------------- storage-major block I/O
+    # The device pipeline reads blocks in storage-major layout and lets the
+    # MXU's dot_general absorb the transpose — no host-side transposition.
+    def read_block_storage(self, r0: int, nr: int, c0: int,
+                           nc: int) -> np.ndarray:
+        """Gathered block as a storage-major 2-D array: (nr, nc) for
+        row-major arrays, (nc, nr) for column-major."""
+        off, sinfo = self.block_access(r0, nr, c0, nc)
+        raw = self.store.read_sync(off, sinfo)
+        return raw.view(self.dtype).reshape(self._block_shape_storage(nr, nc))
+
+    def write_block_storage(self, r0: int, c0: int, nr: int, nc: int,
+                            storage_buf: np.ndarray):
+        """Write a block given already-storage-major contiguous data."""
+        off, sinfo = self.block_access(r0, nr, c0, nc)
+        self.store.write_sync(off, sinfo,
+                              np.ascontiguousarray(storage_buf)
+                              .view(np.uint8).ravel())
+
+    def write_block_storage_async(self, r0: int, c0: int, nr: int, nc: int,
+                                  storage_buf: np.ndarray) -> Ticket:
+        off, sinfo = self.block_access(r0, nr, c0, nc)
+        flat = np.ascontiguousarray(storage_buf).view(np.uint8).ravel()
+        return self.store.write(off, sinfo, flat)
+
     # ------------------------------------------------------------- views
     def vec_view(self, start: int, n: int) -> "FlashArray":
         """1-D sub-view (flash_ptr + offset arithmetic analog)."""

@@ -1,0 +1,79 @@
+"""Device-side compute steps shared by the out-of-core kernels.
+
+Replaces the reference's per-task MKL calls (reference: GemmTask::execute,
+include/tasks/gemm_task.h:67-93 calls mkl_gemm on cached DRAM blocks): each
+superblock accumulate step is a jitted MXU matmul on HBM-resident tiles,
+with the K-dimension accumulate chain expressed as donated-buffer
+`c += alpha * op(A) op(B)` steps — XLA's dataflow ordering plays the role
+of the reference's parent-chain dependencies (gemm.cpp:114-126).
+
+Blocks arrive in *storage-major* layout; `dot_general` contracting
+dimensions absorb transposes so no host or device transposition ever
+happens.  Output is produced directly in C's storage layout.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def backend() -> str:
+    return jax.default_backend()
+
+
+def on_tpu() -> bool:
+    return backend() == "tpu"
+
+
+def _precision(name: str):
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("a_km", "b_nk", "c_nm", "prec"),
+                   donate_argnums=(0,))
+def accum_step(c, a, b, alpha, *, a_km: bool, b_nk: bool, c_nm: bool,
+               prec: str = "highest"):
+    """c += alpha * op(A) op(B), all in storage-major layout.
+
+    a: (bm,bk) if not a_km else (bk,bm)
+    b: (bk,bn) if not b_nk else (bn,bk)
+    c: (bm,bn) if not c_nm else (bn,bm)   (and the result matches)
+    """
+    ka = 1 if not a_km else 0
+    kb = 0 if not b_nk else 1
+    if not c_nm:
+        out = jax.lax.dot_general(
+            a, b, (((ka,), (kb,)), ((), ())),
+            precision=_precision(prec), preferred_element_type=c.dtype)
+    else:
+        out = jax.lax.dot_general(
+            b, a, (((kb,), (ka,)), ((), ())),
+            precision=_precision(prec), preferred_element_type=c.dtype)
+    return c + alpha.astype(c.dtype) * out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def scale_init(c, beta):
+    """C-block initialization for beta != 0 (reference reads C and lets MKL
+    apply beta, gemm_task.h:49-54; we scale once before the K loop)."""
+    return c * beta.astype(c.dtype)
+
+
+def zeros_block(shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
+def to_device(x: np.ndarray):
+    return jax.device_put(x)
+
+
+def from_device(x) -> np.ndarray:
+    return np.asarray(x)

@@ -1,0 +1,236 @@
+"""Out-of-core GEMM: C = alpha * op(A) op(B) + beta * C.
+
+TPU-first re-design of the reference's flash::gemm (reference:
+src/blas/gemm.cpp:27-202 + include/tasks/gemm_task.h): the reference blocks
+the problem into GEMM_BLK_SIZE^3 tasks, serializes the K dimension with
+parent chains (gemm.cpp:114-126), and re-reads the C block each chain step.
+Here the K accumulation lives in HBM: for each output superblock, the C
+tile stays resident on device across the whole K loop (one read iff
+beta != 0, one write at the end), while A/B superblocks stream
+SSD → host tile cache → HBM with prefetch lookahead.  Tiles cross each
+boundary at most once per schedule step; the host tile cache gives
+cross-superblock reuse (B panels are hit m/SB times) and an HBM-side LRU
+tile cache gives device-side reuse when panels fit.
+
+All 8 {order R/C} x {transa N/T} x {transb N/T} configurations are
+supported without any host or device transposition: blocks are read
+storage-major and `dot_general` contracting dimensions absorb the
+transposes (see ops/device.py).  Superblocks are zero-padded to the full
+block size so exactly one kernel shape is compiled per config.
+"""
+from __future__ import annotations
+
+import collections
+from typing import Optional
+
+import numpy as np
+
+from ..context import get_context
+from ..core.flash_array import FlashArray
+from ..utils import LOG, METRICS, Timer, cdiv
+from . import device as dev
+
+
+class HbmCache:
+    """Budget-bounded LRU cache of device-resident tiles (new capability —
+    the reference has no device tier).  Keys match the host tile cache."""
+
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self._used = 0
+        self._map = collections.OrderedDict()  # key -> (dev_array, nbytes)
+
+    def get(self, key):
+        hit = self._map.get(key)
+        if hit is None:
+            return None
+        self._map.move_to_end(key)
+        METRICS.add("hbm.hit")
+        return hit[0]
+
+    def put(self, key, arr, nbytes: int):
+        while self._used + nbytes > self.budget and self._map:
+            _, (old, nb) = self._map.popitem(last=False)
+            old.delete()
+            self._used -= nb
+        self._map[key] = (arr, nbytes)
+        self._used += nbytes
+        METRICS.add("hbm.miss")
+        return arr
+
+    def clear(self):
+        for arr, _ in self._map.values():
+            arr.delete()
+        self._map.clear()
+        self._used = 0
+
+
+def _op_block_reader(arr: FlashArray, trans: bool):
+    """Returns (access_fn, km_flag): access_fn(i, l, bi, bl) gives the
+    ((offset, StrideInfo), storage_shape) of the (i, l) superblock of
+    op(arr); km_flag says the storage buffer is laid out (k, m)-major
+    relative to the op's logical (m, k) block."""
+    if not trans:
+        def access(i0, l0, bi, bl):
+            # i0/l0 are *element* offsets into op(arr)'s (m, k) space
+            return (arr.block_access(i0, bi, l0, bl),
+                    arr._block_shape_storage(bi, bl))
+        km = arr.order == "C"
+    else:
+        def access(i0, l0, bi, bl):
+            return (arr.block_access(l0, bl, i0, bi),
+                    arr._block_shape_storage(bl, bi))
+        km = arr.order == "R"
+    return access, km
+
+
+def _storage_shape(arr: FlashArray, logical_shape):
+    r, c = logical_shape
+    return (r, c) if arr.order == "R" else (c, r)
+
+
+def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
+         alpha: float = 1.0, beta: float = 0.0,
+         transa: str = "N", transb: str = "N",
+         blk: Optional[int] = None, ctx=None) -> None:
+    """C = alpha*op(A)op(B) + beta*C over flash-resident matrices.
+
+    a: logical (m,k) if transa=='N' else (k,m)
+    b: logical (k,n) if transb=='N' else (n,k)
+    c: logical (m,n).  Layouts may mix freely.
+    """
+    ctx = ctx or c.ctx or get_context()
+    cfg = ctx.config
+    sb = blk or cfg.gemm_blk_size
+    ta, tb = transa.upper() == "T", transb.upper() == "T"
+
+    m, n = c.shape
+    ka = a.shape[0] if ta else a.shape[1]
+    kb = b.shape[1] if tb else b.shape[0]
+    if ka != kb:
+        raise ValueError(f"inner dims disagree: {ka} vs {kb}")
+    k = ka
+    if (a.shape != ((k, m) if ta else (m, k))
+            or b.shape != ((n, k) if tb else (k, n))):
+        raise ValueError("operand shapes inconsistent with transposes")
+    if not (a.dtype == b.dtype == c.dtype):
+        raise ValueError("mixed dtypes not supported")
+
+    mB, nB, kB = cdiv(m, sb), cdiv(n, sb), cdiv(k, sb)
+    a_access, a_km = _op_block_reader(a, ta)
+    b_access, b_nk = _op_block_reader(b, tb)  # storage is (n,k)-major?
+    c_nm = c.order == "C"
+    prec = getattr(cfg, "matmul_precision", "highest")
+
+    cache = ctx.scheduler().cache
+    hbm = HbmCache(cfg.hbm_budget)
+    depth = max(1, cfg.pipeline_depth)
+
+    # Execution schedule: j outer / i middle / l inner — B's (l,j) panel is
+    # reused across all i from host+HBM cache before moving to the next j.
+    steps = [(i, j, l) for j in range(nB) for i in range(mB)
+             for l in range(kB)]
+
+    def tile_dims(i, j, l):
+        return min(sb, m - i * sb), min(sb, n - j * sb), min(sb, k - l * sb)
+
+    def pin_pair(idx):
+        i, j, l = steps[idx]
+        bi, bj, bl = tile_dims(i, j, l)
+        (aoff, asin), _ = a_access(i * sb, l * sb, bi, bl)
+        (boff, bsin), _ = b_access(l * sb, j * sb, bl, bj)
+        ka_ = cache.pin_read(a.store, aoff, asin)
+        kb_ = cache.pin_read(b.store, boff, bsin)
+        return ka_, kb_
+
+    def pad_to(mat: np.ndarray, full_shape) -> np.ndarray:
+        if mat.shape == full_shape:
+            return mat
+        out = np.zeros(full_shape, mat.dtype)
+        out[:mat.shape[0], :mat.shape[1]] = mat
+        return out
+
+    timer = Timer()
+    pinned = collections.deque()
+    for idx in range(min(depth, len(steps))):
+        pinned.append(pin_pair(idx))
+
+    c_dev = None
+    write_tickets = []
+    c_full_storage = (sb, sb)
+    for idx, (i, j, l) in enumerate(steps):
+        bi, bj, bl = tile_dims(i, j, l)
+        if l == 0:
+            # materialize the C superblock on device (storage layout, padded)
+            if beta != 0.0:
+                c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
+                c_dev = dev.scale_init(
+                    dev.to_device(pad_to(c_host, c_full_storage)),
+                    np.dtype(c.dtype).type(beta))
+            else:
+                c_dev = dev.zeros_block(c_full_storage, c.dtype)
+
+        ka_, kb_ = pinned.popleft()
+        if idx + depth < len(steps):
+            pinned.append(pin_pair(idx + depth))
+
+        # Device tiles: HBM LRU hit, else wait for the host tile and
+        # device_put the (padded) storage buffer.  device_put holds a
+        # reference to the host view, so unpinning immediately is safe —
+        # the cache never recycles buffers, only drops references.
+        def get_dev(key, access_fn, ii, ll, d0, d1):
+            hit = hbm.get(key)
+            if hit is not None:
+                return hit
+            cache.wait_ready(key)
+            (_off, _sinfo), st_shape = access_fn(ii, ll, d0, d1)
+            host = cache.buf(key).view(a.dtype).reshape(st_shape)
+            arr = dev.to_device(pad_to(host, (sb, sb)))
+            return hbm.put(key, arr, arr.nbytes)
+
+        a_dev = get_dev(ka_, a_access, i * sb, l * sb, bi, bl)
+        b_dev = get_dev(kb_, b_access, l * sb, j * sb, bl, bj)
+        cache.unpin(ka_)
+        cache.unpin(kb_)
+
+        c_dev = dev.accum_step(
+            c_dev, a_dev, b_dev, np.dtype(c.dtype).type(alpha),
+            a_km=a_km, b_nk=b_nk, c_nm=c_nm, prec=prec)
+
+        if l == kB - 1:
+            ci_shape = _storage_shape(c, (bi, bj))
+            c_host = dev.from_device(c_dev)[:ci_shape[0], :ci_shape[1]]
+            write_tickets.append(
+                c.write_block_storage_async(i * sb, j * sb, bi, bj, c_host))
+            c_dev = None
+
+    for t in write_tickets:
+        t.wait()
+    c.store.flush()
+    hbm.clear()
+    METRICS.add("gemm.ms", timer.elapsed_ms())
+    flops = 2.0 * m * n * k
+    LOG.debug("gemm %dx%dx%d done in %.1f ms (%.1f GFLOP/s)",
+              m, n, k, timer.elapsed_ms(), flops / timer.elapsed_ms() / 1e6)
+
+
+def gemm_in_mem(a_np: np.ndarray, b_np: np.ndarray,
+                c_np: Optional[np.ndarray] = None,
+                alpha: float = 1.0, beta: float = 0.0,
+                transa: str = "N", transb: str = "N",
+                prec: str = "highest") -> np.ndarray:
+    """In-memory golden model (reference: drivers/in_mem_gemm.cpp — the MKL
+    twin every out-of-core kernel is differentially tested against).  Runs
+    on-device via jnp to match accumulate semantics."""
+    import jax
+    import jax.numpy as jnp
+    opa = a_np.T if transa.upper() == "T" else a_np
+    opb = b_np.T if transb.upper() == "T" else b_np
+    out = np.asarray(
+        jnp.dot(jnp.asarray(opa), jnp.asarray(opb),
+                precision=dev._precision(prec),
+                preferred_element_type=opa.dtype))
+    out = alpha * out
+    if beta != 0.0 and c_np is not None:
+        out = out + np.asarray(beta * c_np, dtype=out.dtype)
+    return out.astype(a_np.dtype)

@@ -1,19 +1,56 @@
-"""Test config: force an 8-device virtual CPU mesh before JAX imports.
+"""Test config: force an 8-device virtual CPU mesh.
 
-Multi-chip hardware is unavailable in CI; sharding paths are validated on a
-virtual host-platform mesh.  Kernels auto-fall-back to XLA (interpret mode
-for Pallas) on CPU.
+The axon sitecustomize (PYTHONPATH=/root/.axon_site) imports jax and pins
+JAX_PLATFORMS=axon (the real TPU) at interpreter start — before any
+conftest code can run.  Sharding tests need 8 virtual CPU devices, so when
+we detect the axon platform we re-run pytest once in a subprocess with a
+scrubbed environment, suspending pytest's capture so the child's output
+streams through.
 """
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import sys
 
 import numpy as np
 import pytest
+
+
+def _needs_reexec() -> bool:
+    return (os.environ.get("BOF_TEST_REEXEC") != "1"
+            and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"))
+
+
+def pytest_configure(config):
+    if not _needs_reexec():
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        return
+    import subprocess
+    env = dict(os.environ)
+    env["BOF_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(pp) if pp else ""
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pytest"]
+        + list(config.invocation_params.args),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, bufsize=1)
+    out = sys.__stdout__ if sys.__stdout__ is not None else sys.stdout
+    for line in proc.stdout:
+        out.write(line)
+        out.flush()
+    os._exit(proc.wait())
 
 
 @pytest.fixture

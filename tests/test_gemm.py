@@ -1,0 +1,102 @@
+"""Differential tests for out-of-core GEMM.
+
+Port of the reference's gemm correctness harness (reference:
+misc/gemm_run.sh — random fp32 matrices, all 8 {N,T}x{N,T}x{R,C} configs,
+outputs compared against the in-memory golden model by max relative
+error).  Golden model is float64 numpy, compared at fp32 tolerance.
+Block size is forced tiny so every run exercises multi-block scheduling,
+padding, accumulate chains, and write-back.
+"""
+import itertools
+
+import numpy as np
+import pytest
+
+from bof_tpu import mem_array, map_array
+from bof_tpu.ops import gemm, gemm_in_mem
+
+
+def golden(a, b, c, alpha, beta, ta, tb):
+    opa = a.T if ta == "T" else a
+    opb = b.T if tb == "T" else b
+    out = alpha * (opa.astype(np.float64) @ opb.astype(np.float64))
+    if beta != 0.0:
+        out = out + beta * c.astype(np.float64)
+    return out.astype(np.float32)
+
+
+def run_config(ctx, rng, order, ta, tb, alpha=1.5, beta=0.0,
+               m=37, n=29, k=41, blk=16, file_backed=False, tmp_path=None,
+               mixed_orders=None):
+    a_shape = (k, m) if ta == "T" else (m, k)
+    b_shape = (n, k) if tb == "T" else (k, n)
+    a_np = rng.standard_normal(a_shape).astype(np.float32)
+    b_np = rng.standard_normal(b_shape).astype(np.float32)
+    c_np = rng.standard_normal((m, n)).astype(np.float32)
+
+    orders = mixed_orders or (order, order, order)
+    if file_backed:
+        A = map_array(str(tmp_path / "A.bin"), a_shape, np.float32,
+                      orders[0], create=True, ctx=ctx)
+        B = map_array(str(tmp_path / "B.bin"), b_shape, np.float32,
+                      orders[1], create=True, ctx=ctx)
+        C = map_array(str(tmp_path / "C.bin"), (m, n), np.float32,
+                      orders[2], create=True, ctx=ctx)
+        for arr, data in ((A, a_np), (B, b_np), (C, c_np)):
+            arr.write_all(data)
+    else:
+        A = mem_array(a_shape, np.float32, orders[0], data=a_np, ctx=ctx)
+        B = mem_array(b_shape, np.float32, orders[1], data=b_np, ctx=ctx)
+        C = mem_array((m, n), np.float32, orders[2], data=c_np, ctx=ctx)
+
+    gemm(A, B, C, alpha=alpha, beta=beta, transa=ta, transb=tb,
+         blk=blk, ctx=ctx)
+    got = C.read_all()
+    want = golden(a_np, b_np, c_np, alpha, beta, ta, tb)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("order,ta,tb",
+                         list(itertools.product("RC", "NT", "NT")))
+def test_all_eight_configs(ctx, rng, order, ta, tb):
+    run_config(ctx, rng, order, ta, tb, beta=0.0)
+
+
+@pytest.mark.parametrize("order,ta,tb", [("R", "N", "N"), ("C", "T", "T")])
+def test_beta_accumulate(ctx, rng, order, ta, tb):
+    run_config(ctx, rng, order, ta, tb, alpha=0.75, beta=0.6)
+
+
+def test_file_backed_multiblock(ctx, rng, tmp_path):
+    run_config(ctx, rng, "R", "N", "N", beta=0.3, m=100, n=90, k=110,
+               blk=32, file_backed=True, tmp_path=tmp_path)
+
+
+def test_mixed_layouts(ctx, rng):
+    run_config(ctx, rng, "R", "N", "T", beta=0.5,
+               mixed_orders=("R", "C", "C"))
+
+
+def test_block_evenly_divides(ctx, rng):
+    run_config(ctx, rng, "R", "T", "N", m=64, n=32, k=48, blk=16)
+
+
+def test_single_block(ctx, rng):
+    run_config(ctx, rng, "C", "N", "N", m=8, n=8, k=8, blk=16)
+
+
+def test_in_mem_golden_matches_numpy(rng):
+    a = rng.standard_normal((31, 17)).astype(np.float32)
+    b = rng.standard_normal((17, 23)).astype(np.float32)
+    got = gemm_in_mem(a, b, alpha=2.0)
+    np.testing.assert_allclose(
+        got, 2.0 * (a.astype(np.float64) @ b.astype(np.float64)),
+        rtol=2e-5, atol=1e-5)
+
+
+def test_shape_validation(ctx, rng):
+    A = mem_array((4, 5), np.float32, ctx=ctx)
+    B = mem_array((6, 7), np.float32, ctx=ctx)
+    C = mem_array((4, 7), np.float32, ctx=ctx)
+    with pytest.raises(ValueError):
+        gemm(A, B, C, ctx=ctx)
