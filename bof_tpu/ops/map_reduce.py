@@ -1,0 +1,111 @@
+"""Streamed elementwise map and reduction over flash-resident arrays.
+
+Re-design of the reference's map/reduce (reference: include/map_reduce.tpp
++ include/tasks/map_reduce_task.h): fixed-size blocks become scheduler
+tasks; MapTask applies a function to a source block and writes the
+destination block (map_reduce_task.h:11-48), ReduceTask folds a block to a
+partial result that the host combines (map_reduce_task.h:49-98).  Where the
+reference applies a std::function per element on OpenMP threads, the
+function here is a jitted JAX vector op dispatched on the accelerator by
+the compute threads — blocks from different tasks pipeline through the
+device queue.
+
+The reference throttles map concurrency with a pairwise dependency chain
+(map_reduce.tpp:26-43); here the scheduler's in-flight cap and cache budget
+provide the same bound without serializing.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..context import get_context
+from ..core.flash_array import FlashArray
+from ..core.task import FnTask
+from ..utils import cdiv
+
+
+def _jit_elementwise(fn):
+    import jax
+    return jax.jit(fn)
+
+
+def bof_map(src: FlashArray, dst: FlashArray, fn: Callable,
+            blk_elems: Optional[int] = None, ctx=None) -> None:
+    """dst[i] = fn(src[i]) streamed in blocks (reference: flash::map,
+    map_reduce.tpp:12-53).  `fn` maps a 1-D jnp vector to a same-shape
+    vector; it is jitted once and reused for every block."""
+    ctx = ctx or src.ctx or get_context()
+    if src.shape != dst.shape or len(src.shape) != 1:
+        raise ValueError("map needs equal-shape 1-D arrays")
+    n = src.shape[0]
+    blk = blk_elems or ctx.config.map_blk_elems
+    jfn = _jit_elementwise(fn)
+    sched = ctx.scheduler()
+
+    tasks = []
+    for b0 in range(0, n, blk):
+        bn = min(blk, n - b0)
+        soff, ssin = src.block_access(b0, bn)
+        doff, dsin = dst.block_access(b0, bn)
+
+        def run(task, soff=soff, ssin=ssin, doff=doff, dsin=dsin):
+            x = task.buf(src.store, soff, ssin, src.dtype)
+            out = np.asarray(jfn(x))
+            task.buf(dst.store, doff, dsin, dst.dtype)[:] = out
+        t = FnTask(run)
+        t.add_read(src.store, soff, ssin)
+        t.add_write(dst.store, doff, dsin)
+        tasks.append(t)
+    sched.add_tasks(tasks)
+    sched.wait_for(tasks)
+    sched.flush_cache()
+
+
+_REDUCERS = {
+    "sum": (lambda x: x.sum(dtype=np.float64), lambda a, b: a + b, 0.0),
+    "max": (lambda x: x.max(), max, -np.inf),
+    "min": (lambda x: x.min(), min, np.inf),
+}
+
+
+def bof_reduce(src: FlashArray, op: str = "sum",
+               block_fn: Optional[Callable] = None,
+               combine: Optional[Callable] = None,
+               init=None, blk_elems: Optional[int] = None, ctx=None):
+    """Fold a 1-D flash array to a scalar (reference: flash::reduce,
+    map_reduce.tpp:55-89 — per-block ReduceTasks, host combines).  Either a
+    named op ('sum'/'max'/'min') or custom (block_fn, combine, init)."""
+    ctx = ctx or src.ctx or get_context()
+    if len(src.shape) != 1:
+        raise ValueError("reduce needs a 1-D array")
+    if block_fn is None:
+        block_fn, combine, init = _REDUCERS[op]
+    n = src.shape[0]
+    blk = blk_elems or ctx.config.map_blk_elems
+    sched = ctx.scheduler()
+
+    n_blocks = cdiv(n, blk)
+    results = [None] * n_blocks
+    lock = threading.Lock()
+    tasks = []
+    for bi, b0 in enumerate(range(0, n, blk)):
+        bn = min(blk, n - b0)
+        soff, ssin = src.block_access(b0, bn)
+
+        def run(task, bi=bi, soff=soff, ssin=ssin):
+            x = task.buf(src.store, soff, ssin, src.dtype)
+            r = block_fn(x)
+            with lock:  # (reference: omp critical combine, :84-88)
+                results[bi] = r
+        t = FnTask(run)
+        t.add_read(src.store, soff, ssin)
+        tasks.append(t)
+    sched.add_tasks(tasks)
+    sched.wait_for(tasks)
+    acc = init
+    for r in results:
+        acc = combine(acc, r)
+    return acc

@@ -1,0 +1,148 @@
+"""Out-of-core sample sort.
+
+Re-design of the reference's external-memory sample sort (reference:
+include/sort.tpp:13-201 + include/tasks/sort_task.h):
+
+  phase 1 (SampleSplit, sort.tpp:35-52): sort each block in place on disk
+    and sample pivot candidates;
+  host: sort samples, pick n_blks-1 pivots (sort.tpp:59-65);
+  phase 2 (SampleSegment, sort.tpp:72-85): per sorted block, find bucket
+    boundaries against the pivots (binary search — blocks are sorted);
+  host: per-(block,bucket) fragment offsets via prefix sums
+    (sort.tpp:87-131);
+  phase 3 (SampleMerge, sort.tpp:134-162): gather each bucket's fragments
+    from every block, sort, write contiguously to the output.
+
+Like the reference, the input is sorted block-wise *in place* on disk by
+phase 1.  Phases are separated by task barriers + cache flushes
+(sort.tpp pattern), matching the reference's two-barrier structure.
+The reference throttles phase-1 concurrency with a pairwise dependency
+chain (sort.tpp:35-52); the scheduler's in-flight cap provides that bound
+here without serializing.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..context import get_context
+from ..core.flash_array import FlashArray
+from ..core.task import FnTask
+from ..utils import cdiv, fatal
+
+
+def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
+             blk_elems: Optional[int] = None, oversample: int = 32,
+             ctx=None) -> None:
+    ctx = ctx or src.ctx or get_context()
+    if src.shape != dst.shape or len(src.shape) != 1:
+        raise ValueError("sort needs equal-shape 1-D arrays")
+    n = src.shape[0]
+    blk = blk_elems or ctx.config.sort_blk_elems
+    sched = ctx.scheduler()
+    n_blks = cdiv(n, blk)
+    dt = src.dtype
+
+    # Blocks are kept ascending on disk through all phases; `descending`
+    # only flips bucket placement and fragment order in phase 3.
+
+    # ---- phase 1: block sort + sample -----------------------------------
+    rng = np.random.default_rng(0xB0F)
+    samples: list = [None] * n_blks
+    lock = threading.Lock()
+    p1 = []
+    for bi in range(n_blks):
+        b0 = bi * blk
+        bn = min(blk, n - b0)
+        off, sinfo = src.block_access(b0, bn)
+
+        def run(task, bi=bi, off=off, sinfo=sinfo, bn=bn):
+            x = task.buf(src.store, off, sinfo, dt)
+            x.sort()  # ascending in place on the cached buffer
+            idx = rng.integers(0, bn, min(oversample, bn))
+            with lock:
+                samples[bi] = x[np.sort(idx)].copy()
+        t = FnTask(run)
+        t.add_read(src.store, off, sinfo)
+        t.add_write(src.store, off, sinfo)
+        p1.append(t)
+    sched.add_tasks(p1)
+    sched.wait_for(p1)
+    sched.flush_cache()
+
+    if n_blks == 1:
+        data = src.read_all()
+        dst.write_all(data[::-1] if descending else data)
+        return
+
+    # ---- host: pivots (reference sorts/shuffles samples, sort.tpp:59-65)
+    all_samples = np.concatenate(samples)
+    all_samples.sort()
+    pick = np.linspace(0, len(all_samples) - 1, n_blks + 1)[1:-1]
+    pivots = all_samples[pick.astype(np.int64)]
+    n_buckets = len(pivots) + 1
+
+    # ---- phase 2: per-block bucket boundaries ---------------------------
+    counts = np.zeros((n_blks, n_buckets), dtype=np.int64)
+    bounds = [None] * n_blks
+    p2 = []
+    for bi in range(n_blks):
+        b0 = bi * blk
+        bn = min(blk, n - b0)
+        off, sinfo = src.block_access(b0, bn)
+
+        def run(task, bi=bi, off=off, sinfo=sinfo, bn=bn):
+            x = task.buf(src.store, off, sinfo, dt)
+            # block is sorted ascending: binary search
+            edge = np.searchsorted(x, pivots, side="right")
+            b = np.concatenate([[0], edge, [bn]])
+            with lock:
+                bounds[bi] = b
+                counts[bi] = np.diff(b)
+        t = FnTask(run)
+        t.add_read(src.store, off, sinfo)
+        p2.append(t)
+    sched.add_tasks(p2)
+    sched.wait_for(p2)
+
+    # ---- host: bucket output offsets (sort.tpp:87-131) ------------------
+    bucket_sizes = counts.sum(axis=0)
+    bucket_starts = np.concatenate([[0], np.cumsum(bucket_sizes)])
+    if bucket_starts[-1] != n:
+        fatal("sample sort bucket accounting mismatch: %d != %d",
+              bucket_starts[-1], n)
+
+    # ---- phase 3: merge each bucket -------------------------------------
+    p3 = []
+    for kb in range(n_buckets):
+        outn = int(bucket_sizes[kb])
+        if descending:
+            out0 = int(n - bucket_starts[kb] - outn)
+        else:
+            out0 = int(bucket_starts[kb])
+        if outn == 0:
+            continue
+        frags = []
+        for bi in range(n_blks):
+            s, e = int(bounds[bi][kb]), int(bounds[bi][kb + 1])
+            if e > s:
+                frags.append(src.block_access(bi * blk + s, e - s))
+        doff, dsin = dst.block_access(out0, outn)
+
+        def run(task, frags=tuple(frags), doff=doff, dsin=dsin, outn=outn):
+            parts = [task.buf(src.store, fo, fs, dt) for fo, fs in frags]
+            merged = np.concatenate(parts)
+            merged.sort()
+            if descending:
+                merged = merged[::-1]
+            task.buf(dst.store, doff, dsin, dt)[:] = merged
+        t = FnTask(run)
+        for fo, fs in frags:
+            t.add_read(src.store, fo, fs)
+        t.add_write(dst.store, doff, dsin)
+        p3.append(t)
+    sched.add_tasks(p3)
+    sched.wait_for(p3)
+    sched.flush_cache()

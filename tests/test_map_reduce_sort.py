@@ -1,0 +1,94 @@
+"""map / reduce / external sample sort differential tests.
+
+Golden models are plain numpy on the full array (the reference compares
+against in-memory twins: in_mem_sort driver, map/reduce planner results).
+"""
+import numpy as np
+import pytest
+
+from bof_tpu import map_array, mem_array
+from bof_tpu.ops import bof_map, bof_reduce, bof_sort
+
+
+def test_map_sqrt(ctx, rng):
+    n = 10_000
+    data = np.abs(rng.standard_normal(n)).astype(np.float32)
+    src = mem_array((n,), np.float32, data=data, ctx=ctx)
+    dst = mem_array((n,), np.float32, ctx=ctx)
+    import jax.numpy as jnp
+    bof_map(src, dst, lambda x: jnp.sqrt(x), blk_elems=1024, ctx=ctx)
+    np.testing.assert_allclose(dst.read_all(), np.sqrt(data), rtol=1e-6)
+
+
+def test_map_in_place(ctx, rng):
+    n = 5000
+    data = rng.standard_normal(n).astype(np.float32)
+    src = mem_array((n,), np.float32, data=data, ctx=ctx)
+    bof_map(src, src, lambda x: x * 2.0 + 1.0, blk_elems=999, ctx=ctx)
+    np.testing.assert_allclose(src.read_all(), data * 2.0 + 1.0, rtol=1e-6)
+
+
+def test_reduce_sum_max_min(ctx, rng):
+    n = 33_333
+    data = rng.standard_normal(n).astype(np.float32)
+    src = mem_array((n,), np.float32, data=data, ctx=ctx)
+    s = bof_reduce(src, "sum", blk_elems=4096, ctx=ctx)
+    np.testing.assert_allclose(s, data.astype(np.float64).sum(), rtol=1e-10)
+    assert bof_reduce(src, "max", blk_elems=4096, ctx=ctx) == data.max()
+    assert bof_reduce(src, "min", blk_elems=4096, ctx=ctx) == data.min()
+
+
+def test_map_then_reduce_driver_composition(ctx, rng):
+    """The reference's map_reduce driver: map=sqrt then reduce=sum
+    (reference: drivers/map_reduce.cpp)."""
+    n = 20_000
+    data = np.abs(rng.standard_normal(n)).astype(np.float32) + 1.0
+    src = mem_array((n,), np.float32, data=data, ctx=ctx)
+    dst = mem_array((n,), np.float32, ctx=ctx)
+    import jax.numpy as jnp
+    bof_map(src, dst, jnp.sqrt, blk_elems=3000, ctx=ctx)
+    got = bof_reduce(dst, "sum", blk_elems=3000, ctx=ctx)
+    want = np.sqrt(data.astype(np.float64)).sum()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.int64, np.uint32])
+def test_sort_dtypes(ctx, rng, dtype, tmp_path):
+    n = 50_000
+    if np.issubdtype(dtype, np.floating):
+        data = rng.standard_normal(n).astype(dtype)
+    else:
+        data = rng.integers(0, 1 << 30, n).astype(dtype)
+    src = map_array(str(tmp_path / "s.bin"), (n,), dtype, create=True,
+                    ctx=ctx)
+    src.write_all(data)
+    dst = map_array(str(tmp_path / "d.bin"), (n,), dtype, create=True,
+                    ctx=ctx)
+    bof_sort(src, dst, blk_elems=4096, ctx=ctx)
+    np.testing.assert_array_equal(dst.read_all(), np.sort(data))
+
+
+def test_sort_descending(ctx, rng):
+    n = 30_000
+    data = rng.standard_normal(n).astype(np.float32)
+    src = mem_array((n,), np.float32, data=data, ctx=ctx)
+    dst = mem_array((n,), np.float32, ctx=ctx)
+    bof_sort(src, dst, descending=True, blk_elems=4096, ctx=ctx)
+    np.testing.assert_array_equal(dst.read_all(), np.sort(data)[::-1])
+
+
+def test_sort_single_block(ctx, rng):
+    data = rng.standard_normal(100).astype(np.float32)
+    src = mem_array((100,), np.float32, data=data, ctx=ctx)
+    dst = mem_array((100,), np.float32, ctx=ctx)
+    bof_sort(src, dst, blk_elems=4096, ctx=ctx)
+    np.testing.assert_array_equal(dst.read_all(), np.sort(data))
+
+
+def test_sort_with_duplicates(ctx, rng):
+    n = 40_000
+    data = rng.integers(0, 50, n).astype(np.int64)  # heavy duplication
+    src = mem_array((n,), np.int64, data=data, ctx=ctx)
+    dst = mem_array((n,), np.int64, ctx=ctx)
+    bof_sort(src, dst, blk_elems=3000, ctx=ctx)
+    np.testing.assert_array_equal(dst.read_all(), np.sort(data))
