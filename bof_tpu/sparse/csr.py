@@ -1,0 +1,125 @@
+"""Flash-resident CSR matrices.
+
+The reference stores a CSR operand as three raw files — offsets (.off,
+64-bit), column indices (.col, 64-bit), values (.csr, fp32) (reference:
+misc/sparse_create.cpp + misc/README.md:8-12) — and passes three
+flash_ptrs to every sparse kernel.  `CsrFlashMatrix` bundles the same
+triplet of FlashArrays with the logical shape.
+
+`fill_row_blocks` is the adaptive row blocking by nnz budget (reference:
+get_next_blk_size/fill_blocks, include/blas_utils.h:72-97): row blocks are
+grown until they hold ~max_nnzs nonzeros, so every sparse task touches a
+bounded working set regardless of row skew.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..context import FlashContext, get_context
+from ..core.flash_array import FlashArray, flash_empty, map_array, mem_array
+
+
+class CsrFlashMatrix:
+    def __init__(self, ia: FlashArray, ja: FlashArray, vals: FlashArray,
+                 shape: Tuple[int, int]):
+        m, k = shape
+        if ia.shape != (m + 1,):
+            raise ValueError(f"ia shape {ia.shape} != ({m + 1},)")
+        if ja.shape != vals.shape:
+            raise ValueError("ja/vals length mismatch")
+        self.ia, self.ja, self.vals = ia, ja, vals
+        self.shape = (int(m), int(k))
+
+    @property
+    def nnz(self) -> int:
+        return self.ja.shape[0]
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def ctx(self):
+        return self.ia.ctx
+
+    # ------------------------------------------------------- constructors
+    @classmethod
+    def from_scipy(cls, sp, backing: str = "mem",
+                   path_prefix: Optional[str] = None,
+                   ctx: Optional[FlashContext] = None,
+                   idx_dtype=np.int64) -> "CsrFlashMatrix":
+        """Build from a scipy.sparse matrix (tests / ingestion)."""
+        sp = sp.tocsr()
+        sp.sort_indices()
+        m, k = sp.shape
+        ia_np = sp.indptr.astype(np.int64)
+        ja_np = sp.indices.astype(idx_dtype)
+        va_np = sp.data.astype(np.float32)
+        ctx = ctx or get_context()
+        if backing == "mem":
+            ia = mem_array((m + 1,), np.int64, data=ia_np, ctx=ctx)
+            ja = mem_array((len(ja_np),), idx_dtype, data=ja_np, ctx=ctx)
+            va = mem_array((len(va_np),), np.float32, data=va_np, ctx=ctx)
+        elif backing == "file":
+            ia = map_array(path_prefix + ".off", (m + 1,), np.int64,
+                           create=True, ctx=ctx)
+            ja = map_array(path_prefix + ".col", (len(ja_np),), idx_dtype,
+                           create=True, ctx=ctx)
+            va = map_array(path_prefix + ".csr", (len(va_np),), np.float32,
+                           create=True, ctx=ctx)
+            ia.write_all(ia_np)
+            ja.write_all(ja_np)
+            va.write_all(va_np)
+        else:  # scratch
+            ia = flash_empty((m + 1,), np.int64, ctx=ctx)
+            ja = flash_empty((len(ja_np),), idx_dtype, ctx=ctx)
+            va = flash_empty((len(va_np),), np.float32, ctx=ctx)
+            ia.write_all(ia_np)
+            ja.write_all(ja_np)
+            va.write_all(va_np)
+        if backing == "mem":
+            pass
+        return cls(ia, ja, va, (m, k))
+
+    @classmethod
+    def map_files(cls, prefix: str, shape: Tuple[int, int],
+                  idx_dtype=np.int64, val_dtype=np.float32,
+                  ctx: Optional[FlashContext] = None) -> "CsrFlashMatrix":
+        """Open the reference's .off/.col/.csr triplet."""
+        ctx = ctx or get_context()
+        m, k = shape
+        ia = map_array(prefix + ".off", (m + 1,), np.int64, ctx=ctx)
+        nnz = ia.read_block(m, 1)[0]
+        ja = map_array(prefix + ".col", (int(nnz),), idx_dtype, ctx=ctx)
+        va = map_array(prefix + ".csr", (int(nnz),), val_dtype, ctx=ctx)
+        return cls(ia, ja, va, shape)
+
+    # ------------------------------------------------------------ helpers
+    def read_ia(self) -> np.ndarray:
+        """Whole offsets array, read synchronously (the reference planners
+        do exactly this, e.g. csrmm.cpp:69-71)."""
+        return self.ia.read_all()
+
+    def to_scipy(self):
+        import scipy.sparse as sps
+        return sps.csr_matrix(
+            (self.vals.read_all(), self.ja.read_all(), self.read_ia()),
+            shape=self.shape)
+
+
+def fill_row_blocks(ia_np: np.ndarray, max_nnzs: int) -> List[Tuple[int, int]]:
+    """Adaptive row blocks each holding <= max_nnzs nonzeros (>=1 row)
+    (reference: fill_blocks, blas_utils.h:84-97)."""
+    m = len(ia_np) - 1
+    blocks = []
+    r = 0
+    while r < m:
+        # largest e with ia[e] - ia[r] <= max_nnzs, at least r+1
+        e = int(np.searchsorted(ia_np, ia_np[r] + max_nnzs, side="right")) - 1
+        e = max(e, r + 1)
+        e = min(e, m)
+        blocks.append((r, e))
+        r = e
+    return blocks

@@ -1,0 +1,102 @@
+"""Out-of-core CSR sparse matrix x dense vector.
+
+Re-design of the reference's flash::csrgemv (reference:
+src/blas/csrgemv.cpp:14-97 + include/tasks/csrgemv_task.h): the vectors
+live in DRAM (reference keeps x/y in memory, only A streams), row blocks
+are nnz-budgeted, and each block is one gather/segment-sum device step.
+'T' accumulates a device-resident output vector across row blocks —
+replacing the reference's mutex-guarded OpenMP accumulation
+(csrgemv_task.h:169-176) with XLA dataflow over a donated accumulator.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from ..context import get_context
+from ..core.flash_array import FlashArray
+from ..core.pipeline import PrefetchSeq
+from ..utils import round_up
+from . import spmm_device as sdev
+from .csr import CsrFlashMatrix, fill_row_blocks
+
+
+def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
+            trans: str = "N", ctx=None) -> np.ndarray:
+    """y = op(A) x.  x and the returned y are host vectors (the reference
+    keeps csrgemv vectors in DRAM)."""
+    ctx = ctx or a.ctx or get_context()
+    cfg = ctx.config
+    m, k = a.shape
+    if isinstance(x, FlashArray):
+        x = x.read_all()
+    x = np.asarray(x, dtype=a.vals.dtype)
+    t = trans.upper() == "T"
+    if x.shape != ((m,) if t else (k,)):
+        raise ValueError(f"x shape {x.shape} wrong for trans={trans}")
+
+    import jax.numpy as jnp
+
+    ia_np = a.read_ia()
+    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
+    nnz_cap = int(round_up(
+        max(int(ia_np[e] - ia_np[r]) for r, e in blocks) or 1, 512))
+    rows_cap = int(round_up(max(e - r for r, e in blocks), 8))
+    cache = ctx.scheduler().cache
+    idt, vdt = a.ja.dtype, a.vals.dtype
+
+    accesses = []
+    for r, e in blocks:
+        i0, i1 = int(ia_np[r]), int(ia_np[e])
+        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
+        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
+    pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
+
+    if not t:
+        y = np.empty(m, dtype=vdt)
+        x_dev = jnp.asarray(x)
+        for bi, (r, e) in enumerate(blocks):
+            i0, i1 = int(ia_np[r]), int(ia_np[e])
+            ja_blk = pf.get(2 * bi).view(idt)
+            va_blk = pf.get(2 * bi + 1).view(vdt)
+            row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
+            out = sdev.spmv_block(
+                x_dev,
+                jnp.asarray(sdev.pad_to_cap(
+                    ja_blk.astype(np.int32, copy=False), nnz_cap)),
+                jnp.asarray(sdev.pad_to_cap(va_blk, nnz_cap)),
+                jnp.asarray(sdev.pad_to_cap(row_ids, nnz_cap,
+                                            fill=rows_cap - 1)),
+                rows_cap=rows_cap)
+            pf.done(2 * bi)
+            pf.done(2 * bi + 1)
+            y[r:e] = np.asarray(out)[:e - r]
+        pf.close()
+        return y
+
+    # trans: y (k,) accumulated on device across row blocks
+    y_dev = jnp.zeros(k, dtype=vdt)
+    for bi, (r, e) in enumerate(blocks):
+        ja_blk = pf.get(2 * bi).view(idt)
+        va_blk = pf.get(2 * bi + 1).view(vdt)
+        row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
+        x_rows = sdev.pad_to_cap(x[r:e], rows_cap)
+        y_dev = sdev.spmv_t_block(
+            y_dev, jnp.asarray(x_rows),
+            jnp.asarray(sdev.pad_to_cap(
+                ja_blk.astype(np.int32, copy=False), nnz_cap)),
+            jnp.asarray(sdev.pad_to_cap(va_blk, nnz_cap)),
+            jnp.asarray(sdev.pad_to_cap(row_ids, nnz_cap,
+                                        fill=rows_cap - 1)),
+            k=k)
+        pf.done(2 * bi)
+        pf.done(2 * bi + 1)
+    pf.close()
+    return np.asarray(y_dev)
+
+
+def csrgemv_in_mem(a_sp, x: np.ndarray, trans: str = "N") -> np.ndarray:
+    """Golden model (reference: drivers/in_mem_csrgemv.cpp)."""
+    opa = a_sp.T if trans.upper() == "T" else a_sp
+    return np.asarray(opa @ x, dtype=x.dtype)

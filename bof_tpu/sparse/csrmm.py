@@ -1,0 +1,150 @@
+"""Out-of-core CSR sparse x dense matrix multiply.
+
+Re-design of the reference's flash::csrmm (reference: src/blas/csrmm.cpp):
+the reference reads the offsets array synchronously, forms adaptive row
+blocks by nnz budget, fixed column blocks of B, and one MKL task per
+(row-block, col-block) (csrmm.cpp:64-126 row-major, :203-266 col-major).
+The 'T' cases transpose A via csrcsc into scratch and recurse as 'N'
+(csrmm.cpp:364-420).
+
+TPU-first structure here: the B column panel (k x cb) is put on device
+once per column block and reused across every row block; sparse row blocks
+(ja, vals contiguous slices) stream through the host tile cache with
+prefetch lookahead and are consumed by the gather/segment-sum device step
+(sparse/spmm_device.py).  All blocks are padded to one (nnz_cap, rows_cap)
+shape so a single kernel compiles per call.  C row-panels are written back
+asynchronously.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..context import get_context
+from ..core.flash_array import FlashArray
+from ..core.pipeline import PrefetchSeq
+from ..utils import LOG, METRICS, Timer, round_up
+from . import spmm_device as sdev
+from .csr import CsrFlashMatrix, fill_row_blocks
+
+
+def _col_block_width(n: int, k: int, cfg) -> int:
+    cb = min(n, cfg.csrmm_cblk_size)
+    # B panel (k x cb) + transposed copy must fit comfortably in HBM
+    max_cb = max(128, int(cfg.hbm_budget // 3 // max(k * 4, 1)))
+    return max(1, min(cb, max_cb))
+
+
+def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
+          alpha: float = 1.0, beta: float = 0.0, transa: str = "N",
+          ctx=None) -> None:
+    """C = alpha * op(A) B + beta * C with A sparse flash-resident CSR.
+
+    op(A)=A: A (m,k), B (k,n), C (m,n).  op(A)=A^T: C (k_A, n) — A is
+    transposed into scratch via csrcsc first (reference: csrmm.cpp:364-420).
+    """
+    ctx = ctx or b.ctx or get_context()
+    if transa.upper() == "T":
+        from .csrcsc import csrcsc_scratch
+        at = csrcsc_scratch(a, ctx=ctx)
+        try:
+            csrmm(at, b, c, alpha=alpha, beta=beta, transa="N", ctx=ctx)
+        finally:
+            from ..core.flash_array import flash_free
+            for arr in (at.ia, at.ja, at.vals):
+                flash_free(arr)
+        return
+
+    cfg = ctx.config
+    m, k = a.shape
+    if b.shape[0] != k:
+        raise ValueError(f"B rows {b.shape[0]} != A cols {k}")
+    n = b.shape[1]
+    if c.shape != (m, n):
+        raise ValueError(f"C shape {c.shape} != ({m}, {n})")
+
+    timer = Timer()
+    ia_np = a.read_ia()
+    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
+    nnz_cap = int(round_up(
+        max(int(ia_np[e] - ia_np[r]) for r, e in blocks) or 1, 512))
+    rows_cap = int(round_up(max(e - r for r, e in blocks), 8))
+    cb = _col_block_width(n, k, cfg)
+    cache = ctx.scheduler().cache
+    idt = a.ja.dtype
+    vdt = a.vals.dtype
+
+    import jax
+    import jax.numpy as jnp
+
+    # sparse-block access sequence (reused per column block via the cache)
+    seq_accesses = []
+    for r, e in blocks:
+        i0, i1 = int(ia_np[r]), int(ia_np[e])
+        ja_off, ja_sin = a.ja.block_access(i0, i1 - i0)
+        va_off, va_sin = a.vals.block_access(i0, i1 - i0)
+        seq_accesses.append(((a.ja.store, ja_off, ja_sin),
+                             (a.vals.store, va_off, va_sin)))
+
+    write_tickets = []
+    for c0 in range(0, n, cb):
+        bc = min(cb, n - c0)
+        # B column panel on device, shaped (k, cb); pad last panel
+        b_host = b.read_block_storage(0, k, c0, bc)
+        if b.order == "C":
+            b_panel = jnp.asarray(b_host).T  # (k, bc) via device transpose
+        else:
+            b_panel = jnp.asarray(b_host)
+        if bc < cb:
+            b_panel = jnp.pad(b_panel, ((0, 0), (0, cb - bc)))
+
+        flat = [acc for pair in seq_accesses for acc in pair]
+        pf = PrefetchSeq(cache, flat, depth=2 * cfg.pipeline_depth)
+        for bi, (r, e) in enumerate(blocks):
+            i0, i1 = int(ia_np[r]), int(ia_np[e])
+            nnz_b, rows_b = i1 - i0, e - r
+            ja_blk = pf.get(2 * bi).view(idt)
+            va_blk = pf.get(2 * bi + 1).view(vdt)
+            row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
+            ja_p = sdev.pad_to_cap(
+                ja_blk.astype(np.int32, copy=False), nnz_cap)
+            va_p = sdev.pad_to_cap(va_blk, nnz_cap)
+            ri_p = sdev.pad_to_cap(row_ids, nnz_cap, fill=rows_cap - 1)
+            pf.done(2 * bi)
+            pf.done(2 * bi + 1)
+
+            out = sdev.spmm_block(b_panel, jnp.asarray(ja_p),
+                                  jnp.asarray(va_p), jnp.asarray(ri_p),
+                                  rows_cap=rows_cap)
+            # alpha/beta on host: block shapes vary per row block, and
+            # eager device ops would compile one kernel per shape
+            c_np = alpha * np.asarray(out)[:rows_b, :bc]
+            if beta != 0.0:
+                c_np = c_np + beta * c.read_block(r, rows_b, c0, bc)
+            c_np = np.ascontiguousarray(c_np, dtype=vdt)
+            if c.order == "R":
+                write_tickets.append(c.write_block_storage_async(
+                    r, c0, rows_b, bc, c_np))
+            else:
+                write_tickets.append(c.write_block_storage_async(
+                    r, c0, rows_b, bc, np.ascontiguousarray(c_np.T)))
+        pf.close()
+
+    for t in write_tickets:
+        t.wait()
+    c.store.flush()
+    METRICS.add("csrmm.ms", timer.elapsed_ms())
+    LOG.debug("csrmm %dx%dx%d nnz=%d done in %.1f ms",
+              m, k, n, a.nnz, timer.elapsed_ms())
+
+
+def csrmm_in_mem(a_sp, b_np: np.ndarray, c_np: Optional[np.ndarray] = None,
+                 alpha: float = 1.0, beta: float = 0.0,
+                 transa: str = "N") -> np.ndarray:
+    """In-memory golden model (reference: drivers/in_mem_csrmm.cpp)."""
+    opa = a_sp.T if transa.upper() == "T" else a_sp
+    out = alpha * (opa @ b_np)
+    if beta != 0.0 and c_np is not None:
+        out = out + beta * c_np
+    return np.asarray(out, dtype=b_np.dtype)

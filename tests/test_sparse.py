@@ -1,0 +1,135 @@
+"""Sparse kernel differential tests vs scipy golden models.
+
+Mirrors the reference's differential strategy (in_mem_csrmm /
+in_mem_csrgemv / in_mem_csrcsc drivers): random CSR matrices at several
+sparsities, outputs compared against scipy.  Small nnz budgets force
+multi-block planning.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from bof_tpu import mem_array
+from bof_tpu.sparse import (CsrFlashMatrix, csrcsc, csrcsc_scratch, csrgemv,
+                            csrmm, fill_row_blocks)
+from bof_tpu.sparse.csr import fill_row_blocks as frb
+
+
+def rand_csr(rng, m, k, density):
+    return sps.random(m, k, density=density, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(42))
+
+
+def small_cfg(ctx, max_nnzs=2048, cblk=32):
+    ctx.config.max_nnzs = max_nnzs
+    ctx.config.csrmm_cblk_size = cblk
+    return ctx
+
+
+def test_fill_row_blocks():
+    ia = np.array([0, 10, 10, 30, 31, 100, 100, 120], dtype=np.int64)
+    blocks = fill_row_blocks(ia, 40)
+    assert blocks[0][0] == 0 and blocks[-1][1] == 7
+    # contiguity + budget (single-row blocks may exceed)
+    prev = 0
+    for r, e in blocks:
+        assert r == prev
+        prev = e
+        if e - r > 1:
+            assert ia[e] - ia[r] <= 40
+
+
+@pytest.mark.parametrize("density", [0.002, 0.05])
+@pytest.mark.parametrize("order_b", ["R", "C"])
+def test_csrmm_n(ctx, rng, density, order_b):
+    small_cfg(ctx)
+    m, k, n = 300, 200, 70
+    a_sp = rand_csr(rng, m, k, density)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    c_np = rng.standard_normal((m, n)).astype(np.float32)
+    B = mem_array((k, n), np.float32, order_b, data=b_np, ctx=ctx)
+    C = mem_array((m, n), np.float32, "R", data=c_np, ctx=ctx)
+    csrmm(A, B, C, alpha=1.5, beta=0.5, ctx=ctx)
+    want = 1.5 * (a_sp @ b_np) + 0.5 * c_np
+    np.testing.assert_allclose(C.read_all(), want, rtol=1e-4, atol=1e-4)
+
+
+def test_csrmm_c_order_output(ctx, rng):
+    small_cfg(ctx)
+    m, k, n = 150, 120, 40
+    a_sp = rand_csr(rng, m, k, 0.03)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    B = mem_array((k, n), np.float32, "R", data=b_np, ctx=ctx)
+    C = mem_array((m, n), np.float32, "C", ctx=ctx)
+    csrmm(A, B, C, ctx=ctx)
+    np.testing.assert_allclose(C.read_all(), a_sp @ b_np, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_csrmm_transposed(ctx, rng):
+    """'T' path: transposes A via csrcsc scratch then recurses
+    (reference: csrmm.cpp:364-420)."""
+    small_cfg(ctx)
+    m, k, n = 180, 90, 30
+    a_sp = rand_csr(rng, m, k, 0.04)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((m, n)).astype(np.float32)
+    B = mem_array((m, n), np.float32, "R", data=b_np, ctx=ctx)
+    C = mem_array((k, n), np.float32, "R", ctx=ctx)
+    csrmm(A, B, C, transa="T", ctx=ctx)
+    np.testing.assert_allclose(C.read_all(), a_sp.T @ b_np, rtol=1e-4,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("trans", ["N", "T"])
+def test_csrgemv(ctx, rng, trans):
+    small_cfg(ctx, max_nnzs=512)
+    m, k = 400, 250
+    a_sp = rand_csr(rng, m, k, 0.02)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    x = rng.standard_normal(m if trans == "T" else k).astype(np.float32)
+    got = csrgemv(A, x, trans=trans, ctx=ctx)
+    want = (a_sp.T @ x) if trans == "T" else (a_sp @ x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_csrgemv_empty_rows(ctx, rng):
+    small_cfg(ctx, max_nnzs=256)
+    m, k = 100, 80
+    a_sp = rand_csr(rng, m, k, 0.01)
+    a_sp[40:60, :] = 0  # force empty rows
+    a_sp.eliminate_zeros()
+    A = CsrFlashMatrix.from_scipy(a_sp.tocsr(), ctx=ctx)
+    x = rng.standard_normal(k).astype(np.float32)
+    np.testing.assert_allclose(csrgemv(A, x, ctx=ctx), a_sp @ x,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("density", [0.005, 0.08])
+def test_csrcsc_roundtrip(ctx, rng, density):
+    small_cfg(ctx, max_nnzs=1024)
+    m, k = 230, 170
+    a_sp = rand_csr(rng, m, k, density)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    At = csrcsc_scratch(A, ctx=ctx)
+    got = At.to_scipy()
+    want = sps.csr_matrix(a_sp.T)
+    want.sort_indices()
+    np.testing.assert_array_equal(got.indptr, want.indptr)
+    np.testing.assert_array_equal(got.indices, want.indices)
+    np.testing.assert_allclose(got.data, want.data, rtol=1e-6)
+
+
+def test_csrcsc_rows_sorted_within_columns(ctx, rng):
+    """A^T rows (= original column entries) must come out ascending."""
+    small_cfg(ctx, max_nnzs=300)
+    a_sp = rand_csr(rng, 120, 60, 0.1)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    At = csrcsc_scratch(A, ctx=ctx)
+    ia = At.ia.read_all()
+    ja = At.ja.read_all()
+    for c in range(At.shape[0]):
+        seg = ja[ia[c]:ia[c + 1]]
+        assert np.all(np.diff(seg) > 0)
