@@ -10,6 +10,10 @@ from .config import DEFAULT_CONFIG, FlashConfig
 from .context import FlashContext, flash_destroy, flash_setup, get_context
 from .core import FlashArray, flash_empty, flash_free, map_array, mem_array
 from .io import MemStore, StrideInfo
+from .ops import bof_map, bof_reduce, bof_sort, gemm, gemm_in_mem
+from .ops.kmeans import kmeans_fit, lloyds_iter
+from .sparse import (CsrFlashMatrix, csrcsc, csrcsc_scratch, csrgemv,
+                     csrmm)
 
 __version__ = "0.1.0"
 
@@ -17,4 +21,7 @@ __all__ = [
     "DEFAULT_CONFIG", "FlashConfig", "FlashContext", "flash_destroy",
     "flash_setup", "get_context", "FlashArray", "flash_empty", "flash_free",
     "map_array", "mem_array", "MemStore", "StrideInfo",
+    "bof_map", "bof_reduce", "bof_sort", "gemm", "gemm_in_mem",
+    "kmeans_fit", "lloyds_iter",
+    "CsrFlashMatrix", "csrcsc", "csrcsc_scratch", "csrgemv", "csrmm",
 ]

@@ -1,0 +1,60 @@
+"""Out-of-core CSRMM driver (reference: drivers/csrmm.cpp).
+
+    python -m bof_tpu.drivers.csrmm A_prefix m k B.bin n C.bin \
+        [--ta N|T] [--order-b R|C] [--alpha] [--beta] [--pmem]
+
+A_prefix expands to A_prefix.off/.col/.csr (the reference's file triplet).
+--pmem keeps B/C in DRAM (reference: drivers/csrmm_pmem.cpp).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.flash_array import map_array, mem_array
+from ..sparse import CsrFlashMatrix, csrmm
+from ._common import Timed, base_parser, checksum, make_context
+
+
+def main(argv=None):
+    p = base_parser(__doc__)
+    p.add_argument("a_prefix")
+    p.add_argument("m", type=int)
+    p.add_argument("k", type=int)
+    p.add_argument("b_path")
+    p.add_argument("n", type=int)
+    p.add_argument("c_path")
+    p.add_argument("--ta", default="N", choices="NT")
+    p.add_argument("--order-b", default="R", choices="RC")
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--beta", type=float, default=0.0)
+    p.add_argument("--pmem", action="store_true",
+                   help="B/C in DRAM (csrmm_pmem)")
+    p.add_argument("--create-c", action="store_true")
+    args = p.parse_args(argv)
+    ctx = make_context(args)
+    m, k, n = args.m, args.k, args.n
+    A = CsrFlashMatrix.map_files(args.a_prefix, (m, k), ctx=ctx)
+    c_rows = k if args.ta == "T" else m
+    b_rows = m if args.ta == "T" else k
+    if args.pmem:
+        b_np = np.fromfile(args.b_path, np.float32).reshape(b_rows, n)
+        B = mem_array((b_rows, n), np.float32, args.order_b, data=b_np,
+                      ctx=ctx)
+        C = mem_array((c_rows, n), np.float32, args.order_b, ctx=ctx)
+    else:
+        B = map_array(args.b_path, (b_rows, n), np.float32, args.order_b,
+                      ctx=ctx)
+        C = map_array(args.c_path, (c_rows, n), np.float32, args.order_b,
+                      create=args.create_c, ctx=ctx)
+    with Timed("csrmm", flops=2.0 * A.nnz * n,
+               nbytes=A.nnz * 12.0 + b_rows * n * 4.0 + c_rows * n * 4.0):
+        csrmm(A, B, C, alpha=args.alpha, beta=args.beta, transa=args.ta,
+              ctx=ctx)
+    if args.pmem:
+        C.read_all().tofile(args.c_path)
+    print(f"checksum {checksum(C.read_block(0, min(c_rows, 128)))}")
+    ctx.destroy()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Out-of-core GEMM driver (reference: drivers/gemm.cpp).
+
+    python -m bof_tpu.drivers.gemm A.bin B.bin C.bin m n k \
+        [--ta N|T] [--tb N|T] [--order R|C] [--alpha 1] [--beta 0] [--blk 8192]
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.flash_array import map_array
+from ..ops.gemm import gemm
+from ._common import Timed, base_parser, checksum, make_context
+
+
+def main(argv=None):
+    p = base_parser(__doc__)
+    p.add_argument("a_path")
+    p.add_argument("b_path")
+    p.add_argument("c_path")
+    p.add_argument("m", type=int)
+    p.add_argument("n", type=int)
+    p.add_argument("k", type=int)
+    p.add_argument("--ta", default="N", choices="NT")
+    p.add_argument("--tb", default="N", choices="NT")
+    p.add_argument("--order", default="R", choices="RC")
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--beta", type=float, default=0.0)
+    p.add_argument("--blk", type=int, default=None)
+    p.add_argument("--create-c", action="store_true")
+    args = p.parse_args(argv)
+    ctx = make_context(args)
+    m, n, k = args.m, args.n, args.k
+    a_shape = (k, m) if args.ta == "T" else (m, k)
+    b_shape = (n, k) if args.tb == "T" else (k, n)
+    A = map_array(args.a_path, a_shape, np.float32, args.order, ctx=ctx)
+    B = map_array(args.b_path, b_shape, np.float32, args.order, ctx=ctx)
+    C = map_array(args.c_path, (m, n), np.float32, args.order,
+                  create=args.create_c, ctx=ctx)
+    with Timed("gemm", flops=2.0 * m * n * k):
+        gemm(A, B, C, alpha=args.alpha, beta=args.beta,
+             transa=args.ta, transb=args.tb, blk=args.blk, ctx=ctx)
+    print(f"checksum {checksum(C.read_block(0, min(m, 128), 0, min(n, 128)))}")
+    ctx.destroy()
+
+
+if __name__ == "__main__":
+    main()

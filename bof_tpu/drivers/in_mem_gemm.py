@@ -1,0 +1,51 @@
+"""In-memory GEMM baseline driver (reference: drivers/in_mem_gemm.cpp —
+the MKL twin used for A/B comparison; here jnp on-device with operands
+fully resident)."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.gemm import gemm_in_mem
+from ._common import Timed, base_parser, checksum
+
+
+def main(argv=None):
+    p = base_parser(__doc__)
+    p.add_argument("a_path")
+    p.add_argument("b_path")
+    p.add_argument("c_path")
+    p.add_argument("m", type=int)
+    p.add_argument("n", type=int)
+    p.add_argument("k", type=int)
+    p.add_argument("--ta", default="N", choices="NT")
+    p.add_argument("--tb", default="N", choices="NT")
+    p.add_argument("--order", default="R", choices="RC")
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--beta", type=float, default=0.0)
+    args = p.parse_args(argv)
+    m, n, k = args.m, args.n, args.k
+    a_shape = (k, m) if args.ta == "T" else (m, k)
+    b_shape = (n, k) if args.tb == "T" else (k, n)
+
+    def load(path, shape):
+        x = np.fromfile(path, dtype=np.float32,
+                        count=shape[0] * shape[1])
+        x = x.reshape(shape if args.order == "R" else shape[::-1])
+        return x if args.order == "R" else x.T
+
+    a_np = load(args.a_path, a_shape)
+    b_np = load(args.b_path, b_shape)
+    c_np = load(args.c_path, (m, n)) if args.beta != 0.0 else None
+    # warm-up compile, then timed run (first-compile excluded like the
+    # reference excludes file mapping)
+    gemm_in_mem(a_np[:8, :8].copy(), b_np[:8, :8].copy())
+    with Timed("in_mem_gemm", flops=2.0 * m * n * k):
+        out = gemm_in_mem(a_np, b_np, c_np, args.alpha, args.beta,
+                          args.ta, args.tb, prec=args.precision)
+    store = out if args.order == "R" else np.ascontiguousarray(out.T)
+    store.tofile(args.c_path)
+    print(f"checksum {checksum(out[:128, :128])}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""k-means driver (reference: drivers/kmeans.cpp — full Lloyd's loop over
+flash-resident points; --in-mem gives the in_mem_kmeans baseline).
+
+    python -m bof_tpu.drivers.kmeans points.bin n d k [--iters 10]
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.flash_array import map_array
+from ..ops.kmeans import kmeans_fit, kmeans_in_mem
+from ._common import Timed, base_parser, make_context
+
+
+def main(argv=None):
+    p = base_parser(__doc__)
+    p.add_argument("points_path")
+    p.add_argument("n", type=int)
+    p.add_argument("d", type=int)
+    p.add_argument("k", type=int)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--labels-out", default=None)
+    p.add_argument("--in-mem", action="store_true")
+    args = p.parse_args(argv)
+    n, d, k = args.n, args.d, args.k
+    if args.in_mem:
+        pts = np.fromfile(args.points_path, np.float32,
+                          count=n * d).reshape(n, d)
+        rng = np.random.default_rng(args.seed)
+        c0 = pts[np.sort(rng.choice(n, k, replace=False))]
+        with Timed("in_mem_kmeans", flops=2.0 * n * d * k * args.iters):
+            centers, inertia = kmeans_in_mem(pts, c0, n_iters=args.iters)
+        print(f"inertia {inertia}")
+        return
+    ctx = make_context(args)
+    P = map_array(args.points_path, (n, d), np.float32, ctx=ctx)
+    labels = None
+    if args.labels_out:
+        labels = map_array(args.labels_out, (n,), np.int32, create=True,
+                           ctx=ctx)
+    with Timed("kmeans", flops=2.0 * n * d * k * args.iters):
+        centers, inertia = kmeans_fit(P, k, n_iters=args.iters,
+                                      seed=args.seed, labels_out=labels,
+                                      ctx=ctx)
+    print(f"inertia {inertia}")
+    ctx.destroy()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,10 +14,24 @@ happens.  Output is produced directly in C's storage layout.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: kernel shapes are stable across processes,
+# and a cold jit over the remote-compile tunnel costs tens of seconds.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "bof_tpu", "jax_cache")
+    os.makedirs(_cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax
+        pass
 
 
 def backend() -> str:

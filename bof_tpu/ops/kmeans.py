@@ -1,0 +1,165 @@
+"""Out-of-core k-means: blocked distance kernel + Lloyd's iteration.
+
+Re-design of the reference's kmeans stack (reference: src/blas/kmeans.cpp
+:27-198 — gemm-style blocking of the point-center distance matrix;
+include/tasks/kmeans_task.h:53-82 — each task computes a distance block as
+one gemm plus two rank-1 norm updates; drivers/kmeans.cpp:103-189 — the
+full Lloyd's iteration with argmin, center recomputation and residual).
+
+TPU-first shape: the reference materializes the (points x centers)
+distance matrix on disk, then argmins it in a second pass through mmap
+(drivers/kmeans.cpp:94-99).  Here the whole Lloyd step is fused on device:
+for each streamed point block we compute -2 P C^T + |c|^2 on the MXU,
+argmin it, and accumulate per-center sums/counts with a segment-sum —
+per-block distances never leave HBM, so a full iteration makes exactly one
+pass over the points.  (|p|^2 is constant per point and omitted from the
+argmin; it is added only to report inertia.)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..context import get_context
+from ..core.flash_array import FlashArray
+from ..core.pipeline import PrefetchSeq
+from ..utils import LOG, Timer, cdiv
+
+
+def _jit_steps():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n_centers", "prec"),
+                       donate_argnums=(3, 4))
+    def lloyd_block(p_blk, centers, c_norms, sums, counts, *,
+                    n_centers: int, prec: str):
+        from .device import _precision
+        # partial distance: -2 P C^T + |c|^2  (|p|^2 constant in argmin)
+        g = jnp.dot(p_blk, centers.T, precision=_precision(prec),
+                    preferred_element_type=jnp.float32)
+        pd = c_norms[None, :] - 2.0 * g
+        labels = jnp.argmin(pd, axis=1).astype(jnp.int32)
+        mind = jnp.min(pd, axis=1)
+        sums = sums + jax.ops.segment_sum(p_blk, labels,
+                                          num_segments=n_centers)
+        counts = counts + jax.ops.segment_sum(
+            jnp.ones(p_blk.shape[0], jnp.float32), labels,
+            num_segments=n_centers)
+        return labels, mind, sums, counts
+
+    return lloyd_block
+
+
+def lloyds_iter(points: FlashArray, centers: np.ndarray,
+                labels_out: Optional[FlashArray] = None,
+                blk_rows: Optional[int] = None, ctx=None
+                ) -> Tuple[np.ndarray, float, np.ndarray]:
+    """One Lloyd iteration: returns (new_centers, inertia, counts).
+
+    points: flash (n, d) row-major; centers: host (k, d) (the reference
+    also keeps centers in DRAM, drivers/kmeans.cpp).  If labels_out is
+    given, per-point assignments are written to it (int32)."""
+    import jax.numpy as jnp
+
+    ctx = ctx or points.ctx or get_context()
+    cfg = ctx.config
+    n, d = points.shape
+    k, d2 = centers.shape
+    if d != d2:
+        raise ValueError("dim mismatch")
+    if points.order != "R":
+        raise ValueError("points must be row-major (one point per row)")
+    prec = getattr(cfg, "matmul_precision", "highest")
+    blk = blk_rows or max(1, min(n, (64 << 20) // max(4 * d, 1)))
+    lloyd_block = _jit_steps()
+
+    centers = np.ascontiguousarray(centers, dtype=np.float32)
+    c_dev = jnp.asarray(centers)
+    c_norms = jnp.sum(c_dev * c_dev, axis=1)
+    sums = jnp.zeros((k, d), jnp.float32)
+    counts = jnp.zeros((k,), jnp.float32)
+
+    cache = ctx.scheduler().cache
+    accesses = []
+    spans = []
+    for r0 in range(0, n, blk):
+        bn = min(blk, n - r0)
+        accesses.append((points.store,) + points.block_access(r0, bn, 0, d))
+        spans.append((r0, bn))
+    pf = PrefetchSeq(cache, accesses, depth=cfg.pipeline_depth)
+
+    inertia = 0.0
+    write_tickets = []
+    for bi, (r0, bn) in enumerate(spans):
+        p_host = pf.get(bi).view(points.dtype).reshape(bn, d)
+        p_norm2 = float((p_host.astype(np.float64) ** 2).sum())
+        p_blk = jnp.asarray(p_host.astype(np.float32, copy=False))
+        labels, mind, sums, counts = lloyd_block(
+            p_blk, c_dev, c_norms, sums, counts, n_centers=k, prec=prec)
+        pf.done(bi)
+        inertia += float(np.asarray(mind, np.float64).sum()) + p_norm2
+        if labels_out is not None:
+            lab_np = np.asarray(labels, dtype=np.int32)
+            off, sinfo = labels_out.block_access(r0, bn)
+            write_tickets.append(labels_out.store.write(
+                off, sinfo, lab_np.view(np.uint8).ravel()))
+    pf.close()
+    for t in write_tickets:
+        t.wait()
+    if labels_out is not None:
+        labels_out.store.flush()
+
+    counts_np = np.asarray(counts)
+    sums_np = np.asarray(sums)
+    # empty clusters keep their old center (standard Lloyd fallback; the
+    # reference divides unconditionally, drivers/kmeans.cpp:132-156)
+    safe = np.maximum(counts_np, 1.0)[:, None]
+    new_centers = np.where(counts_np[:, None] > 0, sums_np / safe, centers)
+    return new_centers.astype(np.float32), inertia, counts_np
+
+
+def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
+               seed: int = 0, tol: float = 0.0,
+               labels_out: Optional[FlashArray] = None, ctx=None
+               ) -> Tuple[np.ndarray, float]:
+    """Full Lloyd's loop (reference: drivers/kmeans.cpp main loop).
+    Initialization: random distinct points (reference seeds from the
+    dataset)."""
+    n, d = points.shape
+    rng = np.random.default_rng(seed)
+    idx = np.sort(rng.choice(n, size=n_centers, replace=False))
+    centers = np.stack([points.read_block(int(i), 1, 0, d)[0] for i in idx])
+    timer = Timer()
+    inertia = np.inf
+    for it in range(n_iters):
+        centers_new, inertia, _ = lloyds_iter(
+            points, centers, ctx=ctx,
+            labels_out=labels_out if it == n_iters - 1 else None)
+        shift = float(((centers_new - centers) ** 2).sum())
+        centers = centers_new
+        LOG.debug("kmeans iter %d: inertia %.6g shift %.3g (%.0f ms)",
+                  it, inertia, shift, timer.elapsed_ms())
+        if shift <= tol:
+            break
+    return centers, inertia
+
+
+def kmeans_in_mem(points_np: np.ndarray, centers0: np.ndarray,
+                  n_iters: int = 1) -> Tuple[np.ndarray, float]:
+    """Golden model (reference: drivers/in_mem_kmeans.cpp) — plain numpy
+    Lloyd's on fully-resident data."""
+    pts = points_np.astype(np.float64)
+    centers = centers0.astype(np.float64)
+    inertia = np.inf
+    for _ in range(n_iters):
+        d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        labels = d2.argmin(1)
+        inertia = float(d2.min(1).sum())
+        for c in range(len(centers)):
+            sel = labels == c
+            if sel.any():
+                centers[c] = pts[sel].mean(0)
+    return centers.astype(np.float32), inertia

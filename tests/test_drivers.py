@@ -1,0 +1,118 @@
+"""CLI driver smoke tests (the reference's driver layer is its public
+surface; every driver must parse, run a small problem, and verify)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_driver(mod, *args, check=True):
+    env = dict(os.environ)
+    r = subprocess.run([sys.executable, "-m", f"bof_tpu.drivers.{mod}"]
+                       + [str(a) for a in args],
+                       capture_output=True, text=True, env=env, timeout=600)
+    if check and r.returncode != 0:
+        raise AssertionError(f"{mod} failed:\n{r.stdout}\n{r.stderr}")
+    return r
+
+
+@pytest.fixture
+def scratch(tmp_path):
+    d = tmp_path / "scratch"
+    d.mkdir()
+    return str(d)
+
+
+def test_dense_create_and_gemm_driver(tmp_path, scratch):
+    m = n = k = 96
+    a, b, c = (str(tmp_path / x) for x in "abc")
+    run_driver("dense_create", a, m, k, "--fill", "random")
+    run_driver("dense_create", b, k, n, "--fill", "random", "--seed", 1)
+    r = run_driver("gemm", a, b, c, m, n, k, "--create-c", "--blk", 32,
+                   "--scratch", scratch)
+    assert "checksum" in r.stdout
+    got = np.fromfile(c, np.float32).reshape(m, n)
+    a_np = np.fromfile(a, np.float32).reshape(m, k)
+    b_np = np.fromfile(b, np.float32).reshape(k, n)
+    np.testing.assert_allclose(got, a_np @ b_np, rtol=2e-4, atol=1e-4)
+
+
+def test_sparse_create_and_csrmm_driver(tmp_path, scratch):
+    m, k, n = 200, 150, 16
+    prefix = str(tmp_path / "A")
+    run_driver("sparse_create", prefix, m, k, 3.0)
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    run_driver("dense_create", b, k, n)
+    r = run_driver("csrmm", prefix, m, k, b, n, c, "--create-c",
+                   "--scratch", scratch)
+    assert "checksum" in r.stdout
+    # verify against in-mem baseline driver
+    c2 = str(tmp_path / "c2")
+    run_driver("in_mem_sparse", "csrmm", prefix, m, k, b, n, c2)
+    np.testing.assert_allclose(np.fromfile(c, np.float32),
+                               np.fromfile(c2, np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_csrgemv_and_csrcsc_drivers(tmp_path, scratch):
+    m, k = 180, 120
+    prefix = str(tmp_path / "A")
+    run_driver("sparse_create", prefix, m, k, 2.5)
+    x = str(tmp_path / "x")
+    np.random.default_rng(0).standard_normal(k).astype(
+        np.float32).tofile(x)
+    y = str(tmp_path / "y")
+    run_driver("csrgemv", prefix, m, k, x, y, "--scratch", scratch)
+    y2 = str(tmp_path / "y2")
+    run_driver("in_mem_sparse", "csrgemv", prefix, m, k, x, y2)
+    np.testing.assert_allclose(np.fromfile(y, np.float32),
+                               np.fromfile(y2, np.float32), rtol=1e-4,
+                               atol=1e-4)
+    # transpose both ways and compare triplets
+    t1 = str(tmp_path / "T1")
+    t2 = str(tmp_path / "T2")
+    run_driver("csrcsc", prefix, m, k, t1, "--scratch", scratch)
+    run_driver("in_mem_sparse", "csrcsc", prefix, m, k, t2)
+    for ext in (".off", ".col", ".csr"):
+        np.testing.assert_array_equal(
+            np.fromfile(t1 + ext, np.uint8), np.fromfile(t2 + ext, np.uint8))
+
+
+def test_sort_and_map_reduce_drivers(tmp_path, scratch):
+    n = 40_000
+    src = str(tmp_path / "s")
+    dst = str(tmp_path / "d")
+    data = np.abs(np.random.default_rng(2).standard_normal(n)).astype(
+        np.float32)
+    data.tofile(src)
+    run_driver("sort", src, dst, n, "--blk", 4096, "--scratch", scratch)
+    got = np.fromfile(dst, np.float32)
+    np.testing.assert_array_equal(got, np.sort(data))
+    out = str(tmp_path / "m")
+    r = run_driver("map_reduce", src, out, n, "--scratch", scratch)
+    assert "sum" in r.stdout
+
+
+def test_kmeans_driver(tmp_path, scratch):
+    n, d, k = 1000, 8, 4
+    pts = str(tmp_path / "p")
+    np.random.default_rng(1).standard_normal((n, d)).astype(
+        np.float32).tofile(pts)
+    r = run_driver("kmeans", pts, n, d, k, "--iters", 2,
+                   "--scratch", scratch)
+    assert "inertia" in r.stdout
+
+
+def test_file_handle_test_driver(scratch):
+    r = run_driver("file_handle_test", "--trials", 60, "--elems", 1 << 16,
+                   "--scratch", scratch)
+    assert "PASS" in r.stdout
+
+
+def test_gemm_run_harness(scratch):
+    r = run_driver("gemm_run", "--m", 96, "--n", 64, "--k", 80,
+                   "--blk", 32, "--scratch", scratch)
+    assert "ALL PASS" in r.stdout

@@ -1,0 +1,77 @@
+"""k-means differential tests vs the in-memory golden model."""
+import numpy as np
+
+from bof_tpu import mem_array
+from bof_tpu.ops.kmeans import kmeans_fit, kmeans_in_mem, lloyds_iter
+
+
+def blobs(rng, n, d, k, spread=0.05):
+    centers = rng.standard_normal((k, d)).astype(np.float32) * 3
+    labels = rng.integers(0, k, n)
+    pts = centers[labels] + spread * rng.standard_normal((n, d)).astype(
+        np.float32)
+    return pts.astype(np.float32), centers
+
+
+def test_single_lloyd_iter_matches_golden(ctx, rng):
+    n, d, k = 2000, 16, 5
+    pts, _ = blobs(rng, n, d, k)
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    c0 = pts[:k].copy()
+    got_centers, got_inertia, counts = lloyds_iter(P, c0, blk_rows=257,
+                                                   ctx=ctx)
+    want_centers, want_inertia = kmeans_in_mem(pts, c0, n_iters=1)
+    np.testing.assert_allclose(got_centers, want_centers, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(got_inertia, want_inertia, rtol=1e-3)
+    assert counts.sum() == n
+
+
+def test_labels_written(ctx, rng):
+    n, d, k = 1200, 8, 4
+    pts, _ = blobs(rng, n, d, k)
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    L = mem_array((n,), np.int32, ctx=ctx)
+    c0 = pts[:k].copy()
+    lloyds_iter(P, c0, labels_out=L, blk_rows=333, ctx=ctx)
+    labels = L.read_all()
+    d2 = ((pts[:, None, :].astype(np.float64)
+           - c0[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    np.testing.assert_array_equal(labels, d2.argmin(1))
+
+
+def test_lloyd_converges_on_blobs(ctx, rng):
+    """Iterating from perturbed true centers must converge onto them
+    (random init can hit local optima — that's k-means, not the kernel)."""
+    n, d, k = 3000, 10, 6
+    pts, true_centers = blobs(rng, n, d, k, spread=0.02)
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    centers = true_centers + 0.3 * rng.standard_normal(
+        (k, d)).astype(np.float32)
+    for _ in range(6):
+        centers, inertia, _ = lloyds_iter(P, centers, blk_rows=500, ctx=ctx)
+    d2 = ((true_centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    assert np.sqrt(d2.min(1)).max() < 0.05
+    assert inertia / n < 0.01 * d
+
+
+def test_kmeans_fit_runs_and_improves(ctx, rng):
+    n, d, k = 2000, 8, 4
+    pts, _ = blobs(rng, n, d, k, spread=0.05)
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    c0 = pts[rng.choice(n, k, replace=False)]
+    _, inertia0 = kmeans_in_mem(pts, c0, n_iters=1)
+    centers, inertia = kmeans_fit(P, k, n_iters=6, seed=3, ctx=ctx)
+    assert np.isfinite(inertia)
+    assert inertia <= inertia0 * 1.01  # no worse than one golden step
+
+
+def test_empty_cluster_keeps_center(ctx, rng):
+    n, d = 100, 4
+    pts = rng.standard_normal((n, d)).astype(np.float32)
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    far = np.full((1, d), 1e6, np.float32)  # never assigned
+    c0 = np.concatenate([pts[:2], far])
+    centers, _, counts = lloyds_iter(P, c0, ctx=ctx)
+    assert counts[2] == 0
+    np.testing.assert_array_equal(centers[2], far[0])
