@@ -1,0 +1,63 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+
+def need_devices(n):
+    import jax
+    if len(jax.devices()) < n:
+        pytest.skip(f"need {n} devices, have {len(jax.devices())}")
+
+
+def test_sharded_accum_step_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    from bof_tpu.parallel import make_mesh, sharded_accum_step
+
+    need_devices(8)
+    mesh = make_mesh(8)
+    px, py = mesh.devices.shape
+    step = sharded_accum_step(mesh)
+    rng = np.random.default_rng(0)
+    bm = bk = bn = 16 * px * py
+    a = rng.standard_normal((bm, bk)).astype(np.float32)
+    b = rng.standard_normal((bk, bn)).astype(np.float32)
+    c = rng.standard_normal((bm, bn)).astype(np.float32)
+    got = np.asarray(step(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                          np.float32(2.0)))
+    want = c + 2.0 * (a.astype(np.float64) @ b.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-4,
+                               atol=1e-4)
+
+
+def test_gemm_sharded_out_of_core(ctx, rng, tmp_path):
+    from bof_tpu import map_array
+    from bof_tpu.parallel import gemm_sharded, make_mesh
+
+    need_devices(8)
+    mesh = make_mesh(8)
+    m, n, k = 96, 80, 112
+    a_np = rng.standard_normal((m, k)).astype(np.float32)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    A = map_array(str(tmp_path / "A"), (m, k), np.float32, create=True,
+                  ctx=ctx)
+    B = map_array(str(tmp_path / "B"), (k, n), np.float32, create=True,
+                  ctx=ctx)
+    C = map_array(str(tmp_path / "C"), (m, n), np.float32, create=True,
+                  ctx=ctx)
+    A.write_all(a_np)
+    B.write_all(b_np)
+    gemm_sharded(A, B, C, blk=32, mesh=mesh, ctx=ctx)
+    want = (a_np.astype(np.float64) @ b_np.astype(np.float64)).astype(
+        np.float32)
+    np.testing.assert_allclose(C.read_all(), want, rtol=2e-4, atol=1e-4)
+
+
+def test_mesh_shapes():
+    from bof_tpu.parallel import make_mesh
+    need_devices(8)
+    mesh = make_mesh(8)
+    assert int(np.prod(mesh.devices.shape)) == 8
+    assert mesh.axis_names == ("x", "y")
+    mesh6 = make_mesh(6)
+    assert int(np.prod(mesh6.devices.shape)) == 6
