@@ -100,7 +100,8 @@ def main():
         n = sb
         while True:
             cand = n + sb
-            t_xfer = 3 * cand * cand * 4 / (h2d_gbps * 1e9)
+            # probe bandwidth is optimistic vs sustained; derate by 2x
+            t_xfer = 3 * cand * cand * 4 / (0.5 * h2d_gbps * 1e9)
             t_comp = 2 * cand**3 / (inmem_tflops * 1e12)
             if max(t_xfer, t_comp) > 0.6 * budget_s:
                 break

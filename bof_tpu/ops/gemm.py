@@ -21,6 +21,8 @@ block size so exactly one kernel shape is compiled per config.
 from __future__ import annotations
 
 import collections
+import queue
+import threading
 from typing import Optional
 
 import numpy as np
@@ -151,61 +153,97 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         return out
 
     timer = Timer()
-    pinned = collections.deque()
-    for idx in range(min(depth, len(steps))):
-        pinned.append(pin_pair(idx))
+    c_full_storage = (sb, sb)
+
+    # ---- 4-stage threaded pipeline ------------------------------------
+    # producer thread: disk->host (cache pins) -> host->HBM (device_put),
+    #   with the HBM LRU for reuse; emits ready device tiles in order
+    # main thread: dispatches the accumulate steps (device queue)
+    # writer thread: D2H of finished C superblocks -> async disk write
+    # The stages overlap: device_put of tile t+1 proceeds while the device
+    # multiplies tile t and the writer drains block t-1.
+    tile_q: queue.Queue = queue.Queue(maxsize=depth)
+    write_q: queue.Queue = queue.Queue(maxsize=max(2, depth))
+    errors: list = []
+
+    def producer():
+        try:
+            pinned = collections.deque()
+            for idx in range(min(depth, len(steps))):
+                pinned.append(pin_pair(idx))
+
+            def get_dev(key, access_fn, ii, ll, d0, d1):
+                hit = hbm.get(key)
+                if hit is not None:
+                    return hit
+                cache.wait_ready(key)
+                (_o, _s), st_shape = access_fn(ii, ll, d0, d1)
+                host = cache.buf(key).view(a.dtype).reshape(st_shape)
+                arr = dev.to_device(pad_to(host, (sb, sb)))
+                return hbm.put(key, arr, arr.nbytes)
+
+            for idx, (i, j, l) in enumerate(steps):
+                bi, bj, bl = tile_dims(i, j, l)
+                c_init = None
+                if l == 0 and beta != 0.0:
+                    c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
+                    c_init = dev.to_device(pad_to(c_host, c_full_storage))
+                ka_, kb_ = pinned.popleft()
+                if idx + depth < len(steps):
+                    pinned.append(pin_pair(idx + depth))
+                a_dev = get_dev(ka_, a_access, i * sb, l * sb, bi, bl)
+                b_dev = get_dev(kb_, b_access, l * sb, j * sb, bl, bj)
+                cache.unpin(ka_)
+                cache.unpin(kb_)
+                tile_q.put((a_dev, b_dev, c_init))
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+            tile_q.put(None)
+
+    def writer():
+        try:
+            write_tickets = []
+            while True:
+                item = write_q.get()
+                if item is None:
+                    break
+                i, j, bi, bj, c_dev = item
+                ci_shape = _storage_shape(c, (bi, bj))
+                c_host = dev.from_device(c_dev)[:ci_shape[0], :ci_shape[1]]
+                write_tickets.append(c.write_block_storage_async(
+                    i * sb, j * sb, bi, bj, c_host))
+            for t in write_tickets:
+                t.wait()
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    prod_t = threading.Thread(target=producer, daemon=True)
+    writ_t = threading.Thread(target=writer, daemon=True)
+    prod_t.start()
+    writ_t.start()
 
     c_dev = None
-    write_tickets = []
-    c_full_storage = (sb, sb)
+    alpha_s = np.dtype(c.dtype).type(alpha)
+    beta_s = np.dtype(c.dtype).type(beta)
     for idx, (i, j, l) in enumerate(steps):
+        item = tile_q.get()
+        if item is None:
+            break
+        a_dev, b_dev, c_init = item
         bi, bj, bl = tile_dims(i, j, l)
         if l == 0:
-            # materialize the C superblock on device (storage layout, padded)
-            if beta != 0.0:
-                c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
-                c_dev = dev.scale_init(
-                    dev.to_device(pad_to(c_host, c_full_storage)),
-                    np.dtype(c.dtype).type(beta))
-            else:
-                c_dev = dev.zeros_block(c_full_storage, c.dtype)
-
-        ka_, kb_ = pinned.popleft()
-        if idx + depth < len(steps):
-            pinned.append(pin_pair(idx + depth))
-
-        # Device tiles: HBM LRU hit, else wait for the host tile and
-        # device_put the (padded) storage buffer.  device_put holds a
-        # reference to the host view, so unpinning immediately is safe —
-        # the cache never recycles buffers, only drops references.
-        def get_dev(key, access_fn, ii, ll, d0, d1):
-            hit = hbm.get(key)
-            if hit is not None:
-                return hit
-            cache.wait_ready(key)
-            (_off, _sinfo), st_shape = access_fn(ii, ll, d0, d1)
-            host = cache.buf(key).view(a.dtype).reshape(st_shape)
-            arr = dev.to_device(pad_to(host, (sb, sb)))
-            return hbm.put(key, arr, arr.nbytes)
-
-        a_dev = get_dev(ka_, a_access, i * sb, l * sb, bi, bl)
-        b_dev = get_dev(kb_, b_access, l * sb, j * sb, bl, bj)
-        cache.unpin(ka_)
-        cache.unpin(kb_)
-
-        c_dev = dev.accum_step(
-            c_dev, a_dev, b_dev, np.dtype(c.dtype).type(alpha),
-            a_km=a_km, b_nk=b_nk, c_nm=c_nm, prec=prec)
-
+            c_dev = (dev.scale_init(c_init, beta_s) if c_init is not None
+                     else dev.zeros_block(c_full_storage, c.dtype))
+        c_dev = dev.accum_step(c_dev, a_dev, b_dev, alpha_s,
+                               a_km=a_km, b_nk=b_nk, c_nm=c_nm, prec=prec)
         if l == kB - 1:
-            ci_shape = _storage_shape(c, (bi, bj))
-            c_host = dev.from_device(c_dev)[:ci_shape[0], :ci_shape[1]]
-            write_tickets.append(
-                c.write_block_storage_async(i * sb, j * sb, bi, bj, c_host))
+            write_q.put((i, j, bi, bj, c_dev))
             c_dev = None
-
-    for t in write_tickets:
-        t.wait()
+    write_q.put(None)
+    prod_t.join()
+    writ_t.join()
+    if errors:
+        raise errors[0]
     c.store.flush()
     hbm.clear()
     METRICS.add("gemm.ms", timer.elapsed_ms())
