@@ -51,16 +51,28 @@ def _precision(name: str):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("a_km", "b_nk", "c_nm", "prec"),
+                   static_argnames=("a_km", "b_nk", "c_nm", "prec", "impl"),
                    donate_argnums=(0,))
 def accum_step(c, a, b, alpha, *, a_km: bool, b_nk: bool, c_nm: bool,
-               prec: str = "highest"):
+               prec: str = "highest", impl: str = "xla"):
     """c += alpha * op(A) op(B), all in storage-major layout.
 
     a: (bm,bk) if not a_km else (bk,bm)
     b: (bk,bn) if not b_nk else (bn,bk)
     c: (bm,bn) if not c_nm else (bn,bm)   (and the result matches)
+
+    impl='pallas' routes the canonical (no storage transpose) case through
+    the explicit MXU kernel in matmul_pallas.py; every other layout uses
+    dot_general, whose contracting dims absorb the transposes.
     """
+    if impl == "pallas" and not (a_km or b_nk or c_nm):
+        from .matmul_pallas import matmul
+        bm = 512 if c.shape[0] % 512 == 0 else c.shape[0]
+        bn0 = 512 if prec == "highest" else 1024
+        bn = bn0 if c.shape[1] % bn0 == 0 else c.shape[1]
+        bk = 512 if a.shape[1] % 512 == 0 else a.shape[1]
+        out = matmul(a, b, bm=bm, bn=bn, bk=bk, prec=prec)
+        return c + alpha.astype(c.dtype) * out
     ka = 1 if not a_km else 0
     kb = 0 if not b_nk else 1
     if not c_nm:

@@ -123,6 +123,10 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     b_access, b_nk = _op_block_reader(b, tb)  # storage is (n,k)-major?
     c_nm = c.order == "C"
     prec = getattr(cfg, "matmul_precision", "highest")
+    impl = cfg.device_compute
+    if impl == "auto":
+        impl = "pallas" if (dev.on_tpu() and not (a_km or b_nk or c_nm)
+                            and sb % 1024 == 0) else "xla"
 
     cache = ctx.scheduler().cache
     hbm = HbmCache(cfg.hbm_budget)
@@ -235,7 +239,8 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
             c_dev = (dev.scale_init(c_init, beta_s) if c_init is not None
                      else dev.zeros_block(c_full_storage, c.dtype))
         c_dev = dev.accum_step(c_dev, a_dev, b_dev, alpha_s,
-                               a_km=a_km, b_nk=b_nk, c_nm=c_nm, prec=prec)
+                               a_km=a_km, b_nk=b_nk, c_nm=c_nm, prec=prec,
+                               impl=impl)
         if l == kB - 1:
             write_q.put((i, j, bi, bj, c_dev))
             c_dev = None

@@ -20,27 +20,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref):
-    k = pl.program_id(2)
+def _make_kernel(precision):
+    def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref):
+        k = pl.program_id(2)
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
-                          preferred_element_type=jnp.float32)
+        acc_ref[:] += jnp.dot(a_ref[:], b_ref[:], precision=precision,
+                              preferred_element_type=jnp.float32)
 
-    @pl.when(k == pl.num_programs(2) - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return _matmul_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
-def matmul(a, b, *, bm: int = 512, bn: int = 1024, bk: int = 512,
-           interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bn", "bk", "prec", "interpret"))
+def matmul(a, b, *, bm: int = 512, bn: int = 0, bk: int = 512,
+           prec: str = "highest", interpret: bool = False):
     """C = A @ B with fp32 accumulation.  A:(M,K) B:(K,N) — shapes must be
     multiples of the tile sizes (the out-of-core planner pads superblocks
     to multiples, so no in-kernel masking is needed)."""
+    from .device import _precision
+    if bn == 0:
+        # HIGHEST fp32 runs the 6-pass MXU expansion, which needs extra
+        # VMEM stack — use narrower output tiles to stay under the limit
+        bn = 512 if prec == "highest" else 1024
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
@@ -48,7 +57,7 @@ def matmul(a, b, *, bm: int = 512, bn: int = 1024, bk: int = 512,
         f"shapes {(m, n, k)} not multiples of tiles {(bm, bn, bk)}")
     grid = (m // bm, n // bn, k // bk)
     return pl.pallas_call(
-        _matmul_kernel,
+        _make_kernel(_precision(prec)),
         out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
         grid=grid,
         in_specs=[
