@@ -51,6 +51,10 @@ class FlashConfig:
     map_blk_elems: int = 1 << 24       # elements per map/reduce block
     sort_blk_elems: int = 1 << 24      # elements per sort block
 
+    # ---- debug self-checking (reference: DEBUG builds compile ASan +
+    # GLOG_ASSERT + write read-back verification + verify_csr_block) ----
+    debug_checks: bool = False
+
     # ---- misc ----
     scratch_dir: str = dataclasses.field(
         default_factory=lambda: os.environ.get("BOF_SCRATCH", "/tmp/bof_tpu"))

@@ -117,6 +117,13 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         raise ValueError("operand shapes inconsistent with transposes")
     if not (a.dtype == b.dtype == c.dtype):
         raise ValueError("mixed dtypes not supported")
+    if c.dtype == np.float64:
+        import jax
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "float64 operands need JAX x64 mode (set JAX_ENABLE_X64=1 "
+                "or jax.config.update('jax_enable_x64', True)); on TPU use "
+                "float32 with matmul_precision='highest' instead")
 
     mB, nB, kB = cdiv(m, sb), cdiv(n, sb), cdiv(k, sb)
     a_access, a_km = _op_block_reader(a, ta)
@@ -242,11 +249,29 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                                a_km=a_km, b_nk=b_nk, c_nm=c_nm, prec=prec,
                                impl=impl)
         if l == kB - 1:
-            write_q.put((i, j, bi, bj, c_dev))
+            # timeout-put so a dead writer can't deadlock the loop
+            while not errors:
+                try:
+                    write_q.put((i, j, bi, bj, c_dev), timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
             c_dev = None
-    write_q.put(None)
-    prod_t.join()
-    writ_t.join()
+        if errors:
+            break
+    while not errors:
+        try:
+            write_q.put(None, timeout=1.0)
+            break
+        except queue.Full:
+            continue
+    if errors:  # unblock a live writer waiting on the queue
+        try:
+            write_q.put_nowait(None)
+        except queue.Full:
+            pass
+    prod_t.join(timeout=30)
+    writ_t.join(timeout=30)
     if errors:
         raise errors[0]
     c.store.flush()

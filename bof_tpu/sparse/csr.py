@@ -109,6 +109,26 @@ class CsrFlashMatrix:
             shape=self.shape)
 
 
+def verify_csr_block(ia_blk: np.ndarray, ja_blk: np.ndarray, n_cols: int,
+                     nnz_expected: int = -1) -> None:
+    """Structural CSR block validation (reference: verify_csr_block,
+    include/blas_utils.h:100-141 — compiled only under DEBUG; here gated
+    by FlashConfig/log level at call sites).  Checks monotone offsets and
+    column bounds; raises ValueError on corruption."""
+    if len(ia_blk) < 2:
+        raise ValueError("csr block needs at least one row")
+    d = np.diff(ia_blk)
+    if (d < 0).any():
+        raise ValueError("csr offsets not monotone")
+    nnz = int(ia_blk[-1] - ia_blk[0])
+    if nnz != len(ja_blk):
+        raise ValueError(f"csr offsets/nnz mismatch: {nnz} != {len(ja_blk)}")
+    if nnz_expected >= 0 and nnz != nnz_expected:
+        raise ValueError(f"csr nnz {nnz} != expected {nnz_expected}")
+    if nnz and (int(ja_blk.min()) < 0 or int(ja_blk.max()) >= n_cols):
+        raise ValueError("csr column index out of range")
+
+
 def fill_row_blocks(ia_np: np.ndarray, max_nnzs: int) -> List[Tuple[int, int]]:
     """Adaptive row blocks each holding <= max_nnzs nonzeros (>=1 row)
     (reference: fill_blocks, blas_utils.h:84-97)."""

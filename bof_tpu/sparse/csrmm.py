@@ -106,6 +106,9 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
             nnz_b, rows_b = i1 - i0, e - r
             ja_blk = pf.get(2 * bi).view(idt)
             va_blk = pf.get(2 * bi + 1).view(vdt)
+            if cfg.debug_checks:
+                from .csr import verify_csr_block
+                verify_csr_block(ia_np[r:e + 1], ja_blk, k, nnz_b)
             row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
             ja_p = sdev.pad_to_cap(
                 ja_blk.astype(np.int32, copy=False), nnz_cap)

@@ -1,0 +1,108 @@
+"""lib funcs (memset/memcpy/truncate), types, and debug validators."""
+import numpy as np
+import pytest
+
+from bof_tpu import flash_empty, flash_free, mem_array
+from bof_tpu.lib_funcs import flash_memcpy, flash_memset, flash_truncate
+from bof_tpu.sparse.csr import verify_csr_block
+from bof_tpu.types import check_fp_dtype
+
+
+def test_flash_memset(ctx):
+    arr = flash_empty((10_000,), np.float32, ctx=ctx)
+    flash_memset(arr, 0)
+    np.testing.assert_array_equal(arr.read_all(), 0.0)
+    flash_free(arr)
+
+
+def test_flash_memcpy(ctx, rng):
+    data = rng.standard_normal(5000).astype(np.float32)
+    src = mem_array((5000,), np.float32, data=data, ctx=ctx)
+    dst = flash_empty((5000,), np.float32, ctx=ctx)
+    flash_memcpy(dst, src)
+    np.testing.assert_array_equal(dst.read_all(), data)
+    flash_free(dst)
+
+
+def test_flash_truncate(ctx):
+    arr = flash_empty((1000,), np.int32, ctx=ctx)
+    arr.write_all(np.arange(1000, dtype=np.int32))
+    small = flash_truncate(arr, 100)
+    assert small.shape == (100,)
+    np.testing.assert_array_equal(small.read_all(),
+                                  np.arange(100, dtype=np.int32))
+    flash_free(arr)
+
+
+def test_check_fp_dtype():
+    assert check_fp_dtype(np.float32) == np.dtype(np.float32)
+    with pytest.raises(TypeError):
+        check_fp_dtype(np.int32)
+
+
+def test_verify_csr_block():
+    ia = np.array([0, 2, 5], np.int64)
+    ja = np.array([1, 3, 0, 2, 4], np.int64)
+    verify_csr_block(ia, ja, 5)  # ok
+    with pytest.raises(ValueError):
+        verify_csr_block(ia, ja, 4)  # col out of range
+    with pytest.raises(ValueError):
+        verify_csr_block(np.array([0, 3, 1], np.int64), ja[:1], 5)
+    with pytest.raises(ValueError):
+        verify_csr_block(ia, ja[:4], 5)  # nnz mismatch
+
+
+def test_csrmm_with_debug_checks(ctx, rng):
+    import scipy.sparse as sps
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+    ctx.config.debug_checks = True
+    ctx.config.max_nnzs = 512
+    a_sp = sps.random(100, 80, density=0.05, format="csr",
+                      dtype=np.float32, random_state=np.random.RandomState(1))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b = rng.standard_normal((80, 8)).astype(np.float32)
+    B = mem_array((80, 8), np.float32, data=b, ctx=ctx)
+    C = mem_array((100, 8), np.float32, ctx=ctx)
+    csrmm(A, B, C, ctx=ctx)
+    np.testing.assert_allclose(C.read_all(), a_sp @ b, rtol=1e-4, atol=1e-4)
+
+
+def test_gemm_float64_requires_x64(ctx, rng):
+    """Without x64 mode, fp64 operands raise a clear error instead of
+    silently downcasting (and previously deadlocking)."""
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 already enabled")
+    from bof_tpu.ops import gemm
+    A = mem_array((8, 8), np.float64, ctx=ctx)
+    B = mem_array((8, 8), np.float64, ctx=ctx)
+    C = mem_array((8, 8), np.float64, ctx=ctx)
+    with pytest.raises(ValueError, match="x64"):
+        gemm(A, B, C, blk=16, ctx=ctx)
+
+
+def test_gemm_float64_subprocess(tmp_path):
+    """fp64 end-to-end (reference FP_DOUBLE_PRECISION analog) in a child
+    process with JAX_ENABLE_X64=1 on the CPU backend."""
+    import os
+    import subprocess
+    import sys
+    code = """
+import numpy as np
+import bof_tpu as bt
+from bof_tpu.ops import gemm
+rng = np.random.default_rng(0)
+ctx = bt.FlashContext(bt.FlashConfig(scratch_dir=%r))
+m, n, k = 40, 30, 50
+a = rng.standard_normal((m, k)); b = rng.standard_normal((k, n))
+A = bt.mem_array((m, k), np.float64, data=a, ctx=ctx)
+B = bt.mem_array((k, n), np.float64, data=b, ctx=ctx)
+C = bt.mem_array((m, n), np.float64, ctx=ctx)
+gemm(A, B, C, blk=16, ctx=ctx)
+np.testing.assert_allclose(C.read_all(), a @ b, rtol=1e-12)
+print("F64 OK")
+""" % str(tmp_path / "scratch")
+    env = dict(os.environ, JAX_ENABLE_X64="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=300)
+    assert r.returncode == 0 and "F64 OK" in r.stdout, r.stderr[-2000:]
