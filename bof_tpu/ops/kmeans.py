@@ -43,11 +43,12 @@ def _jit_steps():
         pd = c_norms[None, :] - 2.0 * g
         labels = jnp.argmin(pd, axis=1).astype(jnp.int32)
         mind = jnp.min(pd, axis=1)
-        sums = sums + jax.ops.segment_sum(p_blk, labels,
-                                          num_segments=n_centers)
-        counts = counts + jax.ops.segment_sum(
-            jnp.ones(p_blk.shape[0], jnp.float32), labels,
-            num_segments=n_centers)
+        # center accumulation as a one-hot MXU matmul — scatter-free
+        # (segment_sum lowers to a serializing scatter-add on TPU)
+        onehot = jax.nn.one_hot(labels, n_centers, dtype=jnp.float32)
+        sums = sums + jnp.dot(onehot.T, p_blk,
+                              preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=0)
         return labels, mind, sums, counts
 
     return lloyd_block

@@ -34,8 +34,11 @@ from ..utils import cdiv, fatal
 
 
 def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
-             blk_elems: Optional[int] = None, oversample: int = 32,
+             key=None, blk_elems: Optional[int] = None, oversample: int = 32,
              ctx=None) -> None:
+    """`key`, if given, maps a value vector to sortable keys (the analog of
+    the reference's comparator template parameter, sort.tpp `Comparator`);
+    it must be order-embedding (vectorized, deterministic)."""
     ctx = ctx or src.ctx or get_context()
     if src.shape != dst.shape or len(src.shape) != 1:
         raise ValueError("sort needs equal-shape 1-D arrays")
@@ -44,6 +47,17 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     sched = ctx.scheduler()
     n_blks = cdiv(n, blk)
     dt = src.dtype
+
+    def sort_block(x):
+        if key is None:
+            x.sort()
+        else:
+            x[:] = x[np.argsort(key(x), kind="stable")]
+
+    def searchsorted_keyed(x_sorted, pivots):
+        if key is None:
+            return np.searchsorted(x_sorted, pivots, side="right")
+        return np.searchsorted(key(x_sorted), pivots, side="right")
 
     # Blocks are kept ascending on disk through all phases; `descending`
     # only flips bucket placement and fragment order in phase 3.
@@ -60,10 +74,12 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
 
         def run(task, bi=bi, off=off, sinfo=sinfo, bn=bn):
             x = task.buf(src.store, off, sinfo, dt)
-            x.sort()  # ascending in place on the cached buffer
-            idx = rng.integers(0, bn, min(oversample, bn))
+            sort_block(x)  # ascending (in key order) in place
+            idx = np.sort(rng.integers(0, bn, min(oversample, bn)))
+            picked = x[idx]
             with lock:
-                samples[bi] = x[np.sort(idx)].copy()
+                samples[bi] = (np.asarray(key(picked)) if key is not None
+                               else picked.copy())
         t = FnTask(run)
         t.add_read(src.store, off, sinfo)
         t.add_write(src.store, off, sinfo)
@@ -95,8 +111,8 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
 
         def run(task, bi=bi, off=off, sinfo=sinfo, bn=bn):
             x = task.buf(src.store, off, sinfo, dt)
-            # block is sorted ascending: binary search
-            edge = np.searchsorted(x, pivots, side="right")
+            # block is sorted ascending (in key space): binary search
+            edge = searchsorted_keyed(x, pivots)
             b = np.concatenate([[0], edge, [bn]])
             with lock:
                 bounds[bi] = b
@@ -134,7 +150,7 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
         def run(task, frags=tuple(frags), doff=doff, dsin=dsin, outn=outn):
             parts = [task.buf(src.store, fo, fs, dt) for fo, fs in frags]
             merged = np.concatenate(parts)
-            merged.sort()
+            sort_block(merged)
             if descending:
                 merged = merged[::-1]
             task.buf(dst.store, doff, dsin, dt)[:] = merged

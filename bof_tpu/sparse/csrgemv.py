@@ -17,7 +17,6 @@ import numpy as np
 from ..context import get_context
 from ..core.flash_array import FlashArray
 from ..core.pipeline import PrefetchSeq
-from ..utils import round_up
 from . import spmm_device as sdev
 from .csr import CsrFlashMatrix, fill_row_blocks
 
@@ -40,11 +39,9 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
 
     ia_np = a.read_ia()
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
-    nnz_cap = int(round_up(
-        max(int(ia_np[e] - ia_np[r]) for r, e in blocks) or 1, 512))
-    rows_cap = int(round_up(max(e - r for r, e in blocks), 8))
     cache = ctx.scheduler().cache
     idt, vdt = a.ja.dtype, a.vals.dtype
+    entry_cap = 1 << 22  # rows_pad * rmax ELL budget for the vector case
 
     accesses = []
     for r, e in blocks:
@@ -57,43 +54,38 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
         y = np.empty(m, dtype=vdt)
         x_dev = jnp.asarray(x)
         for bi, (r, e) in enumerate(blocks):
-            i0, i1 = int(ia_np[r]), int(ia_np[e])
+            i0 = int(ia_np[r])
             ja_blk = pf.get(2 * bi).view(idt)
             va_blk = pf.get(2 * bi + 1).view(vdt)
-            row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
-            out = sdev.spmv_block(
-                x_dev,
-                jnp.asarray(sdev.pad_to_cap(
-                    ja_blk.astype(np.int32, copy=False), nnz_cap)),
-                jnp.asarray(sdev.pad_to_cap(va_blk, nnz_cap)),
-                jnp.asarray(sdev.pad_to_cap(row_ids, nnz_cap,
-                                            fill=rows_cap - 1)),
-                rows_cap=rows_cap)
+            counts = np.diff(ia_np[r:e + 1])
+            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                sub_ia = ia_np[r + s0:r + s1 + 1]
+                lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
+                ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
+                                             va_blk[lo:hi])
+                out = sdev.spmv_ell_block(x_dev, jnp.asarray(ja_ell),
+                                          jnp.asarray(va_ell))
+                y[r + s0:r + s1] = np.asarray(out)[:s1 - s0]
             pf.done(2 * bi)
             pf.done(2 * bi + 1)
-            y[r:e] = np.asarray(out)[:e - r]
         pf.close()
         return y
 
-    # trans: y (k,) accumulated on device across row blocks
-    y_dev = jnp.zeros(k, dtype=vdt)
+    # trans: y[k] += A_blk^T x_blk — a scatter over columns.  TPU scatter
+    # serializes, so the accumulation runs on host via bincount (C speed,
+    # memory-bound — same role as the reference's mutexed OpenMP
+    # accumulate, csrgemv_task.h:169-176).
+    y = np.zeros(k, dtype=np.float64)
     for bi, (r, e) in enumerate(blocks):
         ja_blk = pf.get(2 * bi).view(idt)
         va_blk = pf.get(2 * bi + 1).view(vdt)
         row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
-        x_rows = sdev.pad_to_cap(x[r:e], rows_cap)
-        y_dev = sdev.spmv_t_block(
-            y_dev, jnp.asarray(x_rows),
-            jnp.asarray(sdev.pad_to_cap(
-                ja_blk.astype(np.int32, copy=False), nnz_cap)),
-            jnp.asarray(sdev.pad_to_cap(va_blk, nnz_cap)),
-            jnp.asarray(sdev.pad_to_cap(row_ids, nnz_cap,
-                                        fill=rows_cap - 1)),
-            k=k)
+        w = va_blk.astype(np.float64) * x[r:e].astype(np.float64)[row_ids]
+        y += np.bincount(ja_blk.astype(np.int64), weights=w, minlength=k)
         pf.done(2 * bi)
         pf.done(2 * bi + 1)
     pf.close()
-    return np.asarray(y_dev)
+    return y.astype(vdt)
 
 
 def csrgemv_in_mem(a_sp, x: np.ndarray, trans: str = "N") -> np.ndarray:

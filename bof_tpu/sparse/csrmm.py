@@ -24,7 +24,7 @@ import numpy as np
 from ..context import get_context
 from ..core.flash_array import FlashArray
 from ..core.pipeline import PrefetchSeq
-from ..utils import LOG, METRICS, Timer, round_up
+from ..utils import LOG, METRICS, Timer
 from . import spmm_device as sdev
 from .csr import CsrFlashMatrix, fill_row_blocks
 
@@ -67,10 +67,9 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
     timer = Timer()
     ia_np = a.read_ia()
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
-    nnz_cap = int(round_up(
-        max(int(ia_np[e] - ia_np[r]) for r, e in blocks) or 1, 512))
-    rows_cap = int(round_up(max(e - r for r, e in blocks), 8))
     cb = _col_block_width(n, k, cfg)
+    # device ELL budget: rows_pad * rmax * cb * 4 B gather intermediate
+    entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (cb * 4)))
     cache = ctx.scheduler().cache
     idt = a.ja.dtype
     vdt = a.vals.dtype
@@ -109,22 +108,27 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
             if cfg.debug_checks:
                 from .csr import verify_csr_block
                 verify_csr_block(ia_np[r:e + 1], ja_blk, k, nnz_b)
-            row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
-            ja_p = sdev.pad_to_cap(
-                ja_blk.astype(np.int32, copy=False), nnz_cap)
-            va_p = sdev.pad_to_cap(va_blk, nnz_cap)
-            ri_p = sdev.pad_to_cap(row_ids, nnz_cap, fill=rows_cap - 1)
+            counts = np.diff(ia_np[r:e + 1])
+            outs = []
+            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                sub_ia = ia_np[r + s0:r + s1 + 1]
+                lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
+                ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
+                                             va_blk[lo:hi])
+                out = sdev.spmm_ell_block(b_panel, jnp.asarray(ja_ell),
+                                          jnp.asarray(va_ell))
+                outs.append((s0, s1, out))
             pf.done(2 * bi)
             pf.done(2 * bi + 1)
 
-            out = sdev.spmm_block(b_panel, jnp.asarray(ja_p),
-                                  jnp.asarray(va_p), jnp.asarray(ri_p),
-                                  rows_cap=rows_cap)
             # alpha/beta on host: block shapes vary per row block, and
             # eager device ops would compile one kernel per shape
-            c_np = alpha * np.asarray(out)[:rows_b, :bc]
+            c_np = np.empty((rows_b, bc), vdt)
+            for s0, s1, out in outs:
+                c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+            c_np *= alpha
             if beta != 0.0:
-                c_np = c_np + beta * c.read_block(r, rows_b, c0, bc)
+                c_np += beta * c.read_block(r, rows_b, c0, bc)
             c_np = np.ascontiguousarray(c_np, dtype=vdt)
             if c.order == "R":
                 write_tickets.append(c.write_block_storage_async(

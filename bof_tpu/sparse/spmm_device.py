@@ -21,35 +21,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("rows_cap",))
-def spmm_block(b_panel, ja, vals, row_ids, *, rows_cap: int):
-    """(rows_cap, cb) = sum over nnz of vals * B[ja] grouped by row."""
-    g = jnp.take(b_panel, ja, axis=0)          # (nnz_cap, cb)
-    contrib = vals[:, None] * g
-    return jax.ops.segment_sum(contrib, row_ids, num_segments=rows_cap)
+@jax.jit
+def spmm_ell_block(b_panel, ja_ell, va_ell):
+    """(rows, cb) = sum_r va_ell[row, r] * B[ja_ell[row, r]].
+
+    ELL-blocked SpMM: rows padded to the block's max row length, so the
+    row reduction is a *dense* sum over the R axis — gather + VPU
+    multiply-add, no scatter.  XLA's scatter-add (segment_sum) serializes
+    on TPU; this formulation is the TPU-native SpMM shape (SURVEY §7
+    hard-parts (b): "nnz-budgeted row blocks + gather-based kernel, ELL
+    padding fallback" — ELL is the primary path, it benches ~2 orders
+    faster than scatter at millions of nnz).
+    ja_ell/va_ell: (rows_cap, rmax); padding entries have va == 0.
+    """
+    g = jnp.take(b_panel, ja_ell.reshape(-1), axis=0)
+    g = g.reshape(ja_ell.shape + (b_panel.shape[1],))   # (rows, rmax, cb)
+    return jnp.einsum("re,rec->rc", va_ell, g,
+                      preferred_element_type=b_panel.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("rows_cap",))
-def spmv_block(x, ja, vals, row_ids, *, rows_cap: int):
-    """y_blk[r] = sum vals * x[ja] grouped by row (csrgemv 'N')."""
-    contrib = vals * jnp.take(x, ja)
-    return jax.ops.segment_sum(contrib, row_ids, num_segments=rows_cap)
-
-
-@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
-def spmv_t_block(y, x_rows, ja, vals, row_ids, *, k: int):
-    """y += A_blk^T x_blk: scatter contributions over columns
-    (csrgemv 'T'; the reference accumulates per-block partials under a
-    mutex, csrgemv_task.h:169-176 — here XLA dataflow serializes the
-    donated accumulator)."""
-    contrib = vals * jnp.take(x_rows, row_ids)
-    return y + jax.ops.segment_sum(contrib, ja, num_segments=k)
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def axpby_rows(c_blk, out_rows, alpha, beta):
-    """C_rows = alpha*out_rows + beta*C_rows."""
-    return beta.astype(c_blk.dtype) * c_blk + alpha.astype(c_blk.dtype) * out_rows
+@jax.jit
+def spmv_ell_block(x, ja_ell, va_ell):
+    """y_blk[row] = sum_r va_ell[row, r] * x[ja_ell[row, r]] (csrgemv 'N')."""
+    g = jnp.take(x, ja_ell.reshape(-1)).reshape(ja_ell.shape)
+    return jnp.sum(va_ell * g, axis=1)
 
 
 def pad_to_cap(arr: np.ndarray, cap: int, fill=0):
@@ -64,3 +59,55 @@ def expand_row_ids(ia_blk: np.ndarray, r0: int) -> np.ndarray:
     """Per-nnz local row ids from an offsets slice ia[r0..r1]."""
     counts = np.diff(ia_blk)
     return np.repeat(np.arange(len(counts), dtype=np.int32), counts)
+
+
+def _round_up_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray):
+    """Convert a CSR row block to padded ELL (reference stores blocks CSR
+    and calls MKL per block, csrmm_task.h; the ELL layout is the
+    TPU-friendly equivalent).  Returns (ja_ell, va_ell) of shape
+    (rows_pad, rmax) — both power-of-two bucketed so only O(log^2) kernel
+    shapes ever compile.  Padding entries: ja=0, va=0 (contribute
+    nothing)."""
+    counts = np.diff(ia_blk).astype(np.int64)
+    rows = len(counts)
+    rmax = max(1, _round_up_pow2(int(counts.max()) if rows else 1))
+    rows_pad = max(8, _round_up_pow2(rows))
+    base = int(ia_blk[0])
+    starts = (ia_blk[:-1] - base)[:, None]
+    slots = np.arange(rmax, dtype=np.int64)[None, :]
+    idx = np.minimum(starts + slots, max(len(ja_blk) - 1, 0))
+    mask = slots < counts[:, None]
+    ja_ell = np.zeros((rows_pad, rmax), np.int32)
+    va_ell = np.zeros((rows_pad, rmax), va_blk.dtype)
+    if len(ja_blk):
+        ja_ell[:rows] = np.where(mask, ja_blk[idx], 0).astype(np.int32)
+        va_ell[:rows] = np.where(mask, va_blk[idx], 0)
+    return ja_ell, va_ell
+
+
+def ell_row_ranges(counts: np.ndarray, entry_cap: int):
+    """Split rows [0, len(counts)) into ranges whose padded ELL size
+    (rows_pad * rmax_pad) stays under entry_cap — bounds device memory
+    for skewed blocks (a mega-row gets a range of its own)."""
+    n = len(counts)
+    ranges = []
+    s = 0
+    cur_max = 1
+    for r in range(n):
+        c = max(1, int(counts[r]))
+        new_max = max(cur_max, c)
+        rows = r - s + 1
+        if (rows > 1 and _round_up_pow2(rows) * _round_up_pow2(new_max)
+                > entry_cap):
+            ranges.append((s, r))
+            s = r
+            cur_max = c
+        else:
+            cur_max = new_max
+    if s < n or not ranges:
+        ranges.append((s, n))
+    return ranges

@@ -149,12 +149,16 @@ struct IntervalLocks {
 // ----------------------------------------------------------------- engine
 struct Op {
   int fd;
-  int64_t off;
-  int64_t len;
-  char* buf;
+  int64_t off;       // file offset of the first run
+  int64_t len;       // bytes per run
+  char* buf;         // contiguous buffer side
   bool is_write;
   bool o_direct;
   TicketSlot* slot;
+  // strided batching: n_runs runs of `len` bytes, `stride` apart in the
+  // file, contiguous in buf.  n_runs==1 == plain contiguous op.
+  int64_t stride = 0;
+  int64_t n_runs = 1;
 };
 
 struct Engine {
@@ -285,13 +289,17 @@ void Engine::worker() {
       op = q.front();
       q.pop_front();
     }
-    int e;
-    if (op.is_write)
-      e = op.o_direct ? direct_write(this, op.fd, op.buf, op.len, op.off)
-                      : full_pwrite(op.fd, op.buf, op.len, op.off);
-    else
-      e = op.o_direct ? direct_read(op.fd, op.buf, op.len, op.off)
-                      : full_pread(op.fd, op.buf, op.len, op.off);
+    int e = 0;
+    for (int64_t r = 0; r < op.n_runs && !e; ++r) {
+      int64_t fo = op.off + r * op.stride;
+      char* bp = op.buf + r * op.len;
+      if (op.is_write)
+        e = op.o_direct ? direct_write(this, op.fd, bp, op.len, fo)
+                        : full_pwrite(op.fd, bp, op.len, fo);
+      else
+        e = op.o_direct ? direct_read(op.fd, bp, op.len, fo)
+                        : full_pread(op.fd, bp, op.len, fo);
+    }
     tickets.op_done(op.slot, e);
   }
 }
@@ -371,11 +379,22 @@ long long bof_submit(long long fd, long long offset, long long stride,
     auto it = g_engine->fd_direct.find((int)fd);
     if (it != g_engine->fd_direct.end()) o_direct = it->second;
   }
-  // Count ops: per stride run, split at max_chunk.
-  int64_t n_ops = 0;
-  for (int64_t i = 0; i < n_strides; ++i)
-    n_ops += (len_per_stride + max_chunk - 1) / max_chunk;
-  if (n_ops == 0) {
+  // Batch small runs: group consecutive strides into one worker op of
+  // >= kMinOpBytes so tiny-stride panels (e.g. column blocks of row-major
+  // matrices) don't flood the queue with microscopic ops.  Large runs are
+  // split at max_chunk as before.
+  constexpr int64_t kMinOpBytes = 1 << 20;
+  int64_t group = 1;
+  if (n_strides > 1 && len_per_stride < kMinOpBytes)
+    group = std::min<int64_t>(n_strides,
+                              (kMinOpBytes + len_per_stride - 1)
+                                  / len_per_stride);
+  int64_t per_group_ops =
+      (len_per_stride <= max_chunk)
+          ? 1
+          : (len_per_stride + max_chunk - 1) / max_chunk;
+  int64_t n_ops = ((n_strides + group - 1) / group) * per_group_ops;
+  if (n_strides == 0 || len_per_stride == 0) {
     int64_t id = g_engine->tickets.acquire(1);
     g_engine->tickets.op_done(g_engine->tickets.get(id), 0);
     return id;
@@ -383,17 +402,24 @@ long long bof_submit(long long fd, long long offset, long long stride,
   int64_t id = g_engine->tickets.acquire(n_ops);
   TicketSlot* slot = g_engine->tickets.get(id);
   char* base = (char*)buf;
-  for (int64_t i = 0; i < n_strides; ++i) {
+  for (int64_t i = 0; i < n_strides; i += group) {
+    int64_t runs = std::min<int64_t>(group, n_strides - i);
     int64_t fo = offset + i * stride;
-    int64_t bo = i * len_per_stride;
-    int64_t ln = len_per_stride;
-    while (ln > 0) {
-      int64_t c = ln < max_chunk ? ln : max_chunk;
-      g_engine->push(Op{(int)fd, fo, c, base + bo, is_write != 0, o_direct,
-                        slot});
-      fo += c;
-      bo += c;
-      ln -= c;
+    char* bp = base + i * len_per_stride;
+    if (len_per_stride <= max_chunk) {
+      g_engine->push(Op{(int)fd, fo, len_per_stride, bp, is_write != 0,
+                        o_direct, slot, stride, runs});
+    } else {
+      // big run: split it (group==1 here since len >= kMinOpBytes)
+      int64_t ln = len_per_stride;
+      int64_t co = 0;
+      while (ln > 0) {
+        int64_t c = ln < max_chunk ? ln : max_chunk;
+        g_engine->push(Op{(int)fd, fo + co, c, bp + co, is_write != 0,
+                          o_direct, slot, 0, 1});
+        co += c;
+        ln -= c;
+      }
     }
   }
   return id;
