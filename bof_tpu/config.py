@@ -46,6 +46,9 @@ class FlashConfig:
     max_nnzs: int = 1 << 26            # nnz budget per CSR row block
     csrmm_cblk_size: int = 4096        # column block width for csrmm
     csrgemv_blk_size: int = 1 << 20    # rows per csrgemv block
+    sparse_compute: str = "device"     # "device" (ELL on TPU) | "host"
+    #   "host" runs block products on CPU (scipy) — the reference's
+    #   execution model, and faster when the host<->device link is thin
 
     # ---- lib funcs (reference: MAP_BLK_SIZE, REDUCE_BLK_SIZE, SORT) ----
     map_blk_elems: int = 1 << 24       # elements per map/reduce block

@@ -25,12 +25,26 @@ import numpy as np
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Tuple[str, str] = ("x", "y")):
-    """Build a near-square 2-D mesh over the first n_devices."""
+    """Build a near-square 2-D mesh over the first n_devices.  If the
+    default backend has too few devices (e.g. a single attached chip) but
+    the host platform was configured with virtual CPU devices
+    (--xla_force_host_platform_device_count), fall back to those."""
     import jax
     from jax.sharding import Mesh
 
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n:
+            devs = cpu
+        else:
+            raise ValueError(
+                f"need {n} devices; have {len(devs)} on "
+                f"{jax.default_backend()} and {len(cpu)} cpu")
     devs = devs[:n]
     px = 1
     for cand in range(int(np.sqrt(n)), 0, -1):

@@ -86,17 +86,23 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
         seq_accesses.append(((a.ja.store, ja_off, ja_sin),
                              (a.vals.store, va_off, va_sin)))
 
+    host_compute = cfg.sparse_compute == "host"
     write_tickets = []
     for c0 in range(0, n, cb):
         bc = min(cb, n - c0)
-        # B column panel on device, shaped (k, cb); pad last panel
+        # B column panel, shaped (k, cb); pad last panel
         b_host = b.read_block_storage(0, k, c0, bc)
-        if b.order == "C":
-            b_panel = jnp.asarray(b_host).T  # (k, bc) via device transpose
+        if host_compute:
+            b_panel_np = (b_host if b.order == "R"
+                          else np.ascontiguousarray(b_host.T))
+            b_panel = None
         else:
-            b_panel = jnp.asarray(b_host)
-        if bc < cb:
-            b_panel = jnp.pad(b_panel, ((0, 0), (0, cb - bc)))
+            if b.order == "C":
+                b_panel = jnp.asarray(b_host).T  # (k, bc) device transpose
+            else:
+                b_panel = jnp.asarray(b_host)
+            if bc < cb:
+                b_panel = jnp.pad(b_panel, ((0, 0), (0, cb - bc)))
 
         flat = [acc for pair in seq_accesses for acc in pair]
         pf = PrefetchSeq(cache, flat, depth=2 * cfg.pipeline_depth)
@@ -108,24 +114,32 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
             if cfg.debug_checks:
                 from .csr import verify_csr_block
                 verify_csr_block(ia_np[r:e + 1], ja_blk, k, nnz_b)
-            counts = np.diff(ia_np[r:e + 1])
-            outs = []
-            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                sub_ia = ia_np[r + s0:r + s1 + 1]
-                lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
-                ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
-                                             va_blk[lo:hi])
-                out = sdev.spmm_ell_block(b_panel, jnp.asarray(ja_ell),
-                                          jnp.asarray(va_ell))
-                outs.append((s0, s1, out))
+            c_np = np.empty((rows_b, bc), vdt)
+            if host_compute:
+                # reference-style CPU block product (scipy = MKL's role)
+                import scipy.sparse as sps
+                blk_sp = sps.csr_matrix(
+                    (va_blk, ja_blk.astype(np.int64),
+                     (ia_np[r:e + 1] - i0).astype(np.int64)),
+                    shape=(rows_b, k))
+                c_np[:] = blk_sp @ b_panel_np
+            else:
+                counts = np.diff(ia_np[r:e + 1])
+                outs = []
+                for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                    sub_ia = ia_np[r + s0:r + s1 + 1]
+                    lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
+                    ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
+                                                 va_blk[lo:hi])
+                    out = sdev.spmm_ell_block(b_panel, jnp.asarray(ja_ell),
+                                              jnp.asarray(va_ell))
+                    outs.append((s0, s1, out))
+                # alpha/beta on host: block shapes vary per row block, and
+                # eager device ops would compile one kernel per shape
+                for s0, s1, out in outs:
+                    c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
             pf.done(2 * bi)
             pf.done(2 * bi + 1)
-
-            # alpha/beta on host: block shapes vary per row block, and
-            # eager device ops would compile one kernel per shape
-            c_np = np.empty((rows_b, bc), vdt)
-            for s0, s1, out in outs:
-                c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
             c_np *= alpha
             if beta != 0.0:
                 c_np += beta * c.read_block(r, rows_b, c0, bc)

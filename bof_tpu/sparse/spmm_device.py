@@ -36,8 +36,9 @@ def spmm_ell_block(b_panel, ja_ell, va_ell):
     """
     g = jnp.take(b_panel, ja_ell.reshape(-1), axis=0)
     g = g.reshape(ja_ell.shape + (b_panel.shape[1],))   # (rows, rmax, cb)
-    return jnp.einsum("re,rec->rc", va_ell, g,
-                      preferred_element_type=b_panel.dtype)
+    # explicit multiply + reduce (VPU): an einsum here would lower to a
+    # rows-batched matmul, which compiles/executes poorly at 10k+ batches
+    return jnp.sum(va_ell[:, :, None] * g, axis=1)
 
 
 @jax.jit

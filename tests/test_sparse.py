@@ -133,3 +133,20 @@ def test_csrcsc_rows_sorted_within_columns(ctx, rng):
     for c in range(At.shape[0]):
         seg = ja[ia[c]:ia[c + 1]]
         assert np.all(np.diff(seg) > 0)
+
+
+def test_csrmm_host_compute(ctx, rng):
+    """sparse_compute='host' runs block products on CPU (reference model)."""
+    small_cfg(ctx)
+    ctx.config.sparse_compute = "host"
+    m, k, n = 200, 150, 48
+    a_sp = rand_csr(rng, m, k, 0.03)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    B = mem_array((k, n), np.float32, "R", data=b_np, ctx=ctx)
+    C = mem_array((m, n), np.float32, "R", ctx=ctx)
+    csrmm(A, B, C, alpha=2.0, beta=0.25,
+          ctx=ctx)
+    c0 = np.zeros((m, n), np.float32)
+    want = 2.0 * (a_sp @ b_np) + 0.25 * c0
+    np.testing.assert_allclose(C.read_all(), want, rtol=1e-4, atol=1e-4)
