@@ -152,15 +152,21 @@ class Scheduler:
 
     # ------------------------------------------------------------ threads
     def _sched_loop(self):
+        # adaptive idle backoff (reference sleeps 50-100 ms adaptively,
+        # scheduler.cpp:204-212; we start at 2 ms and decay when idle)
+        idle_wait = 0.002
         while True:
-            self._wake.wait(timeout=0.002)
+            woke = self._wake.wait(timeout=idle_wait)
             self._wake.clear()
             with self._lock:
                 if self._shutdown:
                     return
             progressed = True
+            any_progress = woke
             while progressed:
                 progressed = self._sched_round()
+                any_progress = any_progress or progressed
+            idle_wait = 0.002 if any_progress else min(idle_wait * 2, 0.1)
 
     def _sched_round(self) -> bool:
         progressed = False

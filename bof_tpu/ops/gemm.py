@@ -52,8 +52,10 @@ class HbmCache:
 
     def put(self, key, arr, nbytes: int):
         while self._used + nbytes > self.budget and self._map:
-            _, (old, nb) = self._map.popitem(last=False)
-            old.delete()
+            # drop the reference only — consumers queued in the pipeline
+            # may still hold the array; refcounting frees device memory
+            # as soon as the last user finishes
+            _, (_old, nb) = self._map.popitem(last=False)
             self._used -= nb
         self._map[key] = (arr, nbytes)
         self._used += nbytes
@@ -61,8 +63,6 @@ class HbmCache:
         return arr
 
     def clear(self):
-        for arr, _ in self._map.values():
-            arr.delete()
         self._map.clear()
         self._used = 0
 
@@ -139,10 +139,27 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     hbm = HbmCache(cfg.hbm_budget)
     depth = max(1, cfg.pipeline_depth)
 
-    # Execution schedule: j outer / i middle / l inner — B's (l,j) panel is
-    # reused across all i from host+HBM cache before moving to the next j.
-    steps = [(i, j, l) for j in range(nB) for i in range(mB)
-             for l in range(kB)]
+    # HBM-aware group schedule: partition the j space into groups whose
+    # whole B panel set (G * kB tiles) plus G live C accumulators fits the
+    # HBM budget, then sweep  jg -> i -> l -> j∈jg.  Within a group, every
+    # B tile crosses host->HBM once (resident across all i), and each
+    # A(i,l) tile is fetched once per group sweep and reused for all G
+    # accumulations.  Total host->HBM traffic ≈ |B| + |A| * n_groups —
+    # the compile-time analog of the reference Prioritizer's
+    # minimum-bytes-to-fetch objective, applied at the HBM tier.
+    tile_bytes = sb * sb * np.dtype(c.dtype).itemsize
+    spare = max(cfg.hbm_budget * 0.6 - 2 * depth * tile_bytes, tile_bytes)
+    G = int(max(1, min(nB, spare // (kB * tile_bytes + tile_bytes))))
+    groups = [list(range(g, min(g + G, nB))) for g in range(0, nB, G)]
+    if G >= nB and (nB * kB + mB * kB) * tile_bytes <= spare:
+        # whole A and B tile sets fit the HBM budget: the j-outer order
+        # transfers each tile once via the LRU and spreads C write-backs
+        # evenly (better link overlap than group bursts)
+        steps = [(i, j, l) for j in range(nB) for i in range(mB)
+                 for l in range(kB)]
+    else:
+        steps = [(i, j, l) for jg in groups for i in range(mB)
+                 for l in range(kB) for j in jg]
 
     def tile_dims(i, j, l):
         return min(sb, m - i * sb), min(sb, n - j * sb), min(sb, k - l * sb)
@@ -233,7 +250,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     prod_t.start()
     writ_t.start()
 
-    c_dev = None
+    c_live: dict = {}  # j -> device accumulator for the current i sweep
     alpha_s = np.dtype(c.dtype).type(alpha)
     beta_s = np.dtype(c.dtype).type(beta)
     for idx, (i, j, l) in enumerate(steps):
@@ -243,20 +260,21 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         a_dev, b_dev, c_init = item
         bi, bj, bl = tile_dims(i, j, l)
         if l == 0:
-            c_dev = (dev.scale_init(c_init, beta_s) if c_init is not None
-                     else dev.zeros_block(c_full_storage, c.dtype))
-        c_dev = dev.accum_step(c_dev, a_dev, b_dev, alpha_s,
-                               a_km=a_km, b_nk=b_nk, c_nm=c_nm, prec=prec,
-                               impl=impl)
+            c_live[j] = (dev.scale_init(c_init, beta_s)
+                         if c_init is not None
+                         else dev.zeros_block(c_full_storage, c.dtype))
+        c_live[j] = dev.accum_step(c_live[j], a_dev, b_dev, alpha_s,
+                                   a_km=a_km, b_nk=b_nk, c_nm=c_nm,
+                                   prec=prec, impl=impl)
         if l == kB - 1:
             # timeout-put so a dead writer can't deadlock the loop
+            done_c = c_live.pop(j)
             while not errors:
                 try:
-                    write_q.put((i, j, bi, bj, c_dev), timeout=1.0)
+                    write_q.put((i, j, bi, bj, done_c), timeout=1.0)
                     break
                 except queue.Full:
                     continue
-            c_dev = None
         if errors:
             break
     while not errors:

@@ -100,3 +100,10 @@ def test_shape_validation(ctx, rng):
     C = mem_array((4, 7), np.float32, ctx=ctx)
     with pytest.raises(ValueError):
         gemm(A, B, C, ctx=ctx)
+
+
+def test_grouped_schedule_small_hbm(ctx, rng):
+    """Force G=1 groups (tiny HBM budget): operands >> HBM-tier budget."""
+    ctx.config.hbm_budget = 1  # forces minimum group width and LRU churn
+    ctx.config.pipeline_depth = 2
+    run_config(ctx, rng, "R", "N", "N", beta=0.4, m=80, n=96, k=64, blk=16)
