@@ -17,6 +17,8 @@ asynchronously.
 """
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Optional
 
 import numpy as np
@@ -106,51 +108,99 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
 
         flat = [acc for pair in seq_accesses for acc in pair]
         pf = PrefetchSeq(cache, flat, depth=2 * cfg.pipeline_depth)
-        for bi, (r, e) in enumerate(blocks):
-            i0, i1 = int(ia_np[r]), int(ia_np[e])
-            nnz_b, rows_b = i1 - i0, e - r
-            ja_blk = pf.get(2 * bi).view(idt)
-            va_blk = pf.get(2 * bi + 1).view(vdt)
-            if cfg.debug_checks:
-                from .csr import verify_csr_block
-                verify_csr_block(ia_np[r:e + 1], ja_blk, k, nnz_b)
-            c_np = np.empty((rows_b, bc), vdt)
-            if host_compute:
-                # reference-style CPU block product (scipy = MKL's role)
-                import scipy.sparse as sps
-                blk_sp = sps.csr_matrix(
-                    (va_blk, ja_blk.astype(np.int64),
-                     (ia_np[r:e + 1] - i0).astype(np.int64)),
-                    shape=(rows_b, k))
-                c_np[:] = blk_sp @ b_panel_np
-            else:
-                counts = np.diff(ia_np[r:e + 1])
-                outs = []
-                for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                    sub_ia = ia_np[r + s0:r + s1 + 1]
-                    lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
-                    ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
-                                                 va_blk[lo:hi])
-                    out = sdev.spmm_ell_block(b_panel, jnp.asarray(ja_ell),
-                                              jnp.asarray(va_ell))
-                    outs.append((s0, s1, out))
-                # alpha/beta on host: block shapes vary per row block, and
-                # eager device ops would compile one kernel per shape
-                for s0, s1, out in outs:
-                    c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
-            pf.done(2 * bi)
-            pf.done(2 * bi + 1)
-            c_np *= alpha
-            if beta != 0.0:
-                c_np += beta * c.read_block(r, rows_b, c0, bc)
-            c_np = np.ascontiguousarray(c_np, dtype=vdt)
-            if c.order == "R":
-                write_tickets.append(c.write_block_storage_async(
-                    r, c0, rows_b, bc, c_np))
-            else:
-                write_tickets.append(c.write_block_storage_async(
-                    r, c0, rows_b, bc, np.ascontiguousarray(c_np.T)))
+
+        # 3-stage pipeline per column panel (mirrors ops/gemm.py):
+        # producer: disk tiles -> ELL prep (CPU) -> H2D + dispatch
+        # writer: D2H of results -> alpha/beta -> async disk write
+        out_q: queue.Queue = queue.Queue(maxsize=max(2, cfg.pipeline_depth))
+        errors: list = []
+
+        def producer():
+            try:
+                for bi, (r, e) in enumerate(blocks):
+                    i0, i1 = int(ia_np[r]), int(ia_np[e])
+                    nnz_b, rows_b = i1 - i0, e - r
+                    ja_blk = pf.get(2 * bi).view(idt)
+                    va_blk = pf.get(2 * bi + 1).view(vdt)
+                    if cfg.debug_checks:
+                        from .csr import verify_csr_block
+                        verify_csr_block(ia_np[r:e + 1], ja_blk, k, nnz_b)
+                    if host_compute:
+                        import scipy.sparse as sps
+                        blk_sp = sps.csr_matrix(
+                            (va_blk, ja_blk.astype(np.int64),
+                             (ia_np[r:e + 1] - i0).astype(np.int64)),
+                            shape=(rows_b, k))
+                        # reference-style CPU block product (MKL's role)
+                        outs = [(0, rows_b, blk_sp @ b_panel_np)]
+                    else:
+                        counts = np.diff(ia_np[r:e + 1])
+                        outs = []
+                        for (s0, s1) in sdev.ell_row_ranges(counts,
+                                                            entry_cap):
+                            sub_ia = ia_np[r + s0:r + s1 + 1]
+                            lo = int(sub_ia[0] - i0)
+                            hi = int(sub_ia[-1] - i0)
+                            ja_ell, va_ell = sdev.to_ell(
+                                sub_ia, ja_blk[lo:hi], va_blk[lo:hi])
+                            out = sdev.spmm_ell_block(
+                                b_panel, jnp.asarray(ja_ell),
+                                jnp.asarray(va_ell))
+                            outs.append((s0, s1, out))
+                    pf.done(2 * bi)
+                    pf.done(2 * bi + 1)
+                    while not errors:  # timeout-put: dead writer can't hang us
+                        try:
+                            out_q.put((r, rows_b, outs), timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
+                    if errors:
+                        break
+                while True:
+                    try:
+                        out_q.put(None, timeout=1.0)
+                        break
+                    except queue.Full:
+                        if errors:
+                            break
+            except BaseException as e:  # pragma: no cover
+                errors.append(e)
+                try:
+                    out_q.put_nowait(None)
+                except queue.Full:
+                    pass
+
+        def writer():
+            try:
+                while True:
+                    item = out_q.get()
+                    if item is None:
+                        break
+                    r, rows_b, outs = item
+                    c_np = np.empty((rows_b, bc), vdt)
+                    for s0, s1, out in outs:
+                        c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                    c_np *= alpha
+                    if beta != 0.0:
+                        c_np += beta * c.read_block(r, rows_b, c0, bc)
+                    c_np = np.ascontiguousarray(c_np, dtype=vdt)
+                    if c.order != "R":
+                        c_np = np.ascontiguousarray(c_np.T)
+                    write_tickets.append(c.write_block_storage_async(
+                        r, c0, rows_b, bc, c_np))
+            except BaseException as e:  # pragma: no cover
+                errors.append(e)
+
+        prod_t = threading.Thread(target=producer, daemon=True)
+        writ_t = threading.Thread(target=writer, daemon=True)
+        prod_t.start()
+        writ_t.start()
+        prod_t.join()
+        writ_t.join()
         pf.close()
+        if errors:
+            raise errors[0]
 
     for t in write_tickets:
         t.wait()
