@@ -17,7 +17,7 @@ from typing import Optional
 
 from .config import DEFAULT_CONFIG, FlashConfig
 from .io.pystore import PyFileStore, PyIoPool
-from .io.store import BaseStore, MemStore
+from .io.store import BaseStore
 from .utils import LOG
 
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..io.native import alloc_aligned
 from ..io.store import Ticket
-from ..utils import LOG, METRICS
+from ..utils import METRICS
 from .task import Task, TaskStatus, access_key
 
 

@@ -156,6 +156,22 @@ class FlashArray:
         return self.store.write(off, sinfo, flat)
 
     # ------------------------------------------------------------- views
+    def as_memmap(self, mode: str = "r+") -> np.ndarray:
+        """Memory-mapped raw view for direct host access (reference:
+        map_file also mmaps the file so get_raw_ptr() works outside the
+        scheduler, allocator.h:19-45; the kmeans driver argmins through
+        it, drivers/kmeans.cpp:94-99).  File-backed stores only; the
+        caller must not mix mmap writes with in-flight scheduler writes
+        to the same region."""
+        path = getattr(self.store, "path", None)
+        if path is None:
+            raise TypeError("as_memmap needs a file-backed store")
+        mm = np.memmap(path, dtype=self.dtype, mode=mode,
+                       offset=self.offset,
+                       shape=self._block_shape_storage(*self.shape)
+                       if len(self.shape) == 2 else self.shape)
+        return mm.T if (len(self.shape) == 2 and self.order == "C") else mm
+
     def vec_view(self, start: int, n: int) -> "FlashArray":
         """1-D sub-view (flash_ptr + offset arithmetic analog)."""
         if len(self.shape) != 1:

@@ -7,8 +7,7 @@ prefetch pipeline (the Prioritizer+backlog machinery services the pins).
 """
 from __future__ import annotations
 
-import collections
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

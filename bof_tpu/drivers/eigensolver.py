@@ -1,0 +1,32 @@
+"""Out-of-core spectral solver driver (the paper's flagship application:
+block eigensolver over bag-of-words CSR matrices, NSDI'19 §5 Table 4).
+
+    python -m bof_tpu.drivers.eigensolver A_prefix m k n_vals [--iters 12]
+"""
+from __future__ import annotations
+
+from ..apps import block_power_svd
+from ..sparse import CsrFlashMatrix
+from ._common import Timed, base_parser, make_context
+
+
+def main(argv=None):
+    p = base_parser(__doc__)
+    p.add_argument("a_prefix")
+    p.add_argument("m", type=int)
+    p.add_argument("k", type=int)
+    p.add_argument("n_vals", type=int)
+    p.add_argument("--iters", type=int, default=12)
+    args = p.parse_args(argv)
+    ctx = make_context(args)
+    A = CsrFlashMatrix.map_files(args.a_prefix, (args.m, args.k), ctx=ctx)
+    with Timed("eigensolver",
+               flops=4.0 * A.nnz * args.n_vals * args.iters):
+        sigma, _v = block_power_svd(A, args.n_vals, n_iters=args.iters,
+                                    ctx=ctx)
+    print("singular values:", " ".join(f"{s:.6g}" for s in sigma))
+    ctx.destroy()
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,6 @@ import numpy as np
 
 from .core.flash_array import FlashArray
 from .io.stride import StrideInfo
-from .utils import cdiv
 
 _CHUNK = 64 << 20  # stream granularity in bytes
 

@@ -10,9 +10,9 @@ TPU-first shape: the reference materializes the (points x centers)
 distance matrix on disk, then argmins it in a second pass through mmap
 (drivers/kmeans.cpp:94-99).  Here the whole Lloyd step is fused on device:
 for each streamed point block we compute -2 P C^T + |c|^2 on the MXU,
-argmin it, and accumulate per-center sums/counts with a segment-sum —
-per-block distances never leave HBM, so a full iteration makes exactly one
-pass over the points.  (|p|^2 is constant per point and omitted from the
+argmin it, and accumulate per-center sums/counts with a one-hot MXU
+matmul (scatter-free) — per-block distances never leave HBM, so a full
+iteration makes exactly one pass over the points.  (|p|^2 is constant per point and omitted from the
 argmin; it is added only to report inertia.)
 """
 from __future__ import annotations
@@ -25,7 +25,7 @@ import numpy as np
 from ..context import get_context
 from ..core.flash_array import FlashArray
 from ..core.pipeline import PrefetchSeq
-from ..utils import LOG, Timer, cdiv
+from ..utils import LOG, Timer
 
 
 def _jit_steps():

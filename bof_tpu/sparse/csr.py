@@ -79,8 +79,6 @@ class CsrFlashMatrix:
             ia.write_all(ia_np)
             ja.write_all(ja_np)
             va.write_all(va_np)
-        if backing == "mem":
-            pass
         return cls(ia, ja, va, (m, k))
 
     @classmethod

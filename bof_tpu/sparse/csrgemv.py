@@ -10,7 +10,7 @@ replacing the reference's mutex-guarded OpenMP accumulation
 """
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
 import numpy as np
 

@@ -14,8 +14,6 @@ Padding rows carry vals == 0 and row_id == rows_cap-1, contributing nothing.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -116,3 +116,12 @@ def test_gemm_run_harness(scratch):
     r = run_driver("gemm_run", "--m", 96, "--n", 64, "--k", 80,
                    "--blk", 32, "--scratch", scratch)
     assert "ALL PASS" in r.stdout
+
+
+def test_eigensolver_driver(tmp_path, scratch):
+    m, k = 150, 90
+    prefix = str(tmp_path / "E")
+    run_driver("sparse_create", prefix, m, k, 4.0)
+    r = run_driver("eigensolver", prefix, m, k, 3, "--iters", 15,
+                   "--scratch", scratch)
+    assert "singular values:" in r.stdout

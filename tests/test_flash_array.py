@@ -62,3 +62,26 @@ def test_1d_vec_view(ctx):
     v = arr.vec_view(10, 20)
     np.testing.assert_array_equal(v.read_all(),
                                   np.arange(10, 30, dtype=np.int32))
+
+
+def test_as_memmap_raw_access(ctx, tmp_path, rng):
+    """get_raw_ptr analog: direct mmap host access to a file array."""
+    import numpy as np
+    from bof_tpu import map_array
+    ref = rng.standard_normal((20, 12)).astype(np.float32)
+    arr = map_array(str(tmp_path / "mm.bin"), (20, 12), np.float32, "R",
+                    create=True, ctx=ctx)
+    arr.write_all(ref)
+    arr.store.flush()
+    mm = arr.as_memmap()
+    np.testing.assert_array_equal(np.asarray(mm), ref)
+    mm[3, 4] = 42.0
+    mm.flush()
+    assert arr.read_block(3, 1, 4, 1)[0, 0] == 42.0
+    # column-major view transposes correctly
+    arr_c = map_array(str(tmp_path / "mmc.bin"), (7, 9), np.float32, "C",
+                      create=True, ctx=ctx)
+    arr_c.write_all(ref[:7, :9])
+    arr_c.store.flush()
+    np.testing.assert_array_equal(np.asarray(arr_c.as_memmap()),
+                                  ref[:7, :9])
