@@ -1,4 +1,5 @@
+from .kmeans_dp import dp_lloyd_step, lloyds_iter_sharded
 from .mesh import gemm_sharded, make_mesh, sharded_accum_step, sharding_for
 
-__all__ = ["gemm_sharded", "make_mesh", "sharded_accum_step",
-           "sharding_for"]
+__all__ = ["dp_lloyd_step", "lloyds_iter_sharded", "gemm_sharded",
+           "make_mesh", "sharded_accum_step", "sharding_for"]

@@ -61,3 +61,19 @@ def test_mesh_shapes():
     assert mesh.axis_names == ("x", "y")
     mesh6 = make_mesh(6)
     assert int(np.prod(mesh6.devices.shape)) == 6
+
+
+def test_dp_lloyd_matches_single_device(ctx, rng):
+    from bof_tpu.ops.kmeans import kmeans_in_mem
+    from bof_tpu.parallel import lloyds_iter_sharded, make_mesh
+
+    need_devices(8)
+    mesh = make_mesh(8)
+    n, d, k = 1003, 16, 5  # deliberately not divisible by 8
+    pts = rng.standard_normal((n, d)).astype(np.float32)
+    c0 = pts[:k].copy()
+    got_c, got_inertia, counts = lloyds_iter_sharded(pts, c0, mesh=mesh)
+    want_c, want_inertia = kmeans_in_mem(pts, c0, n_iters=1)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_inertia, want_inertia, rtol=1e-3)
+    assert counts.sum() == n
