@@ -179,6 +179,20 @@ class FlashArray:
         return FlashArray(self.store, (n,), self.dtype, "R",
                           self.offset + start * self.itemsize, ctx=self.ctx)
 
+    def ravel_view(self) -> "FlashArray":
+        """Flat 1-D view over a densely-stored array (no ld padding) —
+        lets the 1-D streaming ops (map/reduce/sort) run over matrices,
+        like the reference's elementwise lib funcs over flash_ptr<T>."""
+        if len(self.shape) == 1:
+            return self
+        dense_ld = self.shape[1] if self.order == "R" else self.shape[0]
+        if self.ld != dense_ld:
+            raise ValueError("ravel_view needs a densely-stored array "
+                             f"(ld {self.ld} != {dense_ld})")
+        n = int(np.prod(self.shape))
+        return FlashArray(self.store, (n,), self.dtype, "R", self.offset,
+                          ctx=self.ctx)
+
 
 # ----------------------------------------------------------- constructors
 def map_array(path: str, shape, dtype=np.float32, order: str = "R",
