@@ -80,7 +80,8 @@ class BaseStore:
 
     # -- sync conveniences (reference: read_sync/write_sync lib_funcs.h:63-72)
     def read_sync(self, offset: int, sinfo: StrideInfo) -> np.ndarray:
-        out = np.empty(sinfo.nbytes, dtype=np.uint8)
+        from .native import alloc_aligned  # sector-aligned: O_DIRECT and
+        out = alloc_aligned(sinfo.nbytes)  # kernel-AIO fast paths apply
         self.read(offset, sinfo, out).wait()
         return out
 

@@ -32,16 +32,37 @@
 
 #include <errno.h>
 #include <fcntl.h>
+#include <linux/aio_abi.h>
 #include <sys/stat.h>
+#include <sys/syscall.h>
 #include <sys/types.h>
 #include <unistd.h>
 
 namespace {
 
+// Raw kernel-AIO syscalls (the reference links libaio for the same three
+// calls, flash_file_handle.cpp:28-76; no libaio headers in this image).
+static int sys_io_setup(unsigned nr, aio_context_t* ctx) {
+  return syscall(SYS_io_setup, nr, ctx);
+}
+static int sys_io_destroy(aio_context_t ctx) {
+  return syscall(SYS_io_destroy, ctx);
+}
+static int sys_io_submit(aio_context_t ctx, long n, struct iocb** iocbs) {
+  return syscall(SYS_io_submit, ctx, n, iocbs);
+}
+static int sys_io_getevents(aio_context_t ctx, long min_nr, long nr,
+                            struct io_event* events) {
+  return syscall(SYS_io_getevents, ctx, min_nr, nr, events, nullptr);
+}
+
 constexpr int64_t kSector = 512;
 
 static int64_t round_down(int64_t x, int64_t m) { return (x / m) * m; }
 static int64_t round_up(int64_t x, int64_t m) { return ((x + m - 1) / m) * m; }
+static bool ptr_aligned(const void* p) {
+  return (reinterpret_cast<uintptr_t>(p) % kSector) == 0;
+}
 
 // ---------------------------------------------------------------- tickets
 struct TicketSlot {
@@ -184,6 +205,84 @@ struct Engine {
 };
 
 static Engine* g_engine = nullptr;
+static std::atomic<long long> g_aio_ops{0};
+
+static bool aio_eligible(const Op& op) {
+  return op.o_direct && (op.off % kSector) == 0 && (op.len % kSector) == 0
+         && (op.n_runs == 1 || (op.stride % kSector) == 0)
+         && ptr_aligned(op.buf);
+}
+
+static int aio_execute(aio_context_t ctx, const Op& op) {
+  constexpr int kSlots = 128;  // in-flight iocbs (reference MAX_SIMUL_REQS)
+  struct RunSlot {
+    char* buf;
+    int64_t len;
+  };
+  iocb cbs[kSlots];
+  RunSlot slots[kSlots];
+  int free_idx[kSlots];
+  int n_free = kSlots;
+  for (int i = 0; i < kSlots; ++i) free_idx[i] = i;
+  io_event ev[kSlots];
+  iocb* subs[kSlots];
+  int64_t next = 0;
+  int inflight = 0;
+  int err = 0;
+  while ((next < op.n_runs && !err) || inflight) {
+    int n_sub = 0;
+    while (!err && next < op.n_runs && n_free) {
+      int s = free_idx[--n_free];
+      iocb& cb = cbs[s];
+      memset(&cb, 0, sizeof cb);
+      cb.aio_lio_opcode = op.is_write ? IOCB_CMD_PWRITE : IOCB_CMD_PREAD;
+      cb.aio_fildes = op.fd;
+      cb.aio_buf = (uint64_t)(uintptr_t)(op.buf + next * op.len);
+      cb.aio_nbytes = (uint64_t)op.len;
+      cb.aio_offset = op.off + next * op.stride;
+      cb.aio_data = (uint64_t)s;
+      slots[s] = {op.buf + next * op.len, op.len};
+      subs[n_sub++] = &cb;
+      ++next;
+    }
+    int done = 0;
+    while (done < n_sub) {
+      int r = sys_io_submit(ctx, n_sub - done, subs + done);
+      if (r < 0) {
+        if (errno == EINTR) continue;
+        err = errno;
+        for (int i = done; i < n_sub; ++i)
+          free_idx[n_free++] = (int)subs[i]->aio_data;
+        break;
+      }
+      done += r;
+      inflight += r;
+    }
+    if (inflight) {
+      int got = sys_io_getevents(ctx, 1, kSlots, ev);
+      if (got < 0) {
+        if (errno == EINTR) continue;
+        err = errno;
+        break;  // inflight events are lost; context torn down with thread
+      }
+      for (int i = 0; i < got; ++i) {
+        int s = (int)ev[i].data;
+        long res = (long)ev[i].res;
+        if (res < 0) {
+          err = (int)-res;
+        } else if (res < (long)slots[s].len) {
+          if (op.is_write)
+            err = EIO;  // short aligned O_DIRECT write
+          else  // read past EOF: zero-fill like the sync path
+            memset(slots[s].buf + res, 0, (size_t)(slots[s].len - res));
+        }
+        free_idx[n_free++] = s;
+        --inflight;
+      }
+    }
+  }
+  return err;
+}
 
 // Thread-local aligned bounce buffer for O_DIRECT unaligned paths.
 struct Bounce {
@@ -231,9 +330,33 @@ static int full_pwrite(int fd, const char* buf, int64_t len, int64_t off) {
   return 0;
 }
 
-static bool ptr_aligned(const void* p) {
-  return (reinterpret_cast<uintptr_t>(p) % kSector) == 0;
-}
+
+// ------------------------------------------------------------ kernel AIO
+// Fully-aligned O_DIRECT strided ops go through io_submit batches — the
+// reference's exact mechanism (one iocb per stride, submit+reap loop,
+// flash_file_handle.cpp:28-102) — giving per-thread queue depth beyond
+// one synchronous request.  Everything else (unaligned, buffered, RMW)
+// keeps the synchronous worker path.
+struct TlAio {
+  aio_context_t ctx = 0;
+  bool tried = false;
+  ~TlAio() {
+    if (ctx) sys_io_destroy(ctx);
+  }
+  bool ready() {
+    if (!tried) {
+      tried = true;
+      if (getenv("BOF_NO_KERNEL_AIO") || sys_io_setup(256, &ctx) != 0)
+        ctx = 0;
+    }
+    return ctx != 0;
+  }
+};
+thread_local TlAio tl_aio;
+
+struct Op;  // fwd
+static bool aio_eligible(const Op& op);
+static int aio_execute(aio_context_t ctx, const Op& op);
 
 // O_DIRECT read with bounce for unaligned offset/len/pointer
 // (reference: flash_file_handle.cpp:247-312).
@@ -290,15 +413,20 @@ void Engine::worker() {
       q.pop_front();
     }
     int e = 0;
-    for (int64_t r = 0; r < op.n_runs && !e; ++r) {
-      int64_t fo = op.off + r * op.stride;
-      char* bp = op.buf + r * op.len;
-      if (op.is_write)
-        e = op.o_direct ? direct_write(this, op.fd, bp, op.len, fo)
-                        : full_pwrite(op.fd, bp, op.len, fo);
-      else
-        e = op.o_direct ? direct_read(op.fd, bp, op.len, fo)
-                        : full_pread(op.fd, bp, op.len, fo);
+    if (op.n_runs > 1 && aio_eligible(op) && tl_aio.ready()) {
+      e = aio_execute(tl_aio.ctx, op);
+      g_aio_ops.fetch_add(op.n_runs, std::memory_order_relaxed);
+    } else {
+      for (int64_t r = 0; r < op.n_runs && !e; ++r) {
+        int64_t fo = op.off + r * op.stride;
+        char* bp = op.buf + r * op.len;
+        if (op.is_write)
+          e = op.o_direct ? direct_write(this, op.fd, bp, op.len, fo)
+                          : full_pwrite(op.fd, bp, op.len, fo);
+        else
+          e = op.o_direct ? direct_read(op.fd, bp, op.len, fo)
+                          : full_pread(op.fd, bp, op.len, fo);
+      }
     }
     tickets.op_done(op.slot, e);
   }
@@ -423,6 +551,11 @@ long long bof_submit(long long fd, long long offset, long long stride,
     }
   }
   return id;
+}
+
+// observability: number of runs serviced via kernel AIO
+long long bof_aio_ops() {
+  return g_aio_ops.load(std::memory_order_relaxed);
 }
 
 int bof_poll(long long ticket) {
