@@ -119,3 +119,49 @@ def test_ravel_view_map_over_matrix(ctx, rng):
     flat = arr.ravel_view()
     bof_map(flat, flat, jnp.sqrt, blk_elems=128, ctx=ctx)
     np.testing.assert_allclose(arr.read_all(), np.sqrt(data), rtol=1e-6)
+
+
+def test_concurrent_kernels_share_context(ctx, rng):
+    """Two gemms + a reduce running concurrently on one context must not
+    interfere (shared tile cache, scheduler, io pool)."""
+    import threading
+    from bof_tpu.ops import gemm as _gemm
+    m = n = k = 48
+    mats = []
+    for _ in range(2):
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        b = rng.standard_normal((k, n)).astype(np.float32)
+        A = mem_array((m, k), np.float32, data=a, ctx=ctx)
+        B = mem_array((k, n), np.float32, data=b, ctx=ctx)
+        C = mem_array((m, n), np.float32, ctx=ctx)
+        mats.append((a, b, A, B, C))
+    vec = rng.standard_normal(10_000).astype(np.float32)
+    V = mem_array((10_000,), np.float32, data=vec, ctx=ctx)
+    results = {}
+    errs = []
+
+    def run_gemm(i):
+        try:
+            _, _, A, B, C = mats[i]
+            _gemm(A, B, C, blk=16, ctx=ctx)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def run_reduce():
+        try:
+            results["sum"] = bof_reduce(V, "sum", blk_elems=1024, ctx=ctx)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run_gemm, args=(i,)) for i in range(2)]
+    ts.append(threading.Thread(target=run_reduce))
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs, errs
+    for a, b, _A, _B, C in mats:
+        np.testing.assert_allclose(C.read_all(), a @ b, rtol=2e-4,
+                                   atol=1e-4)
+    np.testing.assert_allclose(results["sum"],
+                               vec.astype(np.float64).sum(), rtol=1e-6)
