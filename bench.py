@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def measure_inmem_tflops(sb: int, prec) -> float:
+def measure_inmem_tflops(sb: int, prec, iters: int = 4) -> float:
     """Device-resident matmul rate (the in-memory MKL twin's role,
     reference: drivers/in_mem_gemm.cpp)."""
     import jax
@@ -37,7 +37,6 @@ def measure_inmem_tflops(sb: int, prec) -> float:
         return float(np.asarray(jnp.sum(x[:1, :1])))
 
     sync(f(a, a))
-    iters = 4
     t0 = time.perf_counter()
     x = a
     for _ in range(iters):
@@ -141,6 +140,14 @@ def main():
     dt = time.perf_counter() - t0
     flops = 2.0 * n**3
     ooc_gflops = flops / dt / 1e9
+
+    # honest in-memory twin: the SAME problem size fully device-resident,
+    # when it fits HBM; else keep the extrapolated small-matmul rate
+    if 3 * n * n * 4 <= 12 << 30:
+        try:
+            inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
+        except Exception:
+            pass
 
     # sanity: verify one output block against a host golden sample
     ok = True
