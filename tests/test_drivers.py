@@ -125,3 +125,56 @@ def test_eigensolver_driver(tmp_path, scratch):
     r = run_driver("eigensolver", prefix, m, k, 3, "--iters", 15,
                    "--scratch", scratch)
     assert "singular values:" in r.stdout
+
+
+def test_in_mem_and_mmap_gemm_drivers(tmp_path, scratch):
+    m = n = k = 64
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_driver("dense_create", a, m, k, "--seed", 2)
+    run_driver("dense_create", b, k, n, "--seed", 3)
+    a_np = np.fromfile(a, np.float32).reshape(m, k)
+    b_np = np.fromfile(b, np.float32).reshape(k, n)
+    want = a_np @ b_np
+    c1 = str(tmp_path / "c1")
+    np.zeros((m, n), np.float32).tofile(c1)
+    run_driver("in_mem_gemm", a, b, c1, m, n, k)
+    np.testing.assert_allclose(np.fromfile(c1, np.float32).reshape(m, n),
+                               want, rtol=2e-4, atol=1e-4)
+    c2 = str(tmp_path / "c2")
+    np.zeros((m, n), np.float32).tofile(c2)
+    run_driver("mmap_gemm", a, b, c2, m, n, k, "--blk", 32)
+    np.testing.assert_allclose(np.fromfile(c2, np.float32).reshape(m, n),
+                               want, rtol=2e-4, atol=1e-4)
+
+
+def test_csrmm_pmem_and_inmem_variants(tmp_path, scratch):
+    m, k, n = 120, 80, 8
+    prefix = str(tmp_path / "P")
+    run_driver("sparse_create", prefix, m, k, 2.0)
+    b = str(tmp_path / "b")
+    run_driver("dense_create", b, k, n, "--seed", 6)
+    c = str(tmp_path / "c")
+    r = run_driver("csrmm", prefix, m, k, b, n, c, "--pmem",
+                   "--scratch", scratch)
+    assert "checksum" in r.stdout
+    c2 = str(tmp_path / "c2")
+    run_driver("in_mem_sparse", "csrmm", prefix, m, k, b, n, c2)
+    np.testing.assert_allclose(np.fromfile(c, np.float32),
+                               np.fromfile(c2, np.float32), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_sort_and_kmeans_in_mem_baselines(tmp_path, scratch):
+    n = 10_000
+    src = str(tmp_path / "s")
+    data = np.random.default_rng(7).standard_normal(n).astype(np.float32)
+    data.tofile(src)
+    dst = str(tmp_path / "d")
+    run_driver("sort", src, dst, n, "--in-mem")
+    np.testing.assert_array_equal(np.fromfile(dst, np.float32),
+                                  np.sort(data))
+    pts = str(tmp_path / "p")
+    np.random.default_rng(8).standard_normal((500, 4)).astype(
+        np.float32).tofile(pts)
+    r = run_driver("kmeans", pts, 500, 4, 3, "--iters", 2, "--in-mem")
+    assert "inertia" in r.stdout

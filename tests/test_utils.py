@@ -1,0 +1,63 @@
+"""Utility-layer tests: alignment math, fnv hash, metrics, timer, logger."""
+import logging
+import time
+
+import numpy as np
+
+from bof_tpu.utils import (METRICS, Metrics, Timer, cdiv, fnv64a,
+                           get_logger, is_sector_aligned, round_down,
+                           round_up)
+from bof_tpu.utils.logger import FlashFatal, fatal
+from bof_tpu.utils.profiling import trace
+
+
+def test_alignment_math():
+    assert round_up(1, 512) == 512
+    assert round_up(512, 512) == 512
+    assert round_down(1023, 512) == 512
+    assert cdiv(10, 3) == 4 and cdiv(9, 3) == 3
+    assert is_sector_aligned(1024) and not is_sector_aligned(1000)
+
+
+def test_fnv64a_known_vector():
+    # FNV-1a 64-bit test vectors
+    assert fnv64a(b"") == 0xCBF29CE484222325
+    assert fnv64a(b"a") == 0xAF63DC4C8601EC8C
+
+
+def test_metrics_counters():
+    m = Metrics()
+    m.add("x")
+    m.add("x", 2.5)
+    m.set("y", 7)
+    assert m.get("x") == 3.5
+    snap = m.snapshot()
+    assert snap == {"x": 3.5, "y": 7}
+    m.reset()
+    assert m.get("x") == 0.0
+
+
+def test_timer_monotonic():
+    t = Timer()
+    time.sleep(0.01)
+    assert 5 <= t.elapsed_ms() < 5000
+    t.reset()
+    assert t.elapsed_ms() < 5000
+
+
+def test_fatal_raises():
+    import pytest
+    with pytest.raises(FlashFatal):
+        fatal("boom %d", 42)
+
+
+def test_logger_levels():
+    log = get_logger("bof.test")
+    assert isinstance(log, logging.Logger)
+    log.info("info line")  # must not raise
+
+
+def test_trace_without_profiler():
+    with trace("region"):
+        x = np.ones(10).sum()
+    assert x == 10
