@@ -32,6 +32,7 @@ class FlashConfig:
     enable_prioritizer: bool = True
     single_use_discard: bool = False
     max_in_mem_tasks_factor: int = 4   # max in-flight tasks = factor * n_compute
+    tile_cache_backend: str = "auto"   # pin cache: "auto"|"native"|"python"
 
     # ---- device pipeline (new; no reference analog — TPU-specific) ----
     hbm_budget: int = 12 << 30         # HBM working-set budget for tiles

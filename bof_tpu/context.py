@@ -29,6 +29,7 @@ class FlashContext:
         self._lock = threading.Lock()
         self._backend = self._resolve_backend()
         self._scheduler = None
+        self._pin_router = None
         self._scratch_files: set[str] = set()
 
     def _resolve_backend(self) -> str:
@@ -93,8 +94,31 @@ class FlashContext:
                 self._scheduler = Scheduler(self)
             return self._scheduler
 
+    def pin_cache(self):
+        """Pin API for streaming pipelines: native C++ tile cache for
+        file-backed native stores, Python TileCache for everything else
+        (FlashConfig.tile_cache_backend: auto|native|python)."""
+        sched = self.scheduler()
+        with self._lock:
+            if self._pin_router is None:
+                from .io.native_cache import NativeTileCache, PinRouter
+                backend = getattr(self.config, "tile_cache_backend", "auto")
+                native = None
+                if backend != "python" and self._backend == "native":
+                    try:
+                        native = NativeTileCache(self.config.program_budget)
+                    except RuntimeError:
+                        if backend == "native":
+                            raise
+                self._pin_router = PinRouter(sched.cache, native)
+            return self._pin_router
+
     def destroy(self):
         with self._lock:
+            if self._pin_router is not None:
+                if self._pin_router._nat is not None:
+                    self._pin_router._nat.close()
+                self._pin_router = None
             if self._scheduler is not None:
                 self._scheduler.shutdown()
                 self._scheduler = None

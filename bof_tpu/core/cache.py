@@ -222,7 +222,8 @@ class TileCache:
     def pin_read(self, store, offset, sinfo) -> tuple:
         """Pin one read access; returns its key.  The tile is fetched via
         the backlog; poll `ready(key)` then view with `buf(key)`."""
-        k = (id(store), offset, sinfo)
+        from ..io.store import store_uid
+        k = (store_uid(store), offset, sinfo)
         with self._lock:
             e = self._entries.get(k)
             if e is not None:

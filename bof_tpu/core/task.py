@@ -40,8 +40,10 @@ class Access(Tuple):
 
 def access_key(store: BaseStore, offset: int, sinfo: StrideInfo):
     """Cache key for one access (reference hashes Key{fptr,sinfo} with
-    fnv64a, cache.h:11-42; Python tuples hash natively)."""
-    return (id(store), offset, sinfo)
+    fnv64a, cache.h:11-42; Python tuples hash natively).  Keyed on a
+    process-unique store uid — id(store) addresses are recycled by GC."""
+    from ..io.store import store_uid
+    return (store_uid(store), offset, sinfo)
 
 
 class Task:

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..config import SECTOR_LEN
 from ..utils import LOG
-from .store import BaseStore, Ticket, _check_access
+from .store import BaseStore, Ticket, _check_access, store_uid
 from .stride import StrideInfo
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
@@ -133,6 +133,7 @@ class NativeFileStore(BaseStore):
         if fd < 0:
             raise IOError(f"open({path}) failed: errno {-fd}")
         self._fd = fd
+        self.uid = store_uid(self)
         self.path = path
         self.o_direct = o_direct
         self._max_chunk = max_chunk_bytes

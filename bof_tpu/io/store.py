@@ -11,12 +11,27 @@ seam that lets every kernel run without an SSD.
 """
 from __future__ import annotations
 
+import itertools
 import threading
 from typing import Optional
 
 import numpy as np
 
 from .stride import StrideInfo
+
+# Process-unique store ids for cache keying.  Neither fd numbers (OS
+# recycles them) nor id(obj) (CPython recycles addresses after GC) are
+# safe keys — a recycled identity would alias cache entries of a dead
+# store onto a new one.
+_store_uid_counter = itertools.count(1)
+
+
+def store_uid(store) -> int:
+    u = getattr(store, "uid", None)
+    if u is None:
+        u = next(_store_uid_counter)
+        store.uid = u
+    return u
 
 
 class Ticket:

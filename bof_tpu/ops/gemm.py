@@ -135,7 +135,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         impl = "pallas" if (dev.on_tpu() and not (a_km or b_nk or c_nm)
                             and sb % 1024 == 0) else "xla"
 
-    cache = ctx.scheduler().cache
+    cache = ctx.pin_cache()
     hbm = HbmCache(cfg.hbm_budget)
     depth = max(1, cfg.pipeline_depth)
 

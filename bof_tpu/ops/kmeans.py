@@ -83,7 +83,7 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     sums = jnp.zeros((k, d), jnp.float32)
     counts = jnp.zeros((k,), jnp.float32)
 
-    cache = ctx.scheduler().cache
+    cache = ctx.pin_cache()
     accesses = []
     spans = []
     for r0 in range(0, n, blk):

@@ -39,7 +39,7 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
 
     ia_np = a.read_ia()
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
-    cache = ctx.scheduler().cache
+    cache = ctx.pin_cache()
     idt, vdt = a.ja.dtype, a.vals.dtype
     entry_cap = 1 << 22  # rows_pad * rmax ELL budget for the vector case
 

@@ -72,7 +72,7 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
     cb = _col_block_width(n, k, cfg)
     # device ELL budget: rows_pad * rmax * cb * 4 B gather intermediate
     entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (cb * 4)))
-    cache = ctx.scheduler().cache
+    cache = ctx.pin_cache()
     idt = a.ja.dtype
     vdt = a.vals.dtype
 

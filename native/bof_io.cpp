@@ -569,3 +569,5 @@ int bof_wait(long long ticket) {
 }
 
 }  // extern "C"
+
+#include "bof_cache.inc"

@@ -1,0 +1,108 @@
+"""Native pinned tile cache (C++ bof_cache) tests."""
+import gc
+
+import numpy as np
+import pytest
+
+from bof_tpu.io.native import NativeFileStore, load_library
+from bof_tpu.io.native_cache import NativeTileCache, PinRouter
+from bof_tpu.io.stride import StrideInfo
+
+
+@pytest.fixture
+def store(tmp_path):
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+    data = np.arange(1 << 18, dtype=np.uint32)
+    path = str(tmp_path / "nc.bin")
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+    st = NativeFileStore(path, n_threads=4)
+    yield st, data
+    st.close()
+
+
+def test_pin_ready_buf_roundtrip(store):
+    st, data = store
+    cache = NativeTileCache(64 << 20)
+    sinfo = StrideInfo(stride=4096, n_strides=16, len_per_stride=1024)
+    key = cache.pin_read(st, 0, sinfo)
+    cache.wait_ready(key)
+    buf = cache.buf_sized(key, sinfo.nbytes).view(np.uint32)
+    expect = np.concatenate([data[i * 1024:i * 1024 + 256]
+                             for i in range(16)])
+    np.testing.assert_array_equal(buf, expect)
+    # second pin of the same access is a hit
+    key2 = cache.pin_read(st, 0, sinfo)
+    assert key2 == key
+    s = cache.stats()
+    assert s["hits"] == 1 and s["misses"] == 1
+    cache.unpin(key)
+    cache.unpin(key2)
+    del buf
+    gc.collect()
+    cache.close()
+
+
+def test_eviction_under_budget_and_borrow_safety(store):
+    st, data = store
+    sinfo = StrideInfo.contiguous(64 << 10)  # 64 KiB tiles
+    cache = NativeTileCache(128 << 10)       # budget: 2 tiles
+    keys = []
+    bufs = []
+    for i in range(6):
+        k = cache.pin_read(st, i * (64 << 10), sinfo)
+        cache.wait_ready(k)
+        bufs.append(cache.buf_sized(k, sinfo.nbytes).copy()
+                    if i < 3 else cache.buf_sized(k, sinfo.nbytes))
+        cache.unpin(k)
+        keys.append(k)
+    s = cache.stats()
+    assert s["evictions"] >= 1
+    # borrowed views of evicted entries must still hold valid data
+    for i in range(3, 6):
+        start = i * (64 << 10) // 4
+        np.testing.assert_array_equal(
+            bufs[i].view(np.uint32),
+            data[start:start + (64 << 10) // 4])
+    del bufs
+    gc.collect()
+    cache.close()
+
+
+def test_router_mixed_stores(store, tmp_path):
+    from bof_tpu.io.store import MemStore
+    st, data = store
+    mem = MemStore(4096)
+    mem.write(0, StrideInfo.contiguous(4096),
+              np.arange(1024, dtype=np.uint32).view(np.uint8).ravel()).wait()
+
+    class FakePy:
+        """Minimal python-cache stand-in recording calls."""
+        def __init__(self):
+            self.store = {}
+        def pin_read(self, store, off, sinfo):
+            k = (off, sinfo)
+            self.store[k] = store.read_sync(off, sinfo)
+            return k
+        def ready(self, k):
+            return True
+        def buf(self, k):
+            return self.store[k]
+        def unpin(self, k):
+            pass
+        def wait_ready(self, k, pump=True):
+            pass
+
+    router = PinRouter(FakePy(), NativeTileCache(16 << 20))
+    si = StrideInfo.contiguous(1024)
+    k_nat = router.pin_read(st, 0, si)
+    k_py = router.pin_read(mem, 0, si)
+    assert k_nat[0] == "__nat__" and k_py[0] == "__py__"
+    router.wait_ready(k_nat)
+    np.testing.assert_array_equal(router.buf(k_nat).view(np.uint32),
+                                  data[:256])
+    np.testing.assert_array_equal(router.buf(k_py).view(np.uint32),
+                                  np.arange(256, dtype=np.uint32))
+    router.unpin(k_nat)
+    router.unpin(k_py)
