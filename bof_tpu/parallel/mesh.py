@@ -55,10 +55,15 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(mesh_devs, axis_names)
 
 
-def sharded_accum_step(mesh, prec: str = "highest"):
-    """Returns jitted step(c, a, b, alpha) with the sharding above.
-    Shapes: c (bm, bn), a (bm, bk), b (bk, bn) — bm % x == 0,
-    bk % y == 0, bn % (y) == 0 for the scatter."""
+def sharded_accum_step(mesh, prec: str = "highest", a_km: bool = False,
+                       b_nk: bool = False, c_nm: bool = False):
+    """Returns jitted step(c, a, b, alpha) with the sharding above,
+    generalized over storage layouts exactly like ops/device.accum_step:
+    a storage (bm,bk) or (bk,bm); b (bk,bn) or (bn,bk); c (bm,bn) or
+    (bn,bm).  The m dim shards over x, K over y, and the n dim is
+    psum_scattered over y — dot_general contracting dims absorb the
+    transposes, so every {order}x{transA}x{transB} config runs
+    multi-chip with zero data transposition."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -66,16 +71,31 @@ def sharded_accum_step(mesh, prec: str = "highest"):
 
     from ..ops.device import _precision
 
+    a_spec = P("y", "x") if a_km else P("x", "y")
+    b_spec = P(None, "y") if b_nk else P("y", None)
+    c_spec = P("y", "x") if c_nm else P("x", "y")
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("x", "y"), P("x", "y"), P("y", None), P()),
-        out_specs=P("x", "y"))
+        in_specs=(c_spec, a_spec, b_spec, P()),
+        out_specs=c_spec)
     def step(c_loc, a_loc, b_loc, alpha):
-        part = jnp.dot(a_loc, b_loc, precision=_precision(prec),
-                       preferred_element_type=c_loc.dtype)
-        # reduce over K shards and scatter the n dim over y in one
-        # collective (rides ICI)
-        red = jax.lax.psum_scatter(part, "y", scatter_dimension=1,
+        ka = 0 if a_km else 1
+        kb = 1 if b_nk else 0
+        if not c_nm:
+            part = jax.lax.dot_general(
+                a_loc, b_loc, (((ka,), (kb,)), ((), ())),
+                precision=_precision(prec),
+                preferred_element_type=c_loc.dtype)
+            scatter_dim = 1  # n dim of the (m, n) partial
+        else:
+            part = jax.lax.dot_general(
+                b_loc, a_loc, (((kb,), (ka,)), ((), ())),
+                precision=_precision(prec),
+                preferred_element_type=c_loc.dtype)
+            scatter_dim = 0  # n dim of the (n, m) partial
+        red = jax.lax.psum_scatter(part, "y",
+                                   scatter_dimension=scatter_dim,
                                    tiled=True)
         return c_loc + alpha.astype(c_loc.dtype) * red
 
@@ -88,16 +108,17 @@ def sharding_for(mesh, spec):
 
 
 def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
+                 transa: str = "N", transb: str = "N",
                  blk: Optional[int] = None, mesh=None, ctx=None) -> None:
-    """Multi-chip out-of-core GEMM: the single-chip streaming loop of
-    ops/gemm.py with every superblock device-sharded over the mesh.
-    Row-major, no-transpose operands (the common case); the general
-    configs run single-chip."""
+    """Multi-chip out-of-core GEMM: the single-chip streaming structure of
+    ops/gemm.py with every superblock device-sharded over the mesh; all 8
+    {order}x{transA}x{transB} configs via storage-major blocks (no host or
+    device transposition — shardings and contracting dims absorb it)."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     from ..context import get_context
+    from ..ops.gemm import _op_block_reader, _storage_shape
     from ..utils import cdiv
 
     ctx = ctx or c.ctx or get_context()
@@ -107,19 +128,23 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     sb = blk or cfg.gemm_blk_size
     lcm = int(np.lcm(px, py))
     sb = max(lcm, (sb // lcm) * lcm)
+    ta, tb = transa.upper() == "T", transb.upper() == "T"
 
     m, n = c.shape
-    k = a.shape[1]
-    if a.shape != (m, k) or b.shape != (k, n):
-        raise ValueError("gemm_sharded expects A (m,k), B (k,n), C (m,n)")
-    if not (a.order == b.order == c.order == "R"):
-        raise ValueError("gemm_sharded: row-major operands only")
+    k = a.shape[0] if ta else a.shape[1]
+    if (a.shape != ((k, m) if ta else (m, k))
+            or b.shape != ((n, k) if tb else (k, n))):
+        raise ValueError("operand shapes inconsistent with transposes")
 
+    a_access, a_km = _op_block_reader(a, ta)
+    b_access, b_nk = _op_block_reader(b, tb)
+    c_nm = c.order == "C"
     step = sharded_accum_step(mesh, getattr(cfg, "matmul_precision",
-                                            "highest"))
-    sh_a = sharding_for(mesh, P("x", "y"))
-    sh_b = sharding_for(mesh, P("y", None))
-    sh_c = sharding_for(mesh, P("x", "y"))
+                                            "highest"),
+                              a_km=a_km, b_nk=b_nk, c_nm=c_nm)
+    sh_a = sharding_for(mesh, P("y", "x") if a_km else P("x", "y"))
+    sh_b = sharding_for(mesh, P(None, "y") if b_nk else P("y", None))
+    sh_c = sharding_for(mesh, P("y", "x") if c_nm else P("x", "y"))
 
     def pad(mat, shape):
         if mat.shape == shape:
@@ -128,24 +153,34 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         out[:mat.shape[0], :mat.shape[1]] = mat
         return out
 
+    def read_storage(arr, access, i0, l0, d0, d1):
+        (off, sinfo), st_shape = access(i0, l0, d0, d1)
+        raw = arr.store.read_sync(off, sinfo)
+        return raw.view(arr.dtype).reshape(st_shape)
+
     mB, nB, kB = cdiv(m, sb), cdiv(n, sb), cdiv(k, sb)
     for j in range(nB):
         bj = min(sb, n - j * sb)
         for i in range(mB):
             bi = min(sb, m - i * sb)
             if beta != 0.0:
-                c_host = pad(c.read_block(i * sb, bi, j * sb, bj), (sb, sb))
+                c_host = pad(c.read_block_storage(i * sb, bi, j * sb, bj),
+                             (sb, sb))
                 c_dev = jax.device_put(
                     np.dtype(c.dtype).type(beta) * c_host, sh_c)
             else:
                 c_dev = jax.device_put(np.zeros((sb, sb), c.dtype), sh_c)
             for l in range(kB):
                 bl = min(sb, k - l * sb)
-                a_host = pad(a.read_block(i * sb, bi, l * sb, bl), (sb, sb))
-                b_host = pad(b.read_block(l * sb, bl, j * sb, bj), (sb, sb))
+                a_host = pad(read_storage(a, a_access, i * sb, l * sb,
+                                          bi, bl), (sb, sb))
+                b_host = pad(read_storage(b, b_access, l * sb, j * sb,
+                                          bl, bj), (sb, sb))
                 c_dev = step(c_dev,
                              jax.device_put(a_host, sh_a),
                              jax.device_put(b_host, sh_b),
                              np.dtype(c.dtype).type(alpha))
-            c.write_block(i * sb, np.asarray(c_dev)[:bi, :bj], j * sb)
+            ci = _storage_shape(c, (bi, bj))
+            c.write_block_storage(i * sb, j * sb, bi, bj,
+                                  np.asarray(c_dev)[:ci[0], :ci[1]])
     c.store.flush()

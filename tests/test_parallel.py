@@ -77,3 +77,33 @@ def test_dp_lloyd_matches_single_device(ctx, rng):
     np.testing.assert_allclose(got_c, want_c, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got_inertia, want_inertia, rtol=1e-3)
     assert counts.sum() == n
+
+
+@pytest.mark.parametrize("order,ta,tb",
+                         [("R", "N", "N"), ("R", "T", "N"),
+                          ("C", "N", "T"), ("C", "T", "T")])
+def test_gemm_sharded_all_layouts(ctx, rng, tmp_path, order, ta, tb):
+    from bof_tpu import map_array
+    from bof_tpu.parallel import gemm_sharded, make_mesh
+
+    need_devices(8)
+    mesh = make_mesh(8)
+    m, n, k = 96, 80, 112
+    a_shape = (k, m) if ta == "T" else (m, k)
+    b_shape = (n, k) if tb == "T" else (k, n)
+    a_np = rng.standard_normal(a_shape).astype(np.float32)
+    b_np = rng.standard_normal(b_shape).astype(np.float32)
+    A = map_array(str(tmp_path / "A"), a_shape, np.float32, order,
+                  create=True, ctx=ctx)
+    B = map_array(str(tmp_path / "B"), b_shape, np.float32, order,
+                  create=True, ctx=ctx)
+    C = map_array(str(tmp_path / "C"), (m, n), np.float32, order,
+                  create=True, ctx=ctx)
+    A.write_all(a_np)
+    B.write_all(b_np)
+    gemm_sharded(A, B, C, transa=ta, transb=tb, blk=32, mesh=mesh, ctx=ctx)
+    opa = a_np.T if ta == "T" else a_np
+    opb = b_np.T if tb == "T" else b_np
+    want = (opa.astype(np.float64) @ opb.astype(np.float64)).astype(
+        np.float32)
+    np.testing.assert_allclose(C.read_all(), want, rtol=2e-4, atol=1e-4)
