@@ -9,11 +9,13 @@ The 'T' cases transpose A via csrcsc into scratch and recurse as 'N'
 
 TPU-first structure here: the B column panel (k x cb) is put on device
 once per column block and reused across every row block; sparse row blocks
-(ja, vals contiguous slices) stream through the host tile cache with
-prefetch lookahead and are consumed by the gather/segment-sum device step
-(sparse/spmm_device.py).  All blocks are padded to one (nnz_cap, rows_cap)
-shape so a single kernel compiles per call.  C row-panels are written back
-asynchronously.
+(ja, vals contiguous slices) stream through the native tile cache with
+prefetch lookahead and are consumed by the scatter-free ELL device step
+(sparse/spmm_device.py), shapes power-of-two bucketed so only O(log^2)
+kernel variants compile.  When even the narrowest B panel exceeds the HBM
+budget, the K dimension splits into ranges accumulated into C with a
+barrier between them.  C row-panels are written back asynchronously by a
+writer thread.
 """
 from __future__ import annotations
 
@@ -79,6 +81,17 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
     import jax
     import jax.numpy as jnp
 
+    # K splitting: when even the narrowest B panel (k x cb) exceeds the
+    # HBM budget, partition the K dimension; each range streams a B
+    # sub-panel and contributes C += alpha * A[:, k0:k1] B[k0:k1, :]
+    # (first range applies the caller's beta, later ranges beta=1).
+    if k * cb * 4 <= cfg.hbm_budget // 3:
+        k_ranges = [(0, k)]
+    else:
+        k_r = max(4096, int(cfg.hbm_budget // 3 // (cb * 4)))
+        k_ranges = [(s, min(s + k_r, k)) for s in range(0, k, k_r)]
+    k_r_pad = max(k1 - k0 for k0, k1 in k_ranges)
+
     # sparse-block access sequence (reused per column block via the cache)
     seq_accesses = []
     for r, e in blocks:
@@ -89,22 +102,43 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
                              (a.vals.store, va_off, va_sin)))
 
     host_compute = cfg.sparse_compute == "host"
-    write_tickets = []
+    for ri, (k0, k1) in enumerate(k_ranges):
+        beta_eff = beta if ri == 0 else 1.0
+        write_tickets = []
+        _csrmm_range(a, b, c, alpha, beta_eff, k0, k1, k_r_pad, blocks,
+                     ia_np, seq_accesses, cb, entry_cap, cache, cfg,
+                     host_compute, idt, vdt, write_tickets)
+        for t in write_tickets:  # range barrier: later ranges RMW C
+            t.wait()
+    c.store.flush()
+    METRICS.add("csrmm.ms", timer.elapsed_ms())
+    LOG.debug("csrmm %dx%dx%d nnz=%d done in %.1f ms (%d k-ranges)",
+              m, k, n, a.nnz, timer.elapsed_ms(), len(k_ranges))
+
+
+def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
+                 seq_accesses, cb, entry_cap, cache, cfg, host_compute,
+                 idt, vdt, write_tickets):
+    import jax.numpy as jnp
+    n = b.shape[1]
+    k_sub = k1 - k0
+    full_k = (k0 == 0 and k1 == a.shape[1])
     for c0 in range(0, n, cb):
         bc = min(cb, n - c0)
-        # B column panel, shaped (k, cb); pad last panel
-        b_host = b.read_block_storage(0, k, c0, bc)
+        # B column sub-panel, shaped (k_sub, cb); pad both dims
+        b_host = b.read_block_storage(k0, k_sub, c0, bc)
         if host_compute:
             b_panel_np = (b_host if b.order == "R"
                           else np.ascontiguousarray(b_host.T))
             b_panel = None
         else:
             if b.order == "C":
-                b_panel = jnp.asarray(b_host).T  # (k, bc) device transpose
+                b_panel = jnp.asarray(b_host).T  # (k_sub, bc)
             else:
                 b_panel = jnp.asarray(b_host)
-            if bc < cb:
-                b_panel = jnp.pad(b_panel, ((0, 0), (0, cb - bc)))
+            if bc < cb or k_sub < k_r_pad:
+                b_panel = jnp.pad(b_panel, ((0, k_r_pad - k_sub),
+                                            (0, cb - bc)))
 
         flat = [acc for pair in seq_accesses for acc in pair]
         pf = PrefetchSeq(cache, flat, depth=2 * cfg.pipeline_depth)
@@ -124,25 +158,37 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
                     va_blk = pf.get(2 * bi + 1).view(vdt)
                     if cfg.debug_checks:
                         from .csr import verify_csr_block
-                        verify_csr_block(ia_np[r:e + 1], ja_blk, k, nnz_b)
+                        verify_csr_block(ia_np[r:e + 1], ja_blk,
+                                         a.shape[1], nnz_b)
+                    if full_k:
+                        blk_ia = ia_np[r:e + 1] - i0
+                        blk_ja, blk_va = ja_blk, va_blk
+                    else:
+                        # K-split: keep only entries in [k0, k1), shifted
+                        sel = (ja_blk >= k0) & (ja_blk < k1)
+                        row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
+                        cnt = np.bincount(row_ids[sel], minlength=rows_b)
+                        blk_ia = np.zeros(rows_b + 1, np.int64)
+                        np.cumsum(cnt, out=blk_ia[1:])
+                        blk_ja = ja_blk[sel] - k0
+                        blk_va = va_blk[sel]
                     if host_compute:
                         import scipy.sparse as sps
                         blk_sp = sps.csr_matrix(
-                            (va_blk, ja_blk.astype(np.int64),
-                             (ia_np[r:e + 1] - i0).astype(np.int64)),
-                            shape=(rows_b, k))
+                            (blk_va, blk_ja.astype(np.int64),
+                             blk_ia.astype(np.int64)),
+                            shape=(rows_b, k_sub))
                         # reference-style CPU block product (MKL's role)
                         outs = [(0, rows_b, blk_sp @ b_panel_np)]
                     else:
-                        counts = np.diff(ia_np[r:e + 1])
+                        counts = np.diff(blk_ia)
                         outs = []
                         for (s0, s1) in sdev.ell_row_ranges(counts,
                                                             entry_cap):
-                            sub_ia = ia_np[r + s0:r + s1 + 1]
-                            lo = int(sub_ia[0] - i0)
-                            hi = int(sub_ia[-1] - i0)
+                            sub_ia = blk_ia[s0:s1 + 1]
+                            lo, hi = int(sub_ia[0]), int(sub_ia[-1])
                             ja_ell, va_ell = sdev.to_ell(
-                                sub_ia, ja_blk[lo:hi], va_blk[lo:hi])
+                                sub_ia, blk_ja[lo:hi], blk_va[lo:hi])
                             out = sdev.spmm_ell_block(
                                 b_panel, jnp.asarray(ja_ell),
                                 jnp.asarray(va_ell))
@@ -201,13 +247,6 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
         pf.close()
         if errors:
             raise errors[0]
-
-    for t in write_tickets:
-        t.wait()
-    c.store.flush()
-    METRICS.add("csrmm.ms", timer.elapsed_ms())
-    LOG.debug("csrmm %dx%dx%d nnz=%d done in %.1f ms",
-              m, k, n, a.nnz, timer.elapsed_ms())
 
 
 def csrmm_in_mem(a_sp, b_np: np.ndarray, c_np: Optional[np.ndarray] = None,

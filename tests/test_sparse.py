@@ -150,3 +150,34 @@ def test_csrmm_host_compute(ctx, rng):
     c0 = np.zeros((m, n), np.float32)
     want = 2.0 * (a_sp @ b_np) + 0.25 * c0
     np.testing.assert_allclose(C.read_all(), want, rtol=1e-4, atol=1e-4)
+
+
+def test_csrmm_k_split(ctx, rng):
+    """Tiny HBM budget forces K-range splitting with C accumulation."""
+    small_cfg(ctx, max_nnzs=1024, cblk=16)
+    ctx.config.hbm_budget = 3 * 4096 * 16 * 4  # forces k_r = 4096 ranges
+    m, k, n = 150, 10_000, 24
+    a_sp = rand_csr(rng, m, k, 0.003)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    c_np = rng.standard_normal((m, n)).astype(np.float32)
+    B = mem_array((k, n), np.float32, "R", data=b_np, ctx=ctx)
+    C = mem_array((m, n), np.float32, "R", data=c_np, ctx=ctx)
+    csrmm(A, B, C, alpha=1.25, beta=0.5, ctx=ctx)
+    want = 1.25 * (a_sp @ b_np) + 0.5 * c_np
+    np.testing.assert_allclose(C.read_all(), want, rtol=1e-4, atol=1e-4)
+
+
+def test_csrmm_k_split_host_compute(ctx, rng):
+    small_cfg(ctx, max_nnzs=512, cblk=8)
+    ctx.config.hbm_budget = 3 * 4096 * 8 * 4
+    ctx.config.sparse_compute = "host"
+    m, k, n = 90, 9000, 8
+    a_sp = rand_csr(rng, m, k, 0.004)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    B = mem_array((k, n), np.float32, "R", data=b_np, ctx=ctx)
+    C = mem_array((m, n), np.float32, "R", ctx=ctx)
+    csrmm(A, B, C, ctx=ctx)
+    np.testing.assert_allclose(C.read_all(), a_sp @ b_np, rtol=1e-4,
+                               atol=1e-4)
