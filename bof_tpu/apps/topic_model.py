@@ -1,0 +1,90 @@
+"""Out-of-core topic modeling over a flash-resident doc-term matrix.
+
+The reference paper's second flagship workload (NSDI'19 §5 Table 5: ISLE
+topic modeling on bag-of-words matrices — a 2000-topic model on a 500 GB
+corpus in <4 h) is, at the library level, a composition of csrmm passes
+and k-means over projected documents.  This module provides that
+composition in its standard spectral form:
+
+  1. project:  P = A R          (csrmm; R a dense random/spectral basis,
+                                 so P is (docs x dim), dim small)
+  2. cluster:  kmeans on P      (fused Lloyd over flash-resident points)
+  3. lift:     T = A^T Y / n_c  (csrmm 'T' on cluster one-hots: topic-word
+                                 distributions as cluster centroids in
+                                 vocab space)
+
+Every heavy pass streams the CSR matrix; only (vocab x topics) and
+(docs x dim) panels are materialized (the latter on flash scratch).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..context import get_context
+from ..core.flash_array import flash_empty, flash_free, mem_array
+from ..ops.kmeans import kmeans_fit
+from ..sparse import CsrFlashMatrix, csrmm
+from ..utils import LOG, Timer
+
+
+def topic_model(a: CsrFlashMatrix, n_topics: int, proj_dim: int = 64,
+                n_iters: int = 8, seed: int = 0, ctx=None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (topic_word (n_topics, vocab) row-normalized,
+    doc_labels (docs,) int32)."""
+    ctx = ctx or a.ctx or get_context()
+    docs, vocab = a.shape
+    rng = np.random.default_rng(seed)
+    timer = Timer()
+
+    # 1. random projection basis (Johnson-Lindenstrauss); spectral users
+    #    can pass the eigensolver's V as `proj` via topic_model_with_basis
+    r_np = (rng.standard_normal((vocab, proj_dim))
+            / np.sqrt(proj_dim)).astype(np.float32)
+    return topic_model_with_basis(a, r_np, n_topics, n_iters=n_iters,
+                                  seed=seed, ctx=ctx)
+
+
+def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
+                           n_topics: int, n_iters: int = 8, seed: int = 0,
+                           ctx=None) -> Tuple[np.ndarray, np.ndarray]:
+    ctx = ctx or a.ctx or get_context()
+    docs, vocab = a.shape
+    proj_dim = basis.shape[1]
+    timer = Timer()
+
+    R = mem_array((vocab, proj_dim), np.float32, data=basis, ctx=ctx)
+    P = flash_empty((docs, proj_dim), np.float32, ctx=ctx)
+    labels = flash_empty((docs,), np.int32, ctx=ctx)
+    try:
+        csrmm(a, R, P, ctx=ctx)                      # project docs
+        LOG.debug("topic_model: projected in %.0f ms", timer.elapsed_ms())
+        _, inertia = kmeans_fit(P, n_topics, n_iters=n_iters, seed=seed,
+                                labels_out=labels, ctx=ctx)
+        lab_np = labels.read_all()
+
+        # 3. lift: topic-word = A^T one_hot(labels), normalized.  A^T Y
+        # via csrmm 'T' would transpose A; instead stream Y^T A directly:
+        # T[t, w] = sum over docs in cluster t of A[d, w] — computed as a
+        # csrgemv-style pass per topic would be t passes; the single-pass
+        # form is (one_hot^T A) which is exactly csrmm on A^T... for the
+        # library-composition demo we use csrmm 'T' like the reference's
+        # eigensolver uses the materialized transpose.
+        Y = mem_array((docs, n_topics), np.float32, ctx=ctx)
+        onehot = np.zeros((docs, n_topics), np.float32)
+        onehot[np.arange(docs), lab_np] = 1.0
+        Y.write_all(onehot)
+        T = mem_array((vocab, n_topics), np.float32, ctx=ctx)
+        csrmm(a, Y, T, transa="T", ctx=ctx)          # vocab x topics
+        tw = T.read_all().T                          # (topics, vocab)
+        norm = tw.sum(axis=1, keepdims=True)
+        tw = np.where(norm > 0, tw / np.maximum(norm, 1e-30), 0.0)
+        LOG.debug("topic_model: %d topics over %dx%d nnz=%d in %.0f ms "
+                  "(inertia %.4g)", n_topics, docs, vocab, a.nnz,
+                  timer.elapsed_ms(), inertia)
+        return tw.astype(np.float32), lab_np
+    finally:
+        flash_free(P)
+        flash_free(labels)

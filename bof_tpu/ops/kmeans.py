@@ -122,29 +122,70 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     return new_centers.astype(np.float32), inertia, counts_np
 
 
+def _kmeanspp_sample(points: FlashArray, n_centers: int, rng,
+                     sample_cap: int = 1 << 16) -> np.ndarray:
+    """k-means++ seeding on a uniform sample of the flash points (a full
+    k-means++ pass would re-stream the data k times; the sampled variant
+    is the standard out-of-core compromise)."""
+    n, d = points.shape
+    s = min(n, max(sample_cap, 16 * n_centers))
+    idx = np.sort(rng.choice(n, size=s, replace=False))
+    # gather the sample in contiguous runs (cheap: s rows total)
+    sample = np.empty((s, d), np.float32)
+    start = 0
+    while start < s:
+        end = start + 1
+        while end < s and idx[end] == idx[end - 1] + 1:
+            end += 1
+        sample[start:end] = points.read_block(int(idx[start]),
+                                              end - start, 0, d)
+        start = end
+    centers = np.empty((n_centers, d), np.float64)
+    centers[0] = sample[rng.integers(0, s)]
+    d2 = ((sample.astype(np.float64) - centers[0]) ** 2).sum(1)
+    for c in range(1, n_centers):
+        total = d2.sum()
+        if total <= 0:
+            centers[c:] = sample[rng.choice(s, n_centers - c)]
+            break
+        pick = int(np.searchsorted(np.cumsum(d2), rng.random() * total))
+        centers[c] = sample[min(pick, s - 1)]
+        d2 = np.minimum(d2, ((sample.astype(np.float64)
+                              - centers[c]) ** 2).sum(1))
+    return centers.astype(np.float32)
+
+
 def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
-               seed: int = 0, tol: float = 0.0,
+               seed: int = 0, tol: float = 0.0, init: str = "kmeans++",
                labels_out: Optional[FlashArray] = None, ctx=None
                ) -> Tuple[np.ndarray, float]:
     """Full Lloyd's loop (reference: drivers/kmeans.cpp main loop).
-    Initialization: random distinct points (reference seeds from the
-    dataset)."""
+    init='kmeans++' seeds on a point sample; init='random' picks random
+    distinct points (the reference's seeding)."""
     n, d = points.shape
     rng = np.random.default_rng(seed)
-    idx = np.sort(rng.choice(n, size=n_centers, replace=False))
-    centers = np.stack([points.read_block(int(i), 1, 0, d)[0] for i in idx])
+    if init == "kmeans++":
+        centers = _kmeanspp_sample(points, n_centers, rng)
+    else:
+        idx = np.sort(rng.choice(n, size=n_centers, replace=False))
+        centers = np.stack([points.read_block(int(i), 1, 0, d)[0]
+                            for i in idx])
     timer = Timer()
     inertia = np.inf
     for it in range(n_iters):
-        centers_new, inertia, _ = lloyds_iter(
-            points, centers, ctx=ctx,
-            labels_out=labels_out if it == n_iters - 1 else None)
+        centers_new, inertia, _ = lloyds_iter(points, centers, ctx=ctx)
         shift = float(((centers_new - centers) ** 2).sum())
         centers = centers_new
         LOG.debug("kmeans iter %d: inertia %.6g shift %.3g (%.0f ms)",
                   it, inertia, shift, timer.elapsed_ms())
         if shift <= tol:
             break
+    if labels_out is not None:
+        # final assignment pass against the converged centers (also runs
+        # when the loop exits early — a previous version skipped the
+        # write on early convergence, leaving labels_out zeroed)
+        _, inertia, _ = lloyds_iter(points, centers, ctx=ctx,
+                                    labels_out=labels_out)
     return centers, inertia
 
 
