@@ -174,6 +174,15 @@ def main():
         "precision": prec_name,
         "verified": ok,
     }
+    try:  # observability: native engine + pin cache activity
+        import ctypes
+        from bof_tpu.io.native import load_library
+        lib = load_library()
+        if lib is not None:
+            lib.bof_aio_ops.restype = ctypes.c_longlong
+            result["kernel_aio_runs"] = int(lib.bof_aio_ops())
+    except Exception:
+        pass
     print(json.dumps(result))
     return 0 if ok else 1
 

@@ -178,3 +178,12 @@ def test_sort_and_kmeans_in_mem_baselines(tmp_path, scratch):
         np.float32).tofile(pts)
     r = run_driver("kmeans", pts, 500, 4, 3, "--iters", 2, "--in-mem")
     assert "inertia" in r.stdout
+
+
+def test_topic_model_driver(tmp_path, scratch):
+    m, k = 300, 90
+    prefix = str(tmp_path / "TM")
+    run_driver("sparse_create", prefix, m, k, 8.0)
+    r = run_driver("topic_model", prefix, m, k, 3, "--proj-dim", 16,
+                   "--iters", 3, "--scratch", scratch)
+    assert "topics (3," in r.stdout
