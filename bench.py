@@ -121,7 +121,8 @@ def main():
         scratch_dir=os.path.join(cache_dir, "scratch"),
         program_budget=min(48 << 30, 3 * n * n * 4 + (1 << 30)),
         n_io_threads=8, gemm_blk_size=sb,
-        pipeline_depth=int(os.environ.get("BOF_BENCH_DEPTH", "3")))
+        pipeline_depth=int(os.environ.get("BOF_BENCH_DEPTH", "3")),
+        tile_cache_backend=os.environ.get("BOF_BENCH_CACHE", "auto"))
     cfg.matmul_precision = prec_name
     ctx = bt.FlashContext(cfg)
     A = bt.map_array(a_path, (n, n), np.float32, "R", ctx=ctx)

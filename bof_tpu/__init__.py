@@ -14,6 +14,7 @@ from .ops import bof_map, bof_reduce, bof_sort, gemm, gemm_in_mem
 from .ops.kmeans import kmeans_fit, lloyds_iter
 from .sparse import (CsrFlashMatrix, csrcsc, csrcsc_scratch, csrgemv,
                      csrmm)
+from .apps import block_power_svd, topic_model
 
 __version__ = "0.1.0"
 
@@ -24,4 +25,5 @@ __all__ = [
     "bof_map", "bof_reduce", "bof_sort", "gemm", "gemm_in_mem",
     "kmeans_fit", "lloyds_iter",
     "CsrFlashMatrix", "csrcsc", "csrcsc_scratch", "csrgemv", "csrmm",
+    "block_power_svd", "topic_model",
 ]
