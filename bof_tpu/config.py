@@ -54,6 +54,7 @@ class FlashConfig:
     # ---- lib funcs (reference: MAP_BLK_SIZE, REDUCE_BLK_SIZE, SORT) ----
     map_blk_elems: int = 1 << 24       # elements per map/reduce block
     sort_blk_elems: int = 1 << 24      # elements per sort block
+    sort_compute: str = "host"         # "host" (np.sort) | "device" (jnp)
 
     # ---- debug self-checking (reference: DEBUG builds compile ASan +
     # GLOG_ASSERT + write read-back verification + verify_csr_block) ----

@@ -48,11 +48,20 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     n_blks = cdiv(n, blk)
     dt = src.dtype
 
+    # block sorter: host np.sort by default (the reference sorts blocks on
+    # CPU via __gnu_parallel::sort, sort_task.h:8); sort_compute='device'
+    # runs jnp.sort on the accelerator — the right choice on real hardware
+    # where the link outruns a host single-thread sort
+    device_sort = getattr(ctx.config, "sort_compute", "host") == "device"
+
     def sort_block(x):
-        if key is None:
-            x.sort()
-        else:
+        if key is not None:
             x[:] = x[np.argsort(key(x), kind="stable")]
+        elif device_sort:
+            import jax.numpy as jnp
+            x[:] = np.asarray(jnp.sort(jnp.asarray(x)))
+        else:
+            x.sort()
 
     def searchsorted_keyed(x_sorted, pivots):
         if key is None:

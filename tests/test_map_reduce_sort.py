@@ -103,3 +103,14 @@ def test_sort_custom_key(ctx, rng):
     bof_sort(src, dst, key=np.abs, blk_elems=3000, ctx=ctx)
     got = dst.read_all()
     np.testing.assert_array_equal(np.abs(got), np.sort(np.abs(data)))
+
+
+def test_sort_device_compute(ctx, rng):
+    """sort_compute='device' runs block sorts on the accelerator."""
+    ctx.config.sort_compute = "device"
+    n = 20_000
+    data = rng.standard_normal(n).astype(np.float32)
+    src = mem_array((n,), np.float32, data=data, ctx=ctx)
+    dst = mem_array((n,), np.float32, ctx=ctx)
+    bof_sort(src, dst, blk_elems=4096, ctx=ctx)
+    np.testing.assert_array_equal(dst.read_all(), np.sort(data))

@@ -190,3 +190,68 @@ def test_shared_tile_reuse(ctx, rng):
     np.testing.assert_allclose(out.read_all(), np.full(8, expect), rtol=1e-6)
     snap = METRICS.snapshot()
     assert snap.get("cache.hit", 0) >= 7  # shared tile fetched once
+
+
+def test_single_use_discard_option(tmp_path, rng):
+    """single_use_discard frees clean tiles at zero refs instead of
+    keeping them evictable (reference: SchedulerOptions, scheduler.h:79)."""
+    from bof_tpu import FlashConfig, FlashContext, mem_array
+    cfg = FlashConfig(scratch_dir=str(tmp_path / "s"), n_io_threads=2,
+                      n_compute_threads=2, single_use_discard=True)
+    ctx = FlashContext(cfg)
+    try:
+        arr = mem_array((4096,), np.float32,
+                        data=rng.standard_normal(4096).astype(np.float32),
+                        ctx=ctx)
+        out = mem_array((4,), np.float32, data=np.zeros(4, np.float32),
+                        ctx=ctx)
+        sched = ctx.scheduler()
+        tasks = []
+        for i in range(4):
+            off, sinfo = arr.block_access(i * 1024, 1024)
+            ooff, osin = out.block_access(i, 1)
+
+            def run(task, off=off, sinfo=sinfo, ooff=ooff, osin=osin):
+                x = task.buf(arr.store, off, sinfo, np.float32)
+                task.buf(out.store, ooff, osin, np.float32)[:] = x.sum()
+            t = FnTask(run)
+            t.add_read(arr.store, off, sinfo)
+            t.add_write(out.store, ooff, osin)
+            tasks.append(t)
+        sched.add_tasks(tasks)
+        sched.wait_for(tasks)
+        sched.flush_cache()
+        ref = arr.read_all().reshape(4, 1024).sum(1)
+        np.testing.assert_allclose(out.read_all(), ref, rtol=1e-6)
+        # read-only tiles were discarded at release, not parked in LRU
+        assert sched.cache.commit_size <= 4 * 4  # only the tiny out tiles
+    finally:
+        ctx.destroy()
+
+
+def test_fcfs_prioritizer_disabled(tmp_path, rng):
+    from bof_tpu import FlashConfig, FlashContext, mem_array
+    cfg = FlashConfig(scratch_dir=str(tmp_path / "s2"), n_io_threads=2,
+                      n_compute_threads=1, enable_prioritizer=False)
+    ctx = FlashContext(cfg)
+    try:
+        arr = mem_array((1000,), np.float32,
+                        data=np.arange(1000, dtype=np.float32), ctx=ctx)
+        sched = ctx.scheduler()
+        tasks = []
+        for i in range(10):
+            off, sinfo = arr.block_access(i * 100, 100)
+
+            def run(task, off=off, sinfo=sinfo):
+                task.buf(arr.store, off, sinfo, np.float32)[:] += 1.0
+            t = FnTask(run)
+            t.add_read(arr.store, off, sinfo)
+            t.add_write(arr.store, off, sinfo)
+            tasks.append(t)
+        sched.add_tasks(tasks)
+        sched.wait_for(tasks)
+        sched.flush_cache()
+        np.testing.assert_allclose(arr.read_all(),
+                                   np.arange(1000, dtype=np.float32) + 1.0)
+    finally:
+        ctx.destroy()
