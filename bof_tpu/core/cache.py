@@ -81,6 +81,11 @@ class TileCache:
         e = self._entries.pop(key)
         self._zero_ref.pop(key, None)
         self.commit_size -= e.nbytes
+        tkt = self._inflight_reads.pop(key, None)
+        if tkt is not None:
+            # read still in flight for an evicted entry: orphan the ticket
+            # (it holds the buffer alive until completion)
+            self._orphan_tickets.append(tkt)
         if e.dirty:
             tkt = e.store.write(e.offset, e.sinfo, e.buf)
             self._inflight_writes[key] = (tkt, e.nbytes, e.buf)
@@ -95,7 +100,9 @@ class TileCache:
         for k, tkt in list(self._inflight_reads.items()):
             if tkt.done():
                 tkt.wait()  # raise on error
-                self._entries[k].complete = True
+                e = self._entries.get(k)  # may have been evicted meanwhile
+                if e is not None:
+                    e.complete = True
                 del self._inflight_reads[k]
         for k, (tkt, nb, _buf) in list(self._inflight_writes.items()):
             if tkt.done():
@@ -241,6 +248,11 @@ class TileCache:
                 self.commit_size += nb
                 METRICS.add("cache.resurrect")
                 return k
+            if sinfo.nbytes > self.max_size:
+                raise MemoryError(
+                    f"pinned tile ({sinfo.nbytes} B) exceeds program "
+                    f"budget ({self.max_size} B); raise program_budget or "
+                    f"shrink the block size")
             if self.commit_size + sinfo.nbytes > self.max_size:
                 for zk in list(self._zero_ref.keys()):
                     if zk == k:
@@ -303,9 +315,13 @@ class TileCache:
         with self._lock:
             for k in list(self._zero_ref.keys()):
                 self._evict_locked(k)
+            # drop backlog keys whose entries were evicted/cancelled —
+            # nothing will ever service them
+            self._backlog = collections.deque(
+                k for k in self._backlog if k in self._entries)
         while True:
+            self.service_backlog()  # issue any still-live backlog reads
             with self._lock:
-                self._reap_locked()
                 busy = (self._inflight_reads or self._inflight_writes
                         or self._orphan_tickets or self._backlog)
                 if not busy:

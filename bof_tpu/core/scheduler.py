@@ -77,6 +77,7 @@ class Scheduler:
         self._complete_q: queue.Queue = queue.Queue()
         self._in_flight = 0  # tasks admitted to cache, not yet complete
 
+        self._failed: set[int] = set()  # ids of failed tasks (cascade)
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._all_done = threading.Event()
@@ -164,7 +165,16 @@ class Scheduler:
             progressed = True
             any_progress = woke
             while progressed:
-                progressed = self._sched_round()
+                try:
+                    progressed = self._sched_round()
+                except Exception:
+                    # A dead scheduler thread hangs every waiter forever;
+                    # log, back off, and keep scheduling (per-task errors
+                    # surface through task.error / ticket waits).
+                    LOG.exception("scheduler round failed; continuing")
+                    METRICS.add("sched.round_errors")
+                    progressed = False
+                    idle_wait = 0.1
                 any_progress = any_progress or progressed
             idle_wait = 0.002 if any_progress else min(idle_wait * 2, 0.1)
 
@@ -178,29 +188,53 @@ class Scheduler:
                 break
             progressed = True
             self.c_rec.mark(tsk.id)
-            self.cache.release(tsk)
+            if getattr(tsk, "_admitted", True):
+                self.cache.release(tsk)
+            if tsk.error is not None:
+                self._failed.add(tsk.id)
             tsk.set_status(TaskStatus.COMPLETE)
             with self._lock:
                 self._in_flight -= 1
                 self._pending -= 1
                 if tsk.next is not None:
-                    self._wait_tasks.append(tsk.next)
-                    self._pending += 1
+                    if tsk.error is not None:
+                        # failure cascades down continuation chains
+                        # (the reference GLOG_FATALs instead)
+                        tsk.next.error = RuntimeError(
+                            f"upstream task {tsk.id} failed")
+                        tsk.next._admitted = False
+                        self._in_flight += 1
+                        self._pending += 1
+                        self._complete_q.put(tsk.next)
+                    else:
+                        self._wait_tasks.append(tsk.next)
+                        self._pending += 1
                 if self._pending == 0:
                     self._all_done.set()
             METRICS.add("sched.completed")
 
         # (2) Wait → Ready where all parents complete (scheduler.cpp:142-147)
+        failed_children = []
         with self._lock:
             still_waiting = []
             for t in self._wait_tasks:
-                if self.c_rec.all_complete(t.parents):
+                if any(p in self._failed for p in t.parents):
+                    # a parent failed: fail the child instead of computing
+                    # over never-produced inputs
+                    t.error = RuntimeError("parent task failed")
+                    t._admitted = False
+                    self._in_flight += 1
+                    failed_children.append(t)
+                    progressed = True
+                elif self.c_rec.all_complete(t.parents):
                     t.set_status(TaskStatus.ALLOC_READY)
                     self.prio.insert(t)
                     progressed = True
                 else:
                     still_waiting.append(t)
             self._wait_tasks = still_waiting
+        for t in failed_children:
+            self._complete_q.put(t)
         if progressed:
             self.prio.update()
 
@@ -220,6 +254,7 @@ class Scheduler:
                 t.error = MemoryError(
                     f"task working set {t.size} B exceeds program budget "
                     f"{self.cache.max_size} B")
+                t._admitted = False  # never entered the cache: no release
                 LOG.error("task %d: %s", t.id, t.error)
                 self._complete_q.put(t)
                 with self._lock:

@@ -24,13 +24,17 @@ from .stride import StrideInfo
 # safe keys — a recycled identity would alias cache entries of a dead
 # store onto a new one.
 _store_uid_counter = itertools.count(1)
+_store_uid_lock = threading.Lock()
 
 
 def store_uid(store) -> int:
     u = getattr(store, "uid", None)
     if u is None:
-        u = next(_store_uid_counter)
-        store.uid = u
+        with _store_uid_lock:  # first-touch may race across threads
+            u = getattr(store, "uid", None)
+            if u is None:
+                u = next(_store_uid_counter)
+                store.uid = u
     return u
 
 

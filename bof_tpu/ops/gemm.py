@@ -195,8 +195,8 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     errors: list = []
 
     def producer():
+        pinned = collections.deque()
         try:
-            pinned = collections.deque()
             for idx in range(min(depth, len(steps))):
                 pinned.append(pin_pair(idx))
 
@@ -223,10 +223,24 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 b_dev = get_dev(kb_, b_access, l * sb, j * sb, bl, bj)
                 cache.unpin(ka_)
                 cache.unpin(kb_)
-                tile_q.put((a_dev, b_dev, c_init))
+                while not errors:  # timeout-put: a dead consumer can't
+                    try:           # block us holding pins forever
+                        tile_q.put((a_dev, b_dev, c_init), timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                if errors:
+                    return
         except BaseException as e:  # pragma: no cover
             errors.append(e)
-            tile_q.put(None)
+            try:
+                tile_q.put_nowait(None)
+            except queue.Full:
+                pass
+        finally:
+            for ka_, kb_ in pinned:  # release lookahead pins on any exit
+                cache.unpin(ka_)
+                cache.unpin(kb_)
 
     def writer():
         try:
@@ -254,7 +268,14 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     alpha_s = np.dtype(c.dtype).type(alpha)
     beta_s = np.dtype(c.dtype).type(beta)
     for idx, (i, j, l) in enumerate(steps):
-        item = tile_q.get()
+        item = None
+        while True:  # timeout-get: survive a producer that died silently
+            try:
+                item = tile_q.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if errors:
+                    break
         if item is None:
             break
         a_dev, b_dev, c_init = item

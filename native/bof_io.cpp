@@ -513,7 +513,11 @@ long long bof_submit(long long fd, long long offset, long long stride,
   // split at max_chunk as before.
   constexpr int64_t kMinOpBytes = 1 << 20;
   int64_t group = 1;
-  if (n_strides > 1 && len_per_stride < kMinOpBytes)
+  // grouping only applies to runs that fit one chunk — a grouped op is
+  // executed run-by-run and never chunk-split, so len > max_chunk runs
+  // must stay group==1 (they take the splitting branch below)
+  if (n_strides > 1 && len_per_stride < kMinOpBytes
+      && len_per_stride <= max_chunk)
     group = std::min<int64_t>(n_strides,
                               (kMinOpBytes + len_per_stride - 1)
                                   / len_per_stride);

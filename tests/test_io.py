@@ -225,3 +225,31 @@ def test_kernel_aio_strided_path(tmp_path, rng):
         shadow[i * 1024:i * 1024 + 256] = vals[i * 256:(i + 1) * 256]
     np.testing.assert_array_equal(got, shadow)
     st.close()
+
+
+def test_grouping_with_small_max_chunk(tmp_path, rng):
+    """Regression: max_chunk < len_per_stride < 1MiB used to group runs
+    but only execute the first of each group (silent corruption)."""
+    from bof_tpu.io.native import NativeFileStore, load_library
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+    n = (4 << 20) // 4  # 4 MiB of uint32
+    data = np.arange(n, dtype=np.uint32)
+    path = str(tmp_path / "gc.bin")
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+    st = NativeFileStore(path, n_threads=4, max_chunk_bytes=256 << 10)
+    run_el = (512 << 10) // 4          # 512 KiB runs > max_chunk
+    sinfo = StrideInfo(stride=(512 << 10), n_strides=8,
+                       len_per_stride=(512 << 10))
+    got = st.read_sync(0, sinfo).view(np.uint32)
+    np.testing.assert_array_equal(got, data[:8 * run_el])
+    # also a truly strided variant (gaps between runs)
+    sinfo2 = StrideInfo(stride=(768 << 10), n_strides=5,
+                        len_per_stride=(512 << 10))
+    got2 = st.read_sync(0, sinfo2).view(np.uint32)
+    expect = np.concatenate([
+        data[i * (768 << 10) // 4:i * (768 << 10) // 4 + run_el]
+        for i in range(5)])
+    np.testing.assert_array_equal(got2, expect)
+    st.close()

@@ -255,3 +255,41 @@ def test_fcfs_prioritizer_disabled(tmp_path, rng):
                                    np.arange(1000, dtype=np.float32) + 1.0)
     finally:
         ctx.destroy()
+
+
+def test_failure_cascades_to_children_and_continuations(ctx):
+    """Children of a failed parent and chained continuations must fail
+    instead of computing over never-produced inputs."""
+    from bof_tpu import mem_array
+    arr = mem_array((16,), np.float32, ctx=ctx)
+    sched = make_sched(ctx)
+    off, sinfo = arr.block_access(0, 16)
+
+    def boom(task):
+        raise ValueError("boom")
+
+    parent = FnTask(boom)
+    parent.add_read(arr.store, off, sinfo)
+    child = FnTask(lambda task: None)
+    child.add_read(arr.store, off, sinfo)
+    child.add_parent(parent.id)
+    cont = FnTask(lambda task: None)
+    cont.add_read(arr.store, off, sinfo)
+    parent.add_next(cont)
+    sched.add_tasks([parent, child])
+    with pytest.raises(RuntimeError):
+        sched.wait_for([parent], timeout=30)
+    with pytest.raises(RuntimeError):
+        sched.wait_for([child], timeout=30)
+    with pytest.raises(RuntimeError):
+        sched.wait_for([cont], timeout=30)
+
+
+def test_oversized_pin_raises(ctx):
+    from bof_tpu import mem_array
+    arr = mem_array((16,), np.float32, ctx=ctx)
+    cache = ctx.scheduler().cache
+    with pytest.raises(MemoryError):
+        cache.pin_read(arr.store, 0,
+                       StrideInfo(stride=1 << 20, n_strides=512,
+                                  len_per_stride=1 << 20))
