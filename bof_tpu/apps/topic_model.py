@@ -62,7 +62,7 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
         csrmm(a, R, P, ctx=ctx)                      # project docs
         LOG.debug("topic_model: projected in %.0f ms", timer.elapsed_ms())
         _, inertia = kmeans_fit(P, n_topics, n_iters=n_iters, seed=seed,
-                                labels_out=labels, ctx=ctx)
+                                n_init=3, labels_out=labels, ctx=ctx)
         lab_np = labels.read_all()
 
         # 3. lift: topic-word = A^T one_hot(labels), normalized.  A^T Y

@@ -164,14 +164,28 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     def tile_dims(i, j, l):
         return min(sb, m - i * sb), min(sb, n - j * sb), min(sb, k - l * sb)
 
+    from ..io.store import store_uid
+
+    def _prep(arr, access_fn, i0, l0, d0, d1):
+        """Pin descriptor for one operand tile: skip the host pin (and its
+        possible disk read) entirely when the tile is already HBM-resident
+        — pinning first would re-read from disk just to throw it away."""
+        (off, sinfo), st_shape = access_fn(i0, l0, d0, d1)
+        hkey = (store_uid(arr.store), off, sinfo)
+        if hbm.get(hkey) is not None:
+            return ("hbm", hkey, arr.store, off, sinfo, st_shape)
+        pin = cache.pin_read(arr.store, off, sinfo)
+        return ("pin", hkey, arr.store, off, sinfo, st_shape, pin)
+
     def pin_pair(idx):
         i, j, l = steps[idx]
         bi, bj, bl = tile_dims(i, j, l)
-        (aoff, asin), _ = a_access(i * sb, l * sb, bi, bl)
-        (boff, bsin), _ = b_access(l * sb, j * sb, bl, bj)
-        ka_ = cache.pin_read(a.store, aoff, asin)
-        kb_ = cache.pin_read(b.store, boff, bsin)
-        return ka_, kb_
+        return (_prep(a, a_access, i * sb, l * sb, bi, bl),
+                _prep(b, b_access, l * sb, j * sb, bl, bj))
+
+    def _unpin(desc):
+        if desc[0] == "pin":
+            cache.unpin(desc[6])
 
     def pad_to(mat: np.ndarray, full_shape) -> np.ndarray:
         if mat.shape == full_shape:
@@ -200,15 +214,22 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
             for idx in range(min(depth, len(steps))):
                 pinned.append(pin_pair(idx))
 
-            def get_dev(key, access_fn, ii, ll, d0, d1):
-                hit = hbm.get(key)
+            def get_dev(desc):
+                kind, hkey, store, off, sinfo, st_shape = desc[:6]
+                hit = hbm.get(hkey)
                 if hit is not None:
                     return hit
-                cache.wait_ready(key)
-                (_o, _s), st_shape = access_fn(ii, ll, d0, d1)
-                host = cache.buf(key).view(a.dtype).reshape(st_shape)
+                if kind == "hbm":
+                    # HBM-resident at pin time but evicted since: pin now
+                    pin = cache.pin_read(store, off, sinfo)
+                    desc = ("pin", hkey, store, off, sinfo, st_shape, pin)
+                pin = desc[6]
+                cache.wait_ready(pin)
+                host = cache.buf(pin).view(a.dtype).reshape(st_shape)
                 arr = dev.to_device(pad_to(host, (sb, sb)))
-                return hbm.put(key, arr, arr.nbytes)
+                if kind == "hbm":
+                    cache.unpin(pin)
+                return hbm.put(hkey, arr, arr.nbytes)
 
             for idx, (i, j, l) in enumerate(steps):
                 bi, bj, bl = tile_dims(i, j, l)
@@ -216,13 +237,15 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 if l == 0 and beta != 0.0:
                     c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
                     c_init = dev.to_device(pad_to(c_host, c_full_storage))
-                ka_, kb_ = pinned.popleft()
-                if idx + depth < len(steps):
-                    pinned.append(pin_pair(idx + depth))
-                a_dev = get_dev(ka_, a_access, i * sb, l * sb, bi, bl)
-                b_dev = get_dev(kb_, b_access, l * sb, j * sb, bl, bj)
-                cache.unpin(ka_)
-                cache.unpin(kb_)
+                da, db = pinned.popleft()
+                try:
+                    if idx + depth < len(steps):
+                        pinned.append(pin_pair(idx + depth))
+                    a_dev = get_dev(da)
+                    b_dev = get_dev(db)
+                finally:
+                    _unpin(da)  # release current-step pins even on error
+                    _unpin(db)
                 while not errors:  # timeout-put: a dead consumer can't
                     try:           # block us holding pins forever
                         tile_q.put((a_dev, b_dev, c_init), timeout=1.0)
@@ -238,9 +261,9 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
             except queue.Full:
                 pass
         finally:
-            for ka_, kb_ in pinned:  # release lookahead pins on any exit
-                cache.unpin(ka_)
-                cache.unpin(kb_)
+            for da, db in pinned:  # release lookahead pins on any exit
+                _unpin(da)
+                _unpin(db)
 
     def writer():
         try:
@@ -309,8 +332,19 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
             write_q.put_nowait(None)
         except queue.Full:
             pass
-    prod_t.join(timeout=30)
-    writ_t.join(timeout=30)
+    # unbounded joins while healthy (a slow-disk writer can legitimately
+    # outlast any fixed timeout; returning early would report success with
+    # writes still in flight); bounded once an error is recorded
+    while prod_t.is_alive():
+        prod_t.join(timeout=1.0)
+        if errors:
+            prod_t.join(timeout=30)
+            break
+    while writ_t.is_alive():
+        writ_t.join(timeout=1.0)
+        if errors:
+            writ_t.join(timeout=30)
+            break
     if errors:
         raise errors[0]
     c.store.flush()

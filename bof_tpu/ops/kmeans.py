@@ -28,7 +28,10 @@ from ..core.pipeline import PrefetchSeq
 from ..utils import LOG, Timer
 
 
+@functools.lru_cache(maxsize=1)
 def _jit_steps():
+    # cached: jax.jit caches key on function identity, so rebuilding the
+    # closure per lloyds_iter call would retrace/recompile every iteration
     import jax
     import jax.numpy as jnp
 
@@ -122,6 +125,20 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     return new_centers.astype(np.float32), inertia, counts_np
 
 
+def _sample_indices(n: int, s: int, rng) -> np.ndarray:
+    """s distinct sorted indices from [0, n) in O(s) memory
+    (rng.choice(replace=False) permutes the whole population — O(n) host
+    memory, fatal for out-of-core point counts)."""
+    if s >= n:
+        return np.arange(n, dtype=np.int64)
+    picked = np.unique(rng.integers(0, n, int(s * 1.2) + 16))
+    while len(picked) < s:
+        extra = rng.integers(0, n, s)
+        picked = np.unique(np.concatenate([picked, extra]))
+    return picked[np.sort(rng.choice(len(picked), s, replace=False))] \
+        if len(picked) > s else picked
+
+
 def _kmeanspp_sample(points: FlashArray, n_centers: int, rng,
                      sample_cap: int = 1 << 16) -> np.ndarray:
     """k-means++ seeding on a uniform sample of the flash points (a full
@@ -129,7 +146,7 @@ def _kmeanspp_sample(points: FlashArray, n_centers: int, rng,
     is the standard out-of-core compromise)."""
     n, d = points.shape
     s = min(n, max(sample_cap, 16 * n_centers))
-    idx = np.sort(rng.choice(n, size=s, replace=False))
+    idx = _sample_indices(n, s, rng)
     # gather the sample in contiguous runs (cheap: s rows total)
     sample = np.empty((s, d), np.float32)
     start = 0
@@ -157,33 +174,41 @@ def _kmeanspp_sample(points: FlashArray, n_centers: int, rng,
 
 def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
                seed: int = 0, tol: float = 0.0, init: str = "kmeans++",
-               labels_out: Optional[FlashArray] = None, ctx=None
-               ) -> Tuple[np.ndarray, float]:
+               n_init: int = 1, labels_out: Optional[FlashArray] = None,
+               ctx=None) -> Tuple[np.ndarray, float]:
     """Full Lloyd's loop (reference: drivers/kmeans.cpp main loop).
     init='kmeans++' seeds on a point sample; init='random' picks random
-    distinct points (the reference's seeding)."""
+    distinct points (the reference's seeding).  n_init > 1 runs multiple
+    restarts and keeps the lowest-inertia fit (each restart is a full set
+    of streaming passes — budget accordingly for out-of-core data)."""
     n, d = points.shape
-    rng = np.random.default_rng(seed)
-    if init == "kmeans++":
-        centers = _kmeanspp_sample(points, n_centers, rng)
-    else:
-        idx = np.sort(rng.choice(n, size=n_centers, replace=False))
-        centers = np.stack([points.read_block(int(i), 1, 0, d)[0]
-                            for i in idx])
     timer = Timer()
-    inertia = np.inf
-    for it in range(n_iters):
-        centers_new, inertia, _ = lloyds_iter(points, centers, ctx=ctx)
-        shift = float(((centers_new - centers) ** 2).sum())
-        centers = centers_new
-        LOG.debug("kmeans iter %d: inertia %.6g shift %.3g (%.0f ms)",
-                  it, inertia, shift, timer.elapsed_ms())
-        if shift <= tol:
-            break
+    best: Tuple[float, np.ndarray] = (np.inf, None)
+    for attempt in range(max(1, n_init)):
+        rng = np.random.default_rng(seed + attempt)
+        if init == "kmeans++":
+            centers = _kmeanspp_sample(points, n_centers, rng)
+        else:
+            idx = _sample_indices(n, n_centers, rng)
+            centers = np.stack([points.read_block(int(i), 1, 0, d)[0]
+                                for i in idx])
+        inertia = np.inf
+        for it in range(n_iters):
+            centers_new, inertia, _ = lloyds_iter(points, centers, ctx=ctx)
+            shift = float(((centers_new - centers) ** 2).sum())
+            centers = centers_new
+            LOG.debug("kmeans[%d] iter %d: inertia %.6g shift %.3g "
+                      "(%.0f ms)", attempt, it, inertia, shift,
+                      timer.elapsed_ms())
+            if shift <= tol:
+                break
+        if inertia < best[0]:
+            best = (inertia, centers)
+    inertia, centers = best
     if labels_out is not None:
-        # final assignment pass against the converged centers (also runs
-        # when the loop exits early — a previous version skipped the
-        # write on early convergence, leaving labels_out zeroed)
+        # final assignment pass against the winning centers (also covers
+        # early convergence — a previous version skipped the scheduled
+        # write on early break, leaving labels_out zeroed)
         _, inertia, _ = lloyds_iter(points, centers, ctx=ctx,
                                     labels_out=labels_out)
     return centers, inertia

@@ -54,12 +54,27 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     # where the link outruns a host single-thread sort
     device_sort = getattr(ctx.config, "sort_compute", "host") == "device"
 
+    def _pad_fill(dt_):
+        if np.issubdtype(dt_, np.floating):
+            return np.array(np.inf, dt_)
+        return np.array(np.iinfo(dt_).max, dt_)
+
     def sort_block(x):
         if key is not None:
             x[:] = x[np.argsort(key(x), kind="stable")]
         elif device_sort:
             import jax.numpy as jnp
-            x[:] = np.asarray(jnp.sort(jnp.asarray(x)))
+            from ..utils.alignment import round_up
+            # pad to the next power of two so data-dependent bucket sizes
+            # (phase 3) don't each compile a fresh device sort shape
+            m = len(x)
+            cap = 1 << max(0, (m - 1).bit_length())
+            if cap > m:
+                padded = np.concatenate(
+                    [x, np.full(cap - m, _pad_fill(x.dtype), x.dtype)])
+            else:
+                padded = x
+            x[:] = np.asarray(jnp.sort(jnp.asarray(padded)))[:m]
         else:
             x.sort()
 
@@ -72,7 +87,6 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     # only flips bucket placement and fragment order in phase 3.
 
     # ---- phase 1: block sort + sample -----------------------------------
-    rng = np.random.default_rng(0xB0F)
     samples: list = [None] * n_blks
     lock = threading.Lock()
     p1 = []
@@ -84,6 +98,9 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
         def run(task, bi=bi, off=off, sinfo=sinfo, bn=bn):
             x = task.buf(src.store, off, sinfo, dt)
             sort_block(x)  # ascending (in key order) in place
+            # per-task generator: numpy Generators are not thread-safe,
+            # and compute threads run phase-1 tasks concurrently
+            rng = np.random.default_rng(0xB0F + bi)
             idx = np.sort(rng.integers(0, bn, min(oversample, bn)))
             picked = x[idx]
             with lock:

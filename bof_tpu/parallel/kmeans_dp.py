@@ -64,25 +64,30 @@ def lloyds_iter_sharded(points_np: np.ndarray, centers: np.ndarray,
     n_dev = int(np.prod(mesh.devices.shape))
     n, d = points_np.shape
     pad = (-n) % n_dev
+    centers = np.ascontiguousarray(centers, np.float32)
     if pad:
+        # pad with copies of center 0: distance 0 guarantees the device
+        # argmin assigns them label 0 (first occurrence wins on ties), so
+        # the correction below is exact — padding with zeros would need a
+        # host-side argmin over |c|^2 that can disagree with the device's
+        # float32 tie-breaking
         points_np = np.concatenate(
-            [points_np, np.zeros((pad, d), points_np.dtype)])
+            [points_np, np.broadcast_to(centers[0], (pad, d))])
     step = dp_lloyd_step(mesh, prec)
     p = jax.device_put(points_np.astype(np.float32),
                        NamedSharding(mesh, P(mesh.axis_names)))
-    c = jax.device_put(np.ascontiguousarray(centers, np.float32),
-                       NamedSharding(mesh, P()))
+    c = jax.device_put(centers, NamedSharding(mesh, P()))
     sums, counts, inertia = step(p, c)
     sums = np.array(sums)
     counts = np.array(counts)
     inertia = float(np.asarray(inertia).sum())
     if pad:
-        # padded zero-points all land in the min-norm cluster (their sums
-        # contribution is zero); remove their count and |c|^2 inertia
-        zero_lbl = int(np.argmin((centers.astype(np.float64) ** 2).sum(1)))
-        counts[zero_lbl] -= pad
-        inertia -= pad * float((centers[zero_lbl].astype(np.float64)
-                                ** 2).sum())
+        # pad points are exact copies of centers[0]: label 0, zero
+        # distance, so their whole contribution is deterministic
+        counts[0] -= pad
+        sums[0] -= pad * centers[0].astype(np.float64)
+        # inertia: mind = |c0|^2 - 2 c0.c0 = -|c0|^2, plus |p|^2 = +|c0|^2
+        # -> net 0 per pad point; no correction needed
     safe = np.maximum(counts, 1.0)[:, None]
     new_centers = np.where(counts[:, None] > 0, sums / safe, centers)
     return new_centers.astype(np.float32), inertia, counts

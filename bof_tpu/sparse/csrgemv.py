@@ -79,7 +79,7 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
     for bi, (r, e) in enumerate(blocks):
         ja_blk = pf.get(2 * bi).view(idt)
         va_blk = pf.get(2 * bi + 1).view(vdt)
-        row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
+        row_ids = sdev.expand_row_ids(ia_np[r:e + 1])
         w = va_blk.astype(np.float64) * x[r:e].astype(np.float64)[row_ids]
         y += np.bincount(ja_blk.astype(np.int64), weights=w, minlength=k)
         pf.done(2 * bi)

@@ -166,7 +166,7 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                     else:
                         # K-split: keep only entries in [k0, k1), shifted
                         sel = (ja_blk >= k0) & (ja_blk < k1)
-                        row_ids = sdev.expand_row_ids(ia_np[r:e + 1], r)
+                        row_ids = sdev.expand_row_ids(ia_np[r:e + 1])
                         cnt = np.bincount(row_ids[sel], minlength=rows_b)
                         blk_ia = np.zeros(rows_b + 1, np.int64)
                         np.cumsum(cnt, out=blk_ia[1:])
@@ -220,7 +220,12 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
         def writer():
             try:
                 while True:
-                    item = out_q.get()
+                    try:  # timeout-get: a dead producer can't hang us
+                        item = out_q.get(timeout=1.0)
+                    except queue.Empty:
+                        if errors:
+                            break
+                        continue
                     if item is None:
                         break
                     r, rows_b, outs = item
@@ -242,8 +247,18 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
         writ_t = threading.Thread(target=writer, daemon=True)
         prod_t.start()
         writ_t.start()
-        prod_t.join()
-        writ_t.join()
+        # unbounded joins on the healthy path (writers legitimately take
+        # long on slow disks); bounded only once an error is recorded
+        while prod_t.is_alive():
+            prod_t.join(timeout=1.0)
+            if errors:
+                prod_t.join(timeout=30)
+                break
+        while writ_t.is_alive():
+            writ_t.join(timeout=1.0)
+            if errors:
+                writ_t.join(timeout=30)
+                break
         pf.close()
         if errors:
             raise errors[0]

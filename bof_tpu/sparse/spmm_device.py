@@ -54,8 +54,8 @@ def pad_to_cap(arr: np.ndarray, cap: int, fill=0):
     return out
 
 
-def expand_row_ids(ia_blk: np.ndarray, r0: int) -> np.ndarray:
-    """Per-nnz local row ids from an offsets slice ia[r0..r1]."""
+def expand_row_ids(ia_blk: np.ndarray) -> np.ndarray:
+    """Per-nnz block-local row ids from an offsets slice ia[r0..r1]."""
     counts = np.diff(ia_blk)
     return np.repeat(np.arange(len(counts), dtype=np.int32), counts)
 
