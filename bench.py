@@ -94,7 +94,10 @@ def main():
     else:
         # transfers ~ (A + B cross once) + C down: 3*N^2*4 bytes at h2d;
         # compute 2N^3; pick N so the slower of the two ~ 0.6*budget
-        free = os.statvfs("/tmp").f_frsize * os.statvfs("/tmp").f_bavail
+        cache_root = os.path.expanduser("~/.cache")
+        os.makedirs(cache_root, exist_ok=True)
+        sv = os.statvfs(cache_root)  # operands live under ~/.cache
+        free = sv.f_frsize * sv.f_bavail
         best = sb
         n = sb
         while True:
@@ -130,7 +133,8 @@ def main():
     C = bt.map_array(c_path, (n, n), np.float32, "R", create=True, ctx=ctx)
 
     # warm-up: compile the accumulate steps on a 2-superblock problem
-    warm = 2 * sb
+    # (clamped: BOF_BENCH_N may be smaller than 2 superblocks)
+    warm = min(2 * sb, n)
     Aw = bt.FlashArray(A.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     Bw = bt.FlashArray(B.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     Cw = bt.FlashArray(C.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)

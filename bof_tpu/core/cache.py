@@ -33,7 +33,7 @@ from .task import Task, TaskStatus, access_key
 
 class _Entry:
     __slots__ = ("store", "offset", "sinfo", "buf", "refs", "dirty",
-                 "alloc_only", "complete", "nbytes")
+                 "alloc_only", "complete", "nbytes", "error")
 
     def __init__(self, store, offset, sinfo, alloc_only: bool):
         self.store = store
@@ -45,6 +45,7 @@ class _Entry:
         self.alloc_only = alloc_only  # write-only: no read needed
         self.complete = False         # buffer resident & contents valid
         self.nbytes = sinfo.nbytes
+        self.error: Optional[BaseException] = None  # failed read
 
 
 class TileCache:
@@ -61,6 +62,7 @@ class TileCache:
         self.commit_size = 0
         self.real_size = 0
         self._dirty_stores: Dict[int, object] = {}
+        self.write_errors: List[BaseException] = []  # failed write-backs
 
     # ------------------------------------------------------------ internal
     def _task_keys(self, task: Task):
@@ -97,20 +99,39 @@ class TileCache:
             METRICS.add("cache.evict_clean")
 
     def _reap_locked(self):
+        # Every completion path records I/O errors instead of raising out
+        # of the reap loop — an exception here once wedged the cache with
+        # the ticket stuck in _inflight_reads forever.
         for k, tkt in list(self._inflight_reads.items()):
             if tkt.done():
-                tkt.wait()  # raise on error
+                err = None
+                try:
+                    tkt.wait()
+                except IOError as ex:
+                    err = ex
                 e = self._entries.get(k)  # may have been evicted meanwhile
                 if e is not None:
                     e.complete = True
+                    e.error = err
                 del self._inflight_reads[k]
         for k, (tkt, nb, _buf) in list(self._inflight_writes.items()):
             if tkt.done():
-                tkt.wait()
+                try:
+                    tkt.wait()
+                except IOError as ex:
+                    self.write_errors.append(ex)
                 self.real_size -= nb
                 del self._inflight_writes[k]
-        self._orphan_tickets = [t for t in self._orphan_tickets
-                                if not t.done()]
+        still = []
+        for t in self._orphan_tickets:
+            if t.done():
+                try:
+                    t.wait()  # frees the native ticket slot
+                except IOError as ex:
+                    self.write_errors.append(ex)
+            else:
+                still.append(t)
+        self._orphan_tickets = still
 
     # ------------------------------------------------------------- public
     def allocate(self, task: Task) -> bool:
@@ -120,7 +141,9 @@ class TileCache:
         with self._lock:
             needed = 0
             for k, info in keys.items():
-                if k not in self._entries and k not in self._inflight_writes:
+                if k not in self._entries:
+                    # resurrection from _inflight_writes re-adds the bytes
+                    # to commit_size, so count them here too
                     needed += info["sinfo"].nbytes
             if self.commit_size + needed > self.max_size:
                 # evict LRU zero-ref entries not needed by this task
@@ -179,27 +202,52 @@ class TileCache:
                     self._backlog.popleft()
                     continue
                 if self.real_size + e.nbytes > self.max_size:
-                    break
+                    # free real memory from zero-ref complete entries so
+                    # the stream's tail can't livelock once nothing else
+                    # pumps allocations (pin path has no allocate() retry)
+                    for zk in list(self._zero_ref.keys()):
+                        ze = self._entries.get(zk)
+                        if ze is None or not ze.complete:
+                            continue
+                        self._evict_locked(zk)
+                        if self.real_size + e.nbytes <= self.max_size:
+                            break
+                    if self.real_size + e.nbytes > self.max_size:
+                        break
                 self._backlog.popleft()
                 e.buf = alloc_aligned(e.nbytes)
                 self.real_size += e.nbytes
                 if e.alloc_only:
                     e.complete = True  # no read needed (cache.cpp:497-505)
                 else:
-                    self._inflight_reads[k] = e.store.read(
-                        e.offset, e.sinfo, e.buf)
+                    try:
+                        self._inflight_reads[k] = e.store.read(
+                            e.offset, e.sinfo, e.buf)
+                    except Exception as ex:
+                        # a synchronously-raising store must not leave a
+                        # half-allocated entry that stalls its task forever
+                        e.complete = True
+                        e.error = ex
             # reap again: MemStore tickets complete synchronously
             self._reap_locked()
 
     def alloc_ready(self, task: Task) -> bool:
         """All of the task's buffers resident (reference: scheduler.cpp
-        alloc_ready filter, :46-71).  Fills task.buffers on success."""
+        alloc_ready filter, :46-71).  Fills task.buffers on success; a
+        failed read fails the task instead (task.error set, returns True
+        so the scheduler completes it)."""
         keys = self._task_keys(task)
         with self._lock:
             for k in keys:
                 e = self._entries.get(k)
                 if e is None or not e.complete:
                     return False
+            for k in keys:
+                err = self._entries[k].error
+                if err is not None:
+                    task.error = err
+                    task.buffers = {}
+                    return True
             task.buffers = {k: self._entries[k].buf for k in keys}
             return True
 
@@ -246,6 +294,11 @@ class TileCache:
                 e.complete = True
                 self._entries[k] = e
                 self.commit_size += nb
+                if self.commit_size > self.max_size:  # rebalance budget
+                    for zk in list(self._zero_ref.keys()):
+                        self._evict_locked(zk)
+                        if self.commit_size <= self.max_size:
+                            break
                 METRICS.add("cache.resurrect")
                 return k
             if sinfo.nbytes > self.max_size:
@@ -270,6 +323,8 @@ class TileCache:
     def ready(self, key: tuple) -> bool:
         with self._lock:
             e = self._entries.get(key)
+            if e is not None and e.error is not None:
+                raise IOError(f"tile read failed: {e.error}") from e.error
             return e is not None and e.complete
 
     def buf(self, key: tuple) -> np.ndarray:
@@ -331,6 +386,12 @@ class TileCache:
             time.sleep(0.001)
         for st in stores.values():
             st.flush()
+        with self._lock:
+            errs, self.write_errors = self.write_errors, []
+        if errs:
+            raise IOError(
+                f"{len(errs)} write-back(s) failed; data NOT fully "
+                f"persisted: {errs[0]}") from errs[0]
 
     @property
     def active_count(self) -> int:

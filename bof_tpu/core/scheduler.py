@@ -69,7 +69,8 @@ class Scheduler:
         self.prio = Prioritizer(self.cache, self.options.enable_prioritizer)
         self.c_rec = CompletionRecord()
         self._n_compute = cfg.n_compute_threads
-        self._max_in_mem = cfg.max_in_mem_tasks_factor * self._n_compute
+        self._in_mem_factor = cfg.max_in_mem_tasks_factor
+        self._max_in_mem = self._in_mem_factor * self._n_compute
 
         self._wait_tasks: List[Task] = []
         self._alloced: List[Task] = []
@@ -139,6 +140,10 @@ class Scheduler:
             t.start()
             self._compute_threads.append(t)
         self._n_compute = max(self._n_compute, n)
+        # keep the admission cap in step with the pool, else added
+        # threads starve behind the old in-flight limit
+        self._max_in_mem = max(self._max_in_mem,
+                               self._in_mem_factor * self._n_compute)
 
     def shutdown(self):
         with self._lock:
@@ -149,6 +154,16 @@ class Scheduler:
         self._sched_thread.join(timeout=10)
         for t in self._compute_threads:
             t.join(timeout=10)
+        # drain completions the exited sched thread never saw, so their
+        # cache refs drop and flush() can write their dirty tiles back
+        while True:
+            try:
+                tsk = self._complete_q.get_nowait()
+            except queue.Empty:
+                break
+            if tsk is not None and getattr(tsk, "_admitted", True):
+                self.cache.release(tsk)
+                tsk.set_status(TaskStatus.COMPLETE)
         self.cache.flush()
 
     # ------------------------------------------------------------ threads
@@ -273,9 +288,12 @@ class Scheduler:
             self._alloced = []
         for t in pending:
             if self.cache.alloc_ready(t):
-                t.set_status(TaskStatus.COMPUTE_READY)
-                self._compute_q.put(t)
                 progressed = True
+                if t.error is not None:  # a tile read failed: skip compute
+                    self._complete_q.put(t)
+                else:
+                    t.set_status(TaskStatus.COMPUTE_READY)
+                    self._compute_q.put(t)
             else:
                 with self._lock:
                     self._alloced.append(t)

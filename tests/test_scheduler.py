@@ -293,3 +293,59 @@ def test_oversized_pin_raises(ctx):
         cache.pin_read(arr.store, 0,
                        StrideInfo(stride=1 << 20, n_strides=512,
                                   len_per_stride=1 << 20))
+
+
+class _FailingStore:
+    """Store whose reads always fail — exercises I/O error propagation."""
+
+    def __init__(self, inner, fail_async=True):
+        self._inner = inner
+        self._fail_async = fail_async
+        # note: no uid attr — store_uid() assigns one lazily
+
+    def read(self, offset, sinfo, out):
+        if not self._fail_async:
+            raise IOError("synchronous read explosion")
+        from bof_tpu.io.store import Ticket
+        t = Ticket(out)
+        t._complete("injected read failure")
+        return t
+
+    def write(self, offset, sinfo, src):
+        return self._inner.write(offset, sinfo, src)
+
+    def read_sync(self, offset, sinfo):
+        from bof_tpu.io.store import BaseStore
+        return BaseStore.read_sync(self, offset, sinfo)
+
+    def flush(self):
+        pass
+
+
+@pytest.mark.parametrize("fail_async", [True, False])
+def test_io_error_fails_task_not_hangs(ctx, fail_async):
+    """A failing read must surface as task.error via wait_for — the old
+    behavior wedged the cache and hung the waiter forever."""
+    from bof_tpu import mem_array
+    base = mem_array((64,), np.float32, data=np.ones(64, np.float32),
+                     ctx=ctx)
+    bad = _FailingStore(base.store, fail_async=fail_async)
+    sched = make_sched(ctx)
+    off, sinfo = base.block_access(0, 64)
+    t = FnTask(lambda task: None)
+    t.add_read(bad, off, sinfo)
+    sched.add_task(t)
+    with pytest.raises(RuntimeError):
+        sched.wait_for([t], timeout=30)
+
+
+def test_io_error_surfaces_through_pin_path(ctx):
+    from bof_tpu import mem_array
+    base = mem_array((64,), np.float32, ctx=ctx)
+    bad = _FailingStore(base.store)
+    cache = ctx.scheduler().cache
+    off, sinfo = base.block_access(0, 64)
+    key = cache.pin_read(bad, off, sinfo)
+    with pytest.raises(IOError):
+        cache.wait_ready(key, pump=True)
+    cache.unpin(key)
