@@ -21,9 +21,10 @@ class FlashConfig:
 
     # ---- I/O engine (reference: N_IO_THR, MAX_SIMUL_REQS, MAX_EVENTS) ----
     n_io_threads: int = 8
-    max_simul_reqs: int = 64           # in-flight aio requests per batch
+    max_simul_reqs: int = 64           # in-flight kernel-AIO iocbs (<=128)
     max_chunk_bytes: int = 32 << 20    # split requests larger than this
-    use_o_direct: bool = False         # O_DIRECT on file stores (bench turns on)
+    use_o_direct: bool = False         # O_DIRECT on file stores (bench.py
+    #   sets True so the measured path exercises kernel AIO)
     io_backend: str = "auto"           # "native" | "python" | "auto"
 
     # ---- scheduler / cache (reference: N_COMPUTE_THR, PROGRAM_BUDGET) ----

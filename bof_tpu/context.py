@@ -28,6 +28,9 @@ class FlashContext:
         self._py_pool: Optional[PyIoPool] = None
         self._lock = threading.Lock()
         self._backend = self._resolve_backend()
+        if self._backend == "native":
+            from .io.native import apply_engine_config
+            apply_engine_config(self.config)
         self._scheduler = None
         self._pin_router = None
         self._scratch_files: set[str] = set()

@@ -162,7 +162,9 @@ class TileCache:
                     e.refs += 1
                     self._zero_ref.pop(k, None)
                     if info["write"]:
-                        e.dirty = True
+                        # dirty is only set in release() after the task's
+                        # execute() succeeds — a failed task must never
+                        # write back its (possibly garbage) buffer
                         e.alloc_only = False
                     METRICS.add("cache.hit")
                     continue
@@ -173,8 +175,7 @@ class TileCache:
                     e = _Entry(info["store"], info["offset"], info["sinfo"],
                                alloc_only=False)
                     e.buf = buf
-                    e.complete = True
-                    e.dirty = info["write"]
+                    e.complete = True  # contents valid (write was in flight)
                     self._entries[k] = e
                     self.commit_size += nb
                     METRICS.add("cache.resurrect")
@@ -182,7 +183,6 @@ class TileCache:
                 alloc_only = info["write"] and not info["read"]
                 e = _Entry(info["store"], info["offset"], info["sinfo"],
                            alloc_only=alloc_only)
-                e.dirty = info["write"]
                 self._entries[k] = e
                 self.commit_size += e.nbytes
                 self._backlog.append(k)
@@ -252,14 +252,21 @@ class TileCache:
             return True
 
     def release(self, task: Task):
-        """Drop the task's references (reference: cache.cpp:392-430)."""
+        """Drop the task's references (reference: cache.cpp:392-430).
+        Write entries are marked dirty here — and only here — when the
+        task's execute() succeeded, so a task that failed (read error or
+        compute exception) never has its uninitialized/partial buffer
+        written back over valid file bytes."""
         keys = self._task_keys(task)
         task.buffers = {}
+        ok = task.error is None
         with self._lock:
-            for k in keys:
+            for k, info in keys.items():
                 e = self._entries.get(k)
                 if e is None:
                     continue
+                if ok and info["write"]:
+                    e.dirty = True
                 e.refs -= 1
                 if e.refs == 0:
                     if self.single_use_discard and not e.dirty:

@@ -90,6 +90,8 @@ class Scheduler:
             target=self._sched_loop, name="bof-sched", daemon=True)
         self._sched_thread.start()
         self._compute_threads: List[threading.Thread] = []
+        self._pending_pills = 0  # shrink requests not yet honored
+        self._thread_seq = 0
         self.set_num_compute_threads(self._n_compute)
 
     # ------------------------------------------------------------- public
@@ -131,19 +133,29 @@ class Scheduler:
         self.cache.flush()
 
     def set_num_compute_threads(self, n: int):
-        """Grow the compute pool (reference supports shrink/grow,
-        scheduler.cpp:284-296; we only grow — shrink is a no-op)."""
-        while len(self._compute_threads) < n:
-            t = threading.Thread(target=self._compute_loop,
-                                 name=f"bof-compute-{len(self._compute_threads)}",
-                                 daemon=True)
-            t.start()
-            self._compute_threads.append(t)
-        self._n_compute = max(self._n_compute, n)
-        # keep the admission cap in step with the pool, else added
-        # threads starve behind the old in-flight limit
-        self._max_in_mem = max(self._max_in_mem,
-                               self._in_mem_factor * self._n_compute)
+        """Grow or shrink the compute pool (reference: scheduler.cpp
+        :284-296 supports both).  Shrink is honored via poison pills:
+        surplus threads exit after finishing their current task, so no
+        queued or running task is ever lost."""
+        n = max(1, int(n))
+        with self._lock:
+            effective = len(self._compute_threads) - self._pending_pills
+            while effective < n:
+                t = threading.Thread(
+                    target=self._compute_loop,
+                    name=f"bof-compute-{self._thread_seq}", daemon=True)
+                self._thread_seq += 1
+                t.start()
+                self._compute_threads.append(t)
+                effective += 1
+            for _ in range(effective - n):
+                self._pending_pills += 1
+                self._compute_q.put(None)
+            self._n_compute = n
+            # keep the admission cap in step with the pool: extra threads
+            # would starve behind a stale cap; a shrunk pool drains any
+            # excess in-flight tasks before admitting more
+            self._max_in_mem = self._in_mem_factor * n
 
     def shutdown(self):
         with self._lock:
@@ -303,6 +315,12 @@ class Scheduler:
         while True:
             tsk = self._compute_q.get()
             if tsk is None:
+                with self._lock:
+                    if self._pending_pills > 0:  # pool shrink, not shutdown
+                        self._pending_pills -= 1
+                        me = threading.current_thread()
+                        if me in self._compute_threads:
+                            self._compute_threads.remove(me)
                 return
             tsk.set_status(TaskStatus.COMPUTE)
             timer = Timer()

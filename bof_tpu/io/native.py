@@ -67,8 +67,23 @@ def load_library():
         lib.bof_submit.restype = ctypes.c_longlong
         lib.bof_poll.argtypes = [ctypes.c_longlong]
         lib.bof_wait.argtypes = [ctypes.c_longlong]
+        lib.bof_set_aio_depth.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.bof_set_verify_writes.argtypes = [ctypes.c_int]
         _lib = lib
         return _lib
+
+
+def apply_engine_config(cfg):
+    """Push runtime knobs into the process-wide engine: AIO queue depth
+    (reference: MAX_SIMUL_REQS/MAX_EVENTS, CMakeLists.txt:38-91, used at
+    flash_file_handle.cpp:78-102) and debug write read-back verification
+    (flash_file_handle.cpp:394-402)."""
+    lib = load_library()
+    if lib is None:
+        return
+    simul = int(getattr(cfg, "max_simul_reqs", 64))
+    lib.bof_set_aio_depth(simul, max(256, 2 * simul))
+    lib.bof_set_verify_writes(1 if getattr(cfg, "debug_checks", False) else 0)
 
 
 def ensure_engine(n_threads: int):

@@ -89,7 +89,10 @@ class PyIoPool:
                     while pos < len(view):
                         chunk = os.pread(op.fd, len(view) - pos, off + pos)
                         if not chunk:
-                            err = f"short read at {off + pos}"
+                            # read past EOF: zero-fill like the native
+                            # engine (full_pread) — sparse/short files are
+                            # part of the store contract
+                            view[pos:] = 0
                             break
                         view[pos:pos + len(chunk)] = np.frombuffer(
                             chunk, dtype=np.uint8)

@@ -107,14 +107,43 @@ class BaseStore:
     def write_sync(self, offset: int, sinfo: StrideInfo, src: np.ndarray):
         self.write(offset, sinfo, src).wait()
 
+    def scopy(self, src_offset: int, src_sinfo: StrideInfo, dst_store,
+              dst_offset: int, dst_sinfo: StrideInfo) -> Ticket:
+        """Strided store-to-store copy through DRAM (reference:
+        FlashFileHandle::copy/scopy = read -> DRAM -> write,
+        flash_file_handle.cpp:409-427, 718-727).  The gather and scatter
+        layouts may differ as long as total bytes match.  The read is
+        synchronous; the returned ticket is the in-flight write, so
+        callers can pipeline successive chunks."""
+        if src_sinfo.nbytes != dst_sinfo.nbytes:
+            raise ValueError(
+                f"scopy size mismatch: {src_sinfo.nbytes} != "
+                f"{dst_sinfo.nbytes}")
+        buf = self.read_sync(src_offset, src_sinfo)
+        return dst_store.write(dst_offset, dst_sinfo, buf)
+
 
 def _check_access(sinfo: StrideInfo, buf: np.ndarray):
+    """Validate one access specifier.
+
+    API contract: access specifiers must be NON-OVERLAPPING — every planner
+    in this library builds strides from disjoint (ld-padded) matrix rows, so
+    len_per_stride <= stride always holds by construction.  The reference
+    instead *merges* overlapping strides into blocks at write time
+    (flash_file_handle.cpp:508-716); we reject them here so a planner bug
+    surfaces as an immediate error rather than a silent double-write with
+    order-dependent contents.  (Distinct accesses may still share boundary
+    *sectors* under O_DIRECT — that is handled by the native engine's
+    per-file sector interval locks, bof_io.cpp.)"""
     if buf.dtype != np.uint8 or buf.ndim != 1:
         raise ValueError("store buffers must be 1-D uint8 views")
     if buf.nbytes < sinfo.nbytes:
         raise ValueError(f"buffer too small: {buf.nbytes} < {sinfo.nbytes}")
     if sinfo.len_per_stride > sinfo.stride and sinfo.n_strides > 1:
-        raise ValueError("overlapping strides in access specifier")
+        raise ValueError(
+            "overlapping strides in access specifier (len_per_stride > "
+            "stride): access specs must cover disjoint byte ranges — see "
+            "_check_access contract")
 
 
 class MemStore(BaseStore):
@@ -146,10 +175,14 @@ class MemStore(BaseStore):
     def read(self, offset: int, sinfo: StrideInfo, out: np.ndarray) -> Ticket:
         _check_access(sinfo, out)
         with self._lock:
-            if offset + sinfo.file_extent > self._data.nbytes:
-                raise IOError("MemStore read past end")
+            end = self._data.nbytes
             for fo, bo, ln in self._runs(offset, sinfo):
-                out[bo:bo + ln] = self._data[fo:fo + ln]
+                # reads past EOF zero-fill — the store contract (matches
+                # the native engine's full_pread and PyIoPool)
+                avail = max(0, min(ln, end - fo))
+                out[bo:bo + avail] = self._data[fo:fo + avail]
+                if avail < ln:
+                    out[bo + avail:bo + ln] = 0
         return Ticket.completed()
 
     def write(self, offset: int, sinfo: StrideInfo, src: np.ndarray) -> Ticket:

@@ -28,9 +28,13 @@ def dp_lloyd_step(mesh, prec: str = "highest"):
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axes), P()),
+        in_specs=(P(axes), P(axes), P()),
         out_specs=(P(), P(), P()))
-    def step(p_loc, centers):
+    def step(p_loc, w_loc, centers):
+        # w_loc: 1.0 for real points, 0.0 for shard-padding rows.  Pad rows
+        # are masked out of every statistic explicitly — relying on exact
+        # fp32 tie-breaking to route pad points to a known center is not
+        # sound (pd is computed with independent roundings per center).
         c_norms = jnp.sum(centers * centers, axis=1)
         g = jnp.dot(p_loc, centers.T, precision=_precision(prec),
                     preferred_element_type=jnp.float32)
@@ -38,10 +42,11 @@ def dp_lloyd_step(mesh, prec: str = "highest"):
         labels = jnp.argmin(pd, axis=1)
         mind = jnp.min(pd, axis=1)
         onehot = jax.nn.one_hot(labels, centers.shape[0],
-                                dtype=jnp.float32)
+                                dtype=jnp.float32) * w_loc[:, None]
         sums = jnp.dot(onehot.T, p_loc, preferred_element_type=jnp.float32)
         counts = jnp.sum(onehot, axis=0)
-        inertia = jnp.sum(mind) + jnp.sum(p_loc * p_loc)
+        inertia = jnp.sum(mind * w_loc) + jnp.sum(
+            (p_loc * p_loc) * w_loc[:, None])
         for ax in axes:
             sums = jax.lax.psum(sums, ax)
             counts = jax.lax.psum(counts, ax)
@@ -65,29 +70,21 @@ def lloyds_iter_sharded(points_np: np.ndarray, centers: np.ndarray,
     n, d = points_np.shape
     pad = (-n) % n_dev
     centers = np.ascontiguousarray(centers, np.float32)
+    weights = np.ones(n + pad, np.float32)
     if pad:
-        # pad with copies of center 0: distance 0 guarantees the device
-        # argmin assigns them label 0 (first occurrence wins on ties), so
-        # the correction below is exact — padding with zeros would need a
-        # host-side argmin over |c|^2 that can disagree with the device's
-        # float32 tie-breaking
-        points_np = np.concatenate(
-            [points_np, np.broadcast_to(centers[0], (pad, d))])
+        # pad rows are zero-weighted in the device step, so their values
+        # are irrelevant — zeros keep the shard shapes uniform
+        points_np = np.concatenate([points_np, np.zeros((pad, d))])
+        weights[n:] = 0.0
     step = dp_lloyd_step(mesh, prec)
-    p = jax.device_put(points_np.astype(np.float32),
-                       NamedSharding(mesh, P(mesh.axis_names)))
+    sh = NamedSharding(mesh, P(mesh.axis_names))
+    p = jax.device_put(points_np.astype(np.float32), sh)
+    w = jax.device_put(weights, sh)
     c = jax.device_put(centers, NamedSharding(mesh, P()))
-    sums, counts, inertia = step(p, c)
+    sums, counts, inertia = step(p, w, c)
     sums = np.array(sums)
     counts = np.array(counts)
     inertia = float(np.asarray(inertia).sum())
-    if pad:
-        # pad points are exact copies of centers[0]: label 0, zero
-        # distance, so their whole contribution is deterministic
-        counts[0] -= pad
-        sums[0] -= pad * centers[0].astype(np.float64)
-        # inertia: mind = |c0|^2 - 2 c0.c0 = -|c0|^2, plus |p|^2 = +|c0|^2
-        # -> net 0 per pad point; no correction needed
     safe = np.maximum(counts, 1.0)[:, None]
     new_centers = np.where(counts[:, None] > 0, sums / safe, centers)
     return new_centers.astype(np.float32), inertia, counts

@@ -206,6 +206,11 @@ struct Engine {
 
 static Engine* g_engine = nullptr;
 static std::atomic<long long> g_aio_ops{0};
+// Runtime AIO depth knobs (reference exposes MAX_SIMUL_REQS / MAX_EVENTS as
+// compile-time -D flags, CMakeLists.txt:38-91, used flash_file_handle.cpp
+// :78-102); set via bof_set_aio_depth from FlashConfig.max_simul_reqs.
+static std::atomic<int> g_max_simul{128};
+static std::atomic<unsigned> g_max_events{256};
 
 static bool aio_eligible(const Op& op) {
   return op.o_direct && (op.off % kSector) == 0 && (op.len % kSector) == 0
@@ -213,8 +218,17 @@ static bool aio_eligible(const Op& op) {
          && ptr_aligned(op.buf);
 }
 
-static int aio_execute(aio_context_t ctx, const Op& op) {
-  constexpr int kSlots = 128;  // in-flight iocbs (reference MAX_SIMUL_REQS)
+// aio_execute returning this sentinel means iocbs may still be in flight
+// in the context (io_getevents failed hard): the caller MUST io_destroy
+// the context and set up a fresh one — the thread_local context outlives
+// this call, and stale events would corrupt the next op's slot accounting
+// (and the kernel could still DMA into a buffer reported complete).
+static constexpr int kCtxPoisoned = -1;
+
+static int aio_execute(aio_context_t ctx, const Op& op, int max_slots) {
+  constexpr int kSlots = 128;  // compile-time ceiling on in-flight iocbs
+  if (max_slots < 1) max_slots = 1;
+  if (max_slots > kSlots) max_slots = kSlots;
   struct RunSlot {
     char* buf;
     int64_t len;
@@ -222,8 +236,8 @@ static int aio_execute(aio_context_t ctx, const Op& op) {
   iocb cbs[kSlots];
   RunSlot slots[kSlots];
   int free_idx[kSlots];
-  int n_free = kSlots;
-  for (int i = 0; i < kSlots; ++i) free_idx[i] = i;
+  int n_free = max_slots;
+  for (int i = 0; i < max_slots; ++i) free_idx[i] = i;
   io_event ev[kSlots];
   iocb* subs[kSlots];
   int64_t next = 0;
@@ -263,7 +277,7 @@ static int aio_execute(aio_context_t ctx, const Op& op) {
       if (got < 0) {
         if (errno == EINTR) continue;
         err = errno;
-        break;  // inflight events are lost; context torn down with thread
+        break;  // drained (or poisoned) below — context is reused
       }
       for (int i = 0; i < got; ++i) {
         int s = (int)ev[i].data;
@@ -280,6 +294,19 @@ static int aio_execute(aio_context_t ctx, const Op& op) {
         --inflight;
       }
     }
+  }
+  // The thread_local context outlives this call (worker threads live until
+  // engine stop), so iocbs must never be left in flight: a later op on this
+  // thread would reap the stale events — whose ev.data indexes *its*
+  // slots/free_idx arrays — and the kernel could still DMA into a buffer
+  // whose ticket was already reported complete.  Drain everything.
+  while (inflight > 0) {
+    int got = sys_io_getevents(ctx, inflight, kSlots, ev);
+    if (got < 0) {
+      if (errno == EINTR) continue;
+      return kCtxPoisoned;  // cannot drain: caller must io_destroy + reset
+    }
+    inflight -= got;
   }
   return err;
 }
@@ -346,17 +373,24 @@ struct TlAio {
   bool ready() {
     if (!tried) {
       tried = true;
-      if (getenv("BOF_NO_KERNEL_AIO") || sys_io_setup(256, &ctx) != 0)
+      if (getenv("BOF_NO_KERNEL_AIO")
+          || sys_io_setup(g_max_events.load(std::memory_order_relaxed),
+                          &ctx) != 0)
         ctx = 0;
     }
     return ctx != 0;
+  }
+  void reset() {  // poisoned context: tear down, retry fresh next op
+    if (ctx) sys_io_destroy(ctx);
+    ctx = 0;
+    tried = false;
   }
 };
 thread_local TlAio tl_aio;
 
 struct Op;  // fwd
 static bool aio_eligible(const Op& op);
-static int aio_execute(aio_context_t ctx, const Op& op);
+static int aio_execute(aio_context_t ctx, const Op& op, int max_slots);
 
 // O_DIRECT read with bounce for unaligned offset/len/pointer
 // (reference: flash_file_handle.cpp:247-312).
@@ -402,6 +436,36 @@ static int direct_write(Engine* eng, int fd, const char* buf, int64_t len,
   return e;
 }
 
+// DEBUG write read-back verification (reference parity: DEBUG builds
+// memcmp every write, flash_file_handle.cpp:394-402, 618-627, 701-709).
+// Gated by FlashConfig.debug_checks via bof_set_verify_writes.
+static std::atomic<int> g_verify_writes{0};
+thread_local Bounce tl_verify;
+
+static int verify_write_op(Engine* eng, const Op& op) {
+  char* vb = tl_verify.ensure((size_t)op.len);
+  if (!vb) return ENOMEM;
+  for (int64_t r = 0; r < op.n_runs; ++r) {
+    int64_t fo = op.off + r * op.stride;
+    const char* bp = op.buf + r * op.len;
+    // hold the sector-extent lock so a concurrent RMW on a shared boundary
+    // sector can't tear the read mid-verify
+    int64_t lo = round_down(fo, kSector), hi = round_up(fo + op.len, kSector);
+    eng->wlocks.lock(op.fd, lo, hi);
+    int e = op.o_direct ? direct_read(op.fd, vb, op.len, fo)
+                        : full_pread(op.fd, vb, op.len, fo);
+    eng->wlocks.unlock(op.fd, lo, hi);
+    if (e) return e;
+    if (memcmp(vb, bp, (size_t)op.len) != 0) {
+      fprintf(stderr,
+              "bof_io: write verify FAILED fd=%d off=%lld len=%lld run=%lld\n",
+              op.fd, (long long)fo, (long long)op.len, (long long)r);
+      return EIO;
+    }
+  }
+  return 0;
+}
+
 void Engine::worker() {
   for (;;) {
     Op op;
@@ -414,7 +478,12 @@ void Engine::worker() {
     }
     int e = 0;
     if (op.n_runs > 1 && aio_eligible(op) && tl_aio.ready()) {
-      e = aio_execute(tl_aio.ctx, op);
+      e = aio_execute(tl_aio.ctx, op,
+                      g_max_simul.load(std::memory_order_relaxed));
+      if (e == kCtxPoisoned) {
+        tl_aio.reset();
+        e = EIO;
+      }
       g_aio_ops.fetch_add(op.n_runs, std::memory_order_relaxed);
     } else {
       for (int64_t r = 0; r < op.n_runs && !e; ++r) {
@@ -427,6 +496,20 @@ void Engine::worker() {
           e = op.o_direct ? direct_read(op.fd, bp, op.len, fo)
                           : full_pread(op.fd, bp, op.len, fo);
       }
+    }
+    if (!e && op.is_write
+        && g_verify_writes.load(std::memory_order_relaxed)) {
+      // test-only fault injection: corrupt the first written byte on disk
+      // so the read-back verify demonstrably catches real corruption
+      const char* cor = getenv("BOF_TEST_CORRUPT_WRITES");
+      if (cor && *cor == '1') {
+        char fb = (char)(op.buf[0] ^ 0xFF);
+        if (op.o_direct)
+          direct_write(this, op.fd, &fb, 1, op.off);
+        else
+          full_pwrite(op.fd, &fb, 1, op.off);
+      }
+      e = verify_write_op(this, op);
     }
     tickets.op_done(op.slot, e);
   }
@@ -560,6 +643,21 @@ long long bof_submit(long long fd, long long offset, long long stride,
 // observability: number of runs serviced via kernel AIO
 long long bof_aio_ops() {
   return g_aio_ops.load(std::memory_order_relaxed);
+}
+
+// Runtime AIO depth (reference: MAX_SIMUL_REQS / MAX_EVENTS -D flags).
+// max_events applies to aio contexts created after the call (contexts are
+// lazily set up per worker thread on first eligible op).
+void bof_set_aio_depth(int max_simul, int max_events) {
+  if (max_simul > 0) g_max_simul.store(max_simul, std::memory_order_relaxed);
+  if (max_events > 0)
+    g_max_events.store((unsigned)max_events, std::memory_order_relaxed);
+}
+
+// DEBUG write read-back verification toggle (reference parity:
+// flash_file_handle.cpp:394-402).
+void bof_set_verify_writes(int enable) {
+  g_verify_writes.store(enable ? 1 : 0, std::memory_order_relaxed);
 }
 
 int bof_poll(long long ticket) {

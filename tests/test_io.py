@@ -253,3 +253,113 @@ def test_grouping_with_small_max_chunk(tmp_path, rng):
         for i in range(5)])
     np.testing.assert_array_equal(got2, expect)
     st.close()
+
+
+@pytest.mark.parametrize("kind", BACKENDS)
+def test_scopy_randomized(kind, tmp_path, rng):
+    """Strided store-to-store copy (reference: FlashFileHandle::copy/scopy,
+    flash_file_handle.cpp:409-427, 718-727): random src/dst stride specs of
+    equal total bytes, contents verified end-to-end."""
+    data = iota_file()
+    src = make_store(kind, tmp_path, data)
+    dst_dir = tmp_path / "dst"
+    dst_dir.mkdir()
+    dst = make_store(kind, dst_dir, np.zeros_like(data))
+    for _ in range(20):
+        n_runs = int(rng.integers(1, 8))
+        run_el = int(rng.integers(1, 512))
+        s_gap = run_el + int(rng.integers(0, 64))
+        d_gap = run_el + int(rng.integers(0, 64))
+        s_off = int(rng.integers(0, 1024)) * 4
+        d_off = int(rng.integers(0, 1024)) * 4
+        s_si = StrideInfo(stride=s_gap * 4, n_strides=n_runs,
+                          len_per_stride=run_el * 4)
+        d_si = StrideInfo(stride=d_gap * 4, n_strides=n_runs,
+                          len_per_stride=run_el * 4)
+        src.scopy(s_off, s_si, dst, d_off, d_si).wait()
+        want = np.concatenate([
+            data.view(np.uint8)[s_off + i * s_gap * 4:
+                                s_off + i * s_gap * 4 + run_el * 4]
+            for i in range(n_runs)])
+        got = dst.read_sync(d_off, d_si)
+        np.testing.assert_array_equal(got, want)
+    src.close()
+    dst.close()
+
+
+@pytest.mark.parametrize("kind", ["mem", "py"])
+def test_read_past_eof_zero_fills(kind, tmp_path):
+    """All backends share the native engine's contract: reads past EOF
+    zero-fill the remainder (full_pread, bof_io.cpp) rather than erroring."""
+    data = np.arange(64, dtype=np.uint32)
+    st = make_store(kind, tmp_path, data)
+    out = st.read_sync(128, StrideInfo.contiguous(512))
+    got = out.view(np.uint32)
+    np.testing.assert_array_equal(got[:32], data[32:])
+    np.testing.assert_array_equal(got[32:], 0)
+    # strided read straddling EOF
+    si = StrideInfo(stride=128, n_strides=4, len_per_stride=64)
+    out2 = st.read_sync(64, si).view(np.uint32)
+    np.testing.assert_array_equal(out2[:16], data[16:32])
+    st.close()
+
+
+@pytest.mark.parametrize("kind", ["native", "native_direct"])
+def test_write_verify_catches_injected_corruption(kind, tmp_path, rng):
+    """debug_checks parity: every write is read back and compared
+    (reference: DEBUG builds, flash_file_handle.cpp:394-402).  Injected
+    on-disk corruption must surface as an I/O error on the ticket."""
+    import os as _os
+    from bof_tpu.io.native import load_library
+    lib = load_library()
+    if lib is None:
+        pytest.skip("native engine unavailable")
+    data = iota_file(1 << 14)
+    st = make_store(kind, tmp_path, data)
+    lib.bof_set_verify_writes(1)
+    try:
+        vals = rng.integers(0, 2**32, 1024, dtype=np.uint32)
+        # clean write passes verification
+        st.write_sync(4096, StrideInfo.contiguous(4096),
+                      vals.view(np.uint8).ravel())
+        # corrupted write is caught
+        _os.environ["BOF_TEST_CORRUPT_WRITES"] = "1"
+        try:
+            with pytest.raises(IOError):
+                st.write_sync(8192, StrideInfo.contiguous(4096),
+                              vals.view(np.uint8).ravel())
+        finally:
+            _os.environ.pop("BOF_TEST_CORRUPT_WRITES", None)
+    finally:
+        lib.bof_set_verify_writes(0)
+    st.close()
+
+
+def test_aio_depth_knob_plumbed(tmp_path, rng):
+    """FlashConfig.max_simul_reqs reaches the kernel-AIO submit loop: a
+    depth-2 engine still completes a 64-run aligned strided op correctly."""
+    import ctypes
+    from bof_tpu.io.native import NativeFileStore, alloc_aligned, load_library
+    lib = load_library()
+    if lib is None:
+        pytest.skip("native engine unavailable")
+    lib.bof_aio_ops.restype = ctypes.c_longlong
+    n = 1 << 18
+    data = np.arange(n, dtype=np.uint32)
+    path = str(tmp_path / "depth.bin")
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+    lib.bof_set_aio_depth(2, 256)
+    try:
+        st = NativeFileStore(path, o_direct=True, n_threads=2)
+        before = lib.bof_aio_ops()
+        sinfo = StrideInfo(stride=8192, n_strides=64, len_per_stride=2048)
+        out = alloc_aligned(sinfo.nbytes)
+        st.read(0, sinfo, out).wait()
+        assert lib.bof_aio_ops() > before
+        want = np.concatenate([data[i * 2048: i * 2048 + 512]
+                               for i in range(64)])
+        np.testing.assert_array_equal(out.view(np.uint32), want)
+        st.close()
+    finally:
+        lib.bof_set_aio_depth(64, 256)

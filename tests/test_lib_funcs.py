@@ -106,3 +106,47 @@ print("F64 OK")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, env=env, timeout=300)
     assert r.returncode == 0 and "F64 OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_flash_memset_padded_submatrix(ctx):
+    """ld-padded sub-matrix memset must not touch the parent's bytes
+    outside the view (regression: the old path treated the view as
+    contiguous bytes and corrupted neighbors)."""
+    from bof_tpu import FlashArray, mem_array
+    parent = mem_array((16, 32), np.float32, ctx=ctx,
+                       data=np.arange(16 * 32, dtype=np.float32)
+                       .reshape(16, 32))
+    it = np.dtype(np.float32).itemsize
+    sub = FlashArray(parent.store, (8, 16), np.float32, "R",
+                     offset=(4 * 32 + 8) * it, ld=32, ctx=ctx)
+    flash_memset(sub, 0)
+    got = parent.read_all()
+    want = np.arange(16 * 32, dtype=np.float32).reshape(16, 32)
+    want[4:12, 8:24] = 0.0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_flash_memcpy_padded_and_mixed_order(ctx, rng):
+    """Padded and layout-changing copies stream through strided scopy /
+    host transposition (reference: scopy, flash_file_handle.cpp:718-727)."""
+    from bof_tpu import FlashArray, mem_array
+    it = np.dtype(np.float32).itemsize
+    src_parent = mem_array((12, 20), np.float32, ctx=ctx,
+                           data=rng.standard_normal((12, 20))
+                           .astype(np.float32))
+    dst_parent = mem_array((10, 24), np.float32, ctx=ctx,
+                           data=np.zeros((10, 24), np.float32))
+    src = FlashArray(src_parent.store, (6, 10), np.float32, "R",
+                     offset=(2 * 20 + 3) * it, ld=20, ctx=ctx)
+    dst = FlashArray(dst_parent.store, (6, 10), np.float32, "R",
+                     offset=(1 * 24 + 5) * it, ld=24, ctx=ctx)
+    flash_memcpy(dst, src)
+    np.testing.assert_array_equal(dst.read_all(), src.read_all())
+    # parent bytes outside the view untouched
+    dp = dst_parent.read_all()
+    assert np.count_nonzero(dp) == np.count_nonzero(src.read_all())
+    # mixed order: R-major padded view -> C-major dense array
+    cdst = mem_array((6, 10), np.float32, order="C",
+                     data=np.zeros((6, 10), np.float32), ctx=ctx)
+    flash_memcpy(cdst, src)
+    np.testing.assert_array_equal(cdst.read_all(), src.read_all())

@@ -349,3 +349,106 @@ def test_io_error_surfaces_through_pin_path(ctx):
     with pytest.raises(IOError):
         cache.wait_ready(key, pump=True)
     cache.unpin(key)
+
+
+def test_failed_read_task_does_not_corrupt_store_on_flush(ctx, rng):
+    """A read+write task whose read fails must NOT have its uninitialized
+    write buffer flushed over previously-valid bytes (dirty is only set on
+    successful release — the reference exits on I/O failure so can never
+    hit this; we keep running and must stay consistent)."""
+    from bof_tpu import mem_array
+    good = mem_array((64,), np.float32,
+                     data=np.arange(64, dtype=np.float32), ctx=ctx)
+    bad_base = mem_array((64,), np.float32, ctx=ctx)
+    bad = _FailingStore(bad_base.store)
+    sched = make_sched(ctx)
+    r_off, r_si = bad_base.block_access(0, 64)
+    w_off, w_si = good.block_access(0, 64)
+    t = FnTask(lambda task: None)
+    t.add_read(bad, r_off, r_si)
+    t.add_write(good.store, w_off, w_si)
+    sched.add_task(t)
+    with pytest.raises(RuntimeError):
+        sched.wait_for([t], timeout=30)
+    sched.flush_cache()  # must not raise and must not write garbage
+    np.testing.assert_array_equal(good.read_all(),
+                                  np.arange(64, dtype=np.float32))
+
+
+def test_failed_execute_does_not_corrupt_store_on_flush(ctx):
+    """Same guarantee when execute() itself raises: the write entry stays
+    clean, prior file contents survive the flush."""
+    from bof_tpu import mem_array
+    good = mem_array((64,), np.float32,
+                     data=np.arange(64, dtype=np.float32), ctx=ctx)
+    sched = make_sched(ctx)
+    w_off, w_si = good.block_access(0, 64)
+
+    def explode(task):
+        raise ValueError("compute failure")
+
+    t = FnTask(explode)
+    t.add_write(good.store, w_off, w_si)
+    sched.add_task(t)
+    with pytest.raises(RuntimeError):
+        sched.wait_for([t], timeout=30)
+    sched.flush_cache()
+    np.testing.assert_array_equal(good.read_all(),
+                                  np.arange(64, dtype=np.float32))
+
+
+def test_successful_task_still_writes_back(ctx):
+    """Counterpart: dirty-on-success must still persist completed work."""
+    from bof_tpu import mem_array
+    out = mem_array((64,), np.float32, ctx=ctx)
+    sched = make_sched(ctx)
+    w_off, w_si = out.block_access(0, 64)
+
+    def fill(task):
+        buf = task.buffers[access_key(out.store, w_off, w_si)]
+        buf.view(np.float32)[:] = 7.0
+
+    t = FnTask(fill)
+    t.add_write(out.store, w_off, w_si)
+    sched.add_task(t)
+    sched.wait_for([t], timeout=30)
+    sched.flush_cache()
+    np.testing.assert_array_equal(out.read_all(),
+                                  np.full(64, 7.0, np.float32))
+
+
+def test_compute_pool_shrink_midstream(ctx):
+    """Pool shrink via poison pills (reference: scheduler.cpp:284-296):
+    shrinking mid-stream loses no tasks and the pool really drains."""
+    import time
+    from bof_tpu import mem_array
+    sched = make_sched(ctx)
+    sched.set_num_compute_threads(4)
+    done = []
+    lock = threading.Lock()
+
+    def work(task):
+        time.sleep(0.005)
+        with lock:
+            done.append(task.id)
+
+    tasks = [FnTask(work) for _ in range(40)]
+    sched.add_tasks(tasks[:20])
+    sched.set_num_compute_threads(1)  # shrink while tasks are in flight
+    sched.add_tasks(tasks[20:])
+    sched.wait_for(tasks, timeout=60)
+    assert len(done) == 40
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        alive = [t for t in sched._compute_threads if t.is_alive()]
+        if len(alive) <= 1 and sched._pending_pills == 0:
+            break
+        time.sleep(0.01)
+    alive = [t for t in sched._compute_threads if t.is_alive()]
+    assert len(alive) == 1 and sched._pending_pills == 0
+    # grow again: new work still executes
+    sched.set_num_compute_threads(3)
+    more = [FnTask(work) for _ in range(10)]
+    sched.add_tasks(more)
+    sched.wait_for(more, timeout=60)
+    assert len(done) == 50
