@@ -1,17 +1,26 @@
 #!/usr/bin/env python
-"""Headline benchmark: out-of-core SGEMM GFLOP/s vs in-memory device matmul.
+"""Headline benchmark: out-of-core SGEMM GFLOP/s vs in-memory device matmul,
+plus a csrmm GB/s secondary measurement (BASELINE.json.configs[1] and [2]).
 
 Prints ONE JSON line:
   {"metric": "ooc_sgemm_gflops", "value": N, "unit": "GFLOP/s",
-   "vs_baseline": ooc/in-mem ratio, ...details}
+   "vs_baseline": ooc/in-mem ratio, ...telemetry, ...csrmm keys}
 
 The problem size adapts to the measured host->device bandwidth so the run
-fits a wall-clock budget (the dev tunnel moves ~0.05 GB/s; a real TPU host
-moves tens of GB/s and gets a proportionally larger problem).  Operand
+fits a wall-clock budget (the dev tunnel moves ~0.04-0.05 GB/s; a real TPU
+host moves tens of GB/s and gets a proportionally larger problem).  Operand
 files are cached across rounds under ~/.cache/bof_tpu/bench.
 
+O_DIRECT + kernel AIO are ON for the measured workload (the reference's
+core I/O mechanism, flash_file_handle.cpp:78-102); per-phase pipeline
+telemetry (bytes H2D/D2H, producer/writer stall time) demonstrates where
+the run saturates, and the link probe is sampled before AND after the run
+(the tunnel varies ~2x run-to-run; see docs/PERFORMANCE.md).
+
 Env overrides: BOF_BENCH_N, BOF_BENCH_BLK, BOF_BENCH_BUDGET_S,
-BOF_BENCH_PREC (highest|default), BOF_BENCH_SKIP_VERIFY=1.
+BOF_BENCH_PREC (highest|default), BOF_BENCH_SKIP_VERIFY=1, BOF_BENCH_DEPTH,
+BOF_BENCH_CACHE, BOF_BENCH_CSRMM=0 (skip sparse), BOF_BENCH_KERNEL=csrmm
+(sparse-only run: the JSON line's headline metric becomes csrmm GB/s).
 """
 from __future__ import annotations
 
@@ -21,6 +30,8 @@ import sys
 import time
 
 import numpy as np
+
+CACHE_DIR = os.path.expanduser("~/.cache/bof_tpu/bench")
 
 
 def measure_inmem_tflops(sb: int, prec, iters: int = 4) -> float:
@@ -73,10 +84,96 @@ def ensure_operand(path: str, n: int, seed: int):
             left -= c
 
 
+def ensure_csr_operands(m: int, k: int, row_nnz: int, n: int):
+    """Cached CSR triplet (.off/.col/.csr, the reference's file format,
+    misc/sparse_create.cpp) + dense B."""
+    prefix = os.path.join(CACHE_DIR, f"spA_{m}x{k}_r{row_nnz}")
+    b_path = os.path.join(CACHE_DIR, f"spB_{k}x{n}.bin")
+    rng = np.random.default_rng(7)
+    if not (os.path.exists(prefix + ".off")
+            and os.path.getsize(prefix + ".off") == (m + 1) * 8):
+        counts = rng.poisson(row_nnz, m).clip(1, 4 * row_nnz)
+        ia = np.zeros(m + 1, np.int64)
+        np.cumsum(counts, out=ia[1:])
+        with open(prefix + ".off", "wb") as f:
+            f.write(ia.tobytes())
+        with open(prefix + ".col", "wb") as fc, \
+                open(prefix + ".csr", "wb") as fv:
+            for r0 in range(0, m, 1 << 15):
+                r1 = min(m, r0 + (1 << 15))
+                nz = int(ia[r1] - ia[r0])
+                cols = rng.integers(0, k, nz, dtype=np.int64)
+                # sort within rows for a valid canonical CSR
+                row_of = np.repeat(np.arange(r0, r1), np.diff(ia[r0:r1 + 1]))
+                order = np.lexsort((cols, row_of))
+                fc.write(cols[order].tobytes())
+                fv.write(rng.standard_normal(nz).astype(np.float32)
+                         .tobytes())
+    if not (os.path.exists(b_path)
+            and os.path.getsize(b_path) == k * n * 4):
+        with open(b_path, "wb") as f:
+            for r0 in range(0, k, 1 << 14):
+                r1 = min(k, r0 + (1 << 14))
+                f.write(rng.standard_normal((r1 - r0) * n)
+                        .astype(np.float32).tobytes())
+    return prefix, b_path
+
+
+def run_csrmm(ctx) -> dict:
+    """Out-of-core csrmm GB/s (BASELINE.md: csrmm measured in GB/s; paper
+    workload shape = project a bag-of-words matrix to ~1K dims, Table 3),
+    with a host scipy in-memory twin for the flash/in-mem ratio."""
+    import bof_tpu as bt
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+
+    m = int(os.environ.get("BOF_BENCH_SP_M", 1 << 16))
+    k = int(os.environ.get("BOF_BENCH_SP_K", 1 << 14))
+    n = int(os.environ.get("BOF_BENCH_SP_N", 512))
+    row_nnz = int(os.environ.get("BOF_BENCH_SP_NNZ", 128))
+    prefix, b_path = ensure_csr_operands(m, k, row_nnz, n)
+    A = CsrFlashMatrix.map_files(prefix, (m, k), ctx=ctx)
+    B = bt.map_array(b_path, (k, n), np.float32, "R", ctx=ctx)
+    c_path = os.path.join(CACHE_DIR, f"spC_{m}x{n}.bin")
+    C = bt.map_array(c_path, (m, n), np.float32, "R", create=True, ctx=ctx)
+
+    # warm-up on a row slice: compiles the bucketed ELL kernels
+    Aw_ia = bt.FlashArray(A.ia.store, (1025,), np.int64, ctx=ctx)
+    Aw = CsrFlashMatrix(Aw_ia, A.ja, A.vals, (1024, k))
+    Cw = bt.FlashArray(C.store, (1024, n), np.float32, "R", ld=n, ctx=ctx)
+    csrmm(Aw, B, Cw, ctx=ctx)
+
+    nnz = A.nnz
+    t0 = time.perf_counter()
+    csrmm(A, B, C, ctx=ctx)
+    dt = time.perf_counter() - t0
+    bytes_total = ((m + 1) * 8 + nnz * (8 + 4) + k * n * 4 + m * n * 4)
+
+    # host in-memory twin (the role in-memory MKL csrmm plays, paper Fig.6)
+    sp = A.to_scipy()
+    b_np = B.read_all()
+    sp @ b_np[:, :8]  # warm
+    t0 = time.perf_counter()
+    want = sp @ b_np
+    t_inmem = time.perf_counter() - t0
+
+    got = C.read_block(0, 2048, 0, n)
+    rel = float(np.abs(got - want[:2048]).max()
+                / (np.abs(want[:2048]).max() or 1.0))
+    return {
+        "csrmm_gbps": round(bytes_total / dt / 1e9, 4),
+        "csrmm_seconds": round(dt, 2),
+        "csrmm_nnz": int(nnz), "csrmm_shape": [m, k, n],
+        "csrmm_vs_inmem": round(t_inmem / dt, 4),
+        "csrmm_verified": rel < 1e-3,
+    }
+
+
 def main():
     import bof_tpu as bt
     from bof_tpu.ops import gemm
+    from bof_tpu.utils import METRICS
 
+    kernel = os.environ.get("BOF_BENCH_KERNEL", "sgemm")
     budget_s = float(os.environ.get("BOF_BENCH_BUDGET_S", "240"))
     prec_name = os.environ.get("BOF_BENCH_PREC", "highest")
     sb = int(os.environ.get("BOF_BENCH_BLK", "4096"))
@@ -85,49 +182,71 @@ def main():
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[prec_name]
 
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    cfg = bt.FlashConfig(
+        scratch_dir=os.path.join(CACHE_DIR, "scratch"),
+        program_budget=48 << 30,
+        n_io_threads=8, gemm_blk_size=sb,
+        use_o_direct=True,  # measured path exercises kernel AIO
+        pipeline_depth=int(os.environ.get("BOF_BENCH_DEPTH", "3")),
+        tile_cache_backend=os.environ.get("BOF_BENCH_CACHE", "auto"))
+    cfg.matmul_precision = prec_name
+    ctx = bt.FlashContext(cfg)
+
+    if kernel == "csrmm":  # sparse-only mode
+        h2d_1 = measure_h2d_gbps()
+        r = run_csrmm(ctx)
+        ctx.destroy()
+        result = {"metric": "ooc_csrmm_gbps", "value": r.pop("csrmm_gbps"),
+                  "unit": "GB/s", "vs_baseline": r.pop("csrmm_vs_inmem"),
+                  "h2d_gbps": round(h2d_1, 4), **r,
+                  "verified": r.pop("csrmm_verified")}
+        print(json.dumps(result))
+        return 0 if result["verified"] else 1
+
     inmem_tflops = measure_inmem_tflops(min(sb, 8192), prec)
-    h2d_gbps = measure_h2d_gbps()
+    h2d_probe_before = measure_h2d_gbps()
 
     n_env = os.environ.get("BOF_BENCH_N")
+    state_path = os.path.join(CACHE_DIR, "bench_state.json")
     if n_env:
         n = int(n_env)
     else:
-        # transfers ~ (A + B cross once) + C down: 3*N^2*4 bytes at h2d;
-        # compute 2N^3; pick N so the slower of the two ~ 0.6*budget
-        cache_root = os.path.expanduser("~/.cache")
-        os.makedirs(cache_root, exist_ok=True)
-        sv = os.statvfs(cache_root)  # operands live under ~/.cache
+        # transfers ~ (A + B cross once up) + C down = 3*N^2*4 bytes over
+        # a link that serializes both directions; compute 2N^3; pick N so
+        # the slower of the two fills ~0.75*budget.  The link estimate
+        # prefers the sustained combined rate MEASURED by the previous run
+        # (persisted in bench_state.json) over the burst probe, which the
+        # tunnel's 2-4x run-to-run variance makes unreliable.
+        sustained = 0.5 * h2d_probe_before  # derated probe fallback
+        try:
+            with open(state_path) as f:
+                prev = json.load(f).get("sustained_gbps", 0.0)
+            if prev > 0:
+                sustained = min(max(prev, 0.25 * h2d_probe_before),
+                                2.0 * h2d_probe_before)
+        except (OSError, ValueError):
+            pass
+        sv = os.statvfs(os.path.dirname(CACHE_DIR))
         free = sv.f_frsize * sv.f_bavail
-        best = sb
         n = sb
         while True:
             cand = n + sb
-            # probe bandwidth is optimistic vs sustained; derate by 2x
-            t_xfer = 3 * cand * cand * 4 / (0.5 * h2d_gbps * 1e9)
+            t_xfer = 3 * cand * cand * 4 / (sustained * 1e9)
             t_comp = 2 * cand**3 / (inmem_tflops * 1e12)
-            if max(t_xfer, t_comp) > 0.6 * budget_s:
+            if max(t_xfer, t_comp) > 0.75 * budget_s:
                 break
             if 3 * cand * cand * 4 > 0.5 * free:
                 break
             n = cand
         n = max(n, 2 * sb)
 
-    cache_dir = os.path.join(os.path.expanduser("~/.cache/bof_tpu/bench"))
-    os.makedirs(cache_dir, exist_ok=True)
-    a_path = os.path.join(cache_dir, f"A_{n}.bin")
-    b_path = os.path.join(cache_dir, f"B_{n}.bin")
-    c_path = os.path.join(cache_dir, f"C_{n}.bin")
+    a_path = os.path.join(CACHE_DIR, f"A_{n}.bin")
+    b_path = os.path.join(CACHE_DIR, f"B_{n}.bin")
+    c_path = os.path.join(CACHE_DIR, f"C_{n}.bin")
     ensure_operand(a_path, n, 1)
     ensure_operand(b_path, n, 2)
 
-    cfg = bt.FlashConfig(
-        scratch_dir=os.path.join(cache_dir, "scratch"),
-        program_budget=min(48 << 30, 3 * n * n * 4 + (1 << 30)),
-        n_io_threads=8, gemm_blk_size=sb,
-        pipeline_depth=int(os.environ.get("BOF_BENCH_DEPTH", "3")),
-        tile_cache_backend=os.environ.get("BOF_BENCH_CACHE", "auto"))
-    cfg.matmul_precision = prec_name
-    ctx = bt.FlashContext(cfg)
     A = bt.map_array(a_path, (n, n), np.float32, "R", ctx=ctx)
     B = bt.map_array(b_path, (n, n), np.float32, "R", ctx=ctx)
     C = bt.map_array(c_path, (n, n), np.float32, "R", create=True, ctx=ctx)
@@ -140,11 +259,19 @@ def main():
     Cw = bt.FlashArray(C.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     gemm(Aw, Bw, Cw, blk=sb, ctx=ctx)
 
+    m_before = METRICS.snapshot()
     t0 = time.perf_counter()
     gemm(A, B, C, blk=sb, ctx=ctx)
     dt = time.perf_counter() - t0
+    m_after = METRICS.snapshot()
+
+    def md(key):
+        return m_after.get(key, 0.0) - m_before.get(key, 0.0)
+
     flops = 2.0 * n**3
     ooc_gflops = flops / dt / 1e9
+    h2d_bytes, h2d_s = md("gemm.h2d_bytes"), md("gemm.h2d_s")
+    d2h_bytes, d2h_s = md("gemm.d2h_bytes"), md("gemm.d2h_s")
 
     # honest in-memory twin: the SAME problem size fully device-resident,
     # when it fits HBM; else keep the extrapolated small-matmul rate
@@ -153,6 +280,8 @@ def main():
             inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
         except Exception:
             pass
+    h2d_probe_after = measure_h2d_gbps()
+    link = 0.5 * (h2d_probe_before + h2d_probe_after)
 
     # sanity: verify one output block against a host golden sample
     ok = True
@@ -164,7 +293,6 @@ def main():
         got = C.read_block(0, s, 0, s).astype(np.float64)
         rel = float(np.abs(got - want).max() / (np.abs(want).max() or 1.0))
         ok = rel < 1e-3
-    ctx.destroy()
 
     in_mem_time = flops / (inmem_tflops * 1e12)
     result = {
@@ -174,10 +302,28 @@ def main():
         "vs_baseline": round(dt and (in_mem_time / dt), 4),
         "n": n, "blk": sb, "seconds": round(dt, 2),
         "in_mem_tflops": round(inmem_tflops, 2),
-        "h2d_gbps": round(h2d_gbps, 4),
-        "achieved_h2d_gbps": round(3 * n * n * 4 / dt / 1e9, 4),
         "precision": prec_name,
         "verified": ok,
+        # ---- link telemetry: probes sampled before+after (2x variance),
+        # in-run effective rates, and per-stage busy/stall breakdown ----
+        "link_gbps_probe": [round(h2d_probe_before, 4),
+                            round(h2d_probe_after, 4)],
+        "h2d_gb": round(h2d_bytes / 1e9, 3),
+        "d2h_gb": round(d2h_bytes / 1e9, 3),
+        "h2d_gbps_while_moving": round(h2d_s and h2d_bytes / h2d_s / 1e9, 4),
+        "d2h_gbps_while_moving": round(d2h_s and d2h_bytes / d2h_s / 1e9, 4),
+        "achieved_h2d_gbps": round(h2d_bytes / dt / 1e9, 4),
+        # the tunnel serializes H2D and D2H (parallel pulls don't scale —
+        # measured in docs/PERFORMANCE.md), so combined bytes/wall-time vs
+        # the probed link rate is the honest saturation figure
+        "combined_link_gbps": round((h2d_bytes + d2h_bytes) / dt / 1e9, 4),
+        "link_utilization": round((h2d_bytes + d2h_bytes) / dt / 1e9
+                                  / (link or 1), 4),
+        "link_busy_frac": round((h2d_s + d2h_s) / dt, 4),
+        "stall_s": {"disk": round(md("gemm.disk_wait_s"), 2),
+                    "h2d": round(h2d_s, 2), "d2h": round(d2h_s, 2),
+                    "tile_wait": round(md("gemm.tile_wait_s"), 2),
+                    "write_wait": round(md("gemm.write_wait_s"), 2)},
     }
     try:  # observability: native engine + pin cache activity
         import ctypes
@@ -188,6 +334,17 @@ def main():
             result["kernel_aio_runs"] = int(lib.bof_aio_ops())
     except Exception:
         pass
+    try:  # persist the measured sustained rate for next-run sizing
+        with open(state_path, "w") as f:
+            json.dump({"sustained_gbps": result["combined_link_gbps"]}, f)
+    except OSError:
+        pass
+    if os.environ.get("BOF_BENCH_CSRMM", "1") != "0":
+        try:
+            result.update(run_csrmm(ctx))
+        except Exception as e:  # sparse secondary must not sink the line
+            result["csrmm_error"] = f"{type(e).__name__}: {e}"
+    ctx.destroy()
     print(json.dumps(result))
     return 0 if ok else 1
 

@@ -1,4 +1,5 @@
-from .eigensolver import block_power_svd
-from .topic_model import topic_model, topic_model_with_basis
+from .eigensolver import block_lanczos_svd, block_power_svd
+from .topic_model import lift_topics, topic_model, topic_model_with_basis
 
-__all__ = ["block_power_svd", "topic_model", "topic_model_with_basis"]
+__all__ = ["block_lanczos_svd", "block_power_svd", "lift_topics",
+           "topic_model", "topic_model_with_basis"]

@@ -1,31 +1,38 @@
-"""Out-of-core spectral solver over flash-resident sparse matrices.
+"""Out-of-core spectral solvers over flash-resident sparse matrices.
 
-The reference's headline applications (NSDI'19 paper §5: block
-Krylov-Schur eigensolver on bag-of-words matrices, Spark-beating SVD) are
+The reference's headline application (NSDI'19 paper §5 Table 4: a block
+Krylov-Schur eigensolver on bag-of-words matrices, Spark-beating SVD) is
 built by composing library kernels — csrmm against A and A^T with host
-orthogonalization.  This module provides that composition: block subspace
-iteration computing the top singular values/vectors of a sparse flash
-matrix A, with
+orthogonalization.  This module provides two solvers with that kernel mix:
+
+- `block_lanczos_svd` (the paper-parity solver): block Lanczos with full
+  reorthogonalization and thick (Krylov-Schur-style) restarts on the
+  A^T A operator.  Polynomial acceleration makes it converge in far fewer
+  csrmm passes than power iteration on clustered spectra — exactly the
+  bag-of-words case the paper targets.
+- `block_power_svd`: simple block subspace iteration (kept as the
+  baseline and for very small problems).
+
+Both use the same operator application:
 
     W = A V        (csrmm on flash-resident A)
     U = A^T W      (csrmm on the csrcsc-materialized transpose)
-    V, _ = QR(U)   (host; U is k x L, small because L is)
 
-exactly the kernel mix the paper's eigensolver exercises (csrmm dominates
-runtime; the transpose is materialized once, like the reference's 'T'
-dispatch, csrmm.cpp:364-420).  A final Rayleigh-Ritz rotation extracts
-Ritz values/vectors from the converged subspace.
+the transpose is materialized once, like the reference's 'T' dispatch
+(csrmm.cpp:364-420).  Host memory holds only the (k x kdim) Krylov basis
+and (kdim x kdim) projections; the (m x b) intermediate panel W lives on
+flash scratch.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
 from ..context import get_context
 from ..core.flash_array import flash_empty, flash_free, mem_array
 from ..sparse import CsrFlashMatrix, csrcsc_scratch, csrmm
-from ..utils import LOG, Timer
+from ..utils import LOG, METRICS, Timer
 
 
 def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
@@ -52,6 +59,7 @@ def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
         """U = (A^T A) V via two flash csrmm passes."""
         csrmm(a, V, W, ctx=ctx)
         csrmm(at, W, U, ctx=ctx)
+        METRICS.add("eig.op_applies")
         return U.read_all().astype(np.float64)
 
     try:
@@ -78,6 +86,124 @@ def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
         sigma = np.sqrt(np.maximum(evals[order], 0.0))
         v_out = (v_np @ evecs[:, order]).astype(np.float32)
         return sigma, v_out
+    finally:
+        flash_free(W)
+        for arr in (at.ia, at.ja, at.vals):
+            flash_free(arr)
+
+
+def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
+                      block_size: Optional[int] = None,
+                      max_kdim: Optional[int] = None,
+                      n_restarts: int = 8, tol: float = 1e-6,
+                      seed: int = 0, ctx=None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Top `n_vals` singular values / right singular vectors of A by block
+    Lanczos with thick restart on B = A^T A (the paper's block
+    Krylov-Schur solver role, Table 4).
+
+    Each operator application is two out-of-core csrmm passes.  The Krylov
+    basis is fully reorthogonalized on the host (k x kdim, kdim <= ~4L —
+    small next to the flash-resident A).  On clustered spectra the degree-d
+    Krylov polynomial separates eigenvalues that plain power iteration
+    (rate (sigma_{L+1}/sigma_L)^2 per pass) cannot — fewer csrmm passes for
+    the same tolerance, which is the whole game out-of-core.
+
+    Returns (sigma (L,) descending, V (k, L))."""
+    ctx = ctx or a.ctx or get_context()
+    m, k = a.shape
+    L = n_vals
+    b = int(block_size or min(max(L, 2), max(2, k // 4)))
+    kdim = int(max_kdim or min(k, max(4 * L, 3 * b)))
+    rng = np.random.default_rng(seed)
+    timer = Timer()
+
+    at = csrcsc_scratch(a, ctx=ctx)  # A^T, materialized once
+    W = flash_empty((m, b), np.float32, ctx=ctx)
+
+    def apply_op(v_np: np.ndarray) -> np.ndarray:
+        """B v = A^T (A v), (k, w) -> (k, w) float64, w <= b."""
+        w = v_np.shape[1]
+        Vp = mem_array((k, w), np.float32,
+                       data=v_np.astype(np.float32), ctx=ctx)
+        Wp = (W if w == b
+              else flash_empty((m, w), np.float32, ctx=ctx))
+        Up = mem_array((k, w), np.float32, ctx=ctx)
+        try:
+            csrmm(a, Vp, Wp, ctx=ctx)
+            csrmm(at, Wp, Up, ctx=ctx)
+        finally:
+            if Wp is not W:
+                flash_free(Wp)
+        METRICS.add("eig.op_applies")
+        return Up.read_all().astype(np.float64)
+
+    def orthonormalize(R: np.ndarray, basis: Optional[np.ndarray]):
+        """Two-pass block Gram-Schmidt against `basis`, then QR; random
+        replacement columns on (near-)breakdown."""
+        for _ in range(2):
+            if basis is not None and basis.size:
+                R = R - basis @ (basis.T @ R)
+        Q, Rr = np.linalg.qr(R)
+        # detect rank deficiency: tiny diagonal => replace with random dirs
+        bad = np.abs(np.diag(Rr)) < 1e-10 * max(1.0, np.abs(Rr).max())
+        if bad.any():
+            Q[:, bad] = rng.standard_normal((k, int(bad.sum())))
+            for _ in range(2):
+                if basis is not None and basis.size:
+                    Q = Q - basis @ (basis.T @ Q)
+                Q, _ = np.linalg.qr(Q)
+        return Q
+
+    try:
+        panel = orthonormalize(rng.standard_normal((k, b)), None)
+        ritz_theta = np.zeros(L)
+        ritz_Y: Optional[np.ndarray] = None
+        for rnd in range(n_restarts):
+            panels = [panel]
+            Us = []
+            # grow the Krylov basis: every appended panel gets one operator
+            # application; the residual of B q_j against the basis is the
+            # next panel (full reorthogonalization)
+            while True:
+                basis = np.hstack(panels)
+                Uj = apply_op(panels[-1])
+                Us.append(Uj)
+                if basis.shape[1] + b > kdim:
+                    break
+                panels.append(orthonormalize(Uj.copy(), basis))
+            Q = np.hstack(panels)          # (k, d) — every panel applied
+            BU = np.hstack(Us)             # B @ Q, same column order
+            G = Q.T @ BU
+            G = (G + G.T) / 2
+            evals, S = np.linalg.eigh(G)
+            order = np.argsort(evals)[::-1][:L]
+            theta = np.maximum(evals[order], 0.0)
+            Y = Q @ S[:, order]            # Ritz vectors (k, L)
+            # residuals of the Ritz pairs under B, from stored BU panels
+            BY = BU @ S[:, order]
+            resid = np.linalg.norm(BY - Y * theta[None, :], axis=0)
+            scale = max(float(theta[0]), 1e-30)
+            delta = float(np.abs(np.sqrt(theta) - np.sqrt(ritz_theta)).max()
+                          / max(np.sqrt(scale), 1e-30))
+            ritz_theta, ritz_Y = theta, Y
+            LOG.debug("lanczos restart %d: sigma_max %.6g max-resid %.2e "
+                      "delta %.2e (%.0f ms)", rnd, np.sqrt(scale),
+                      float(resid.max() / scale), delta, timer.elapsed_ms())
+            if resid.max() / scale < tol or delta < tol:
+                break
+            # thick restart: compress to the Ritz block, pad to b with the
+            # strongest residual directions so the next cycle explores new
+            # space (Krylov-Schur keeps exactly this invariant subspace)
+            carry = Y
+            if L < b:
+                extra = orthonormalize(
+                    BY - Y * theta[None, :]
+                    if L > 0 else rng.standard_normal((k, b)), Y)
+                carry = np.hstack([Y, extra[:, :b - L]])
+            panel = orthonormalize(carry[:, :b], None)
+        sigma = np.sqrt(ritz_theta)
+        return sigma, ritz_Y.astype(np.float32)
     finally:
         flash_free(W)
         for arr in (at.ia, at.ja, at.vals):

@@ -65,20 +65,12 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
                                 n_init=3, labels_out=labels, ctx=ctx)
         lab_np = labels.read_all()
 
-        # 3. lift: topic-word = A^T one_hot(labels), normalized.  A^T Y
-        # via csrmm 'T' would transpose A; instead stream Y^T A directly:
-        # T[t, w] = sum over docs in cluster t of A[d, w] — computed as a
-        # csrgemv-style pass per topic would be t passes; the single-pass
-        # form is (one_hot^T A) which is exactly csrmm on A^T... for the
-        # library-composition demo we use csrmm 'T' like the reference's
-        # eigensolver uses the materialized transpose.
-        Y = mem_array((docs, n_topics), np.float32, ctx=ctx)
-        onehot = np.zeros((docs, n_topics), np.float32)
-        onehot[np.arange(docs), lab_np] = 1.0
-        Y.write_all(onehot)
-        T = mem_array((vocab, n_topics), np.float32, ctx=ctx)
-        csrmm(a, Y, T, transa="T", ctx=ctx)          # vocab x topics
-        tw = T.read_all().T                          # (topics, vocab)
+        # 3. lift: topic-word T = A^T one_hot(labels), normalized — but the
+        # (docs x n_topics) one-hot is NEVER materialized (at the paper's
+        # scale, 81.7M docs x 2000 topics = ~650 GB): T[t] is the sum of
+        # the CSR rows labeled t, streamed per nnz-budgeted row block with
+        # peak host memory O(block + T).
+        tw = lift_topics(a, lab_np, n_topics, ctx=ctx)  # (topics, vocab)
         norm = tw.sum(axis=1, keepdims=True)
         tw = np.where(norm > 0, tw / np.maximum(norm, 1e-30), 0.0)
         LOG.debug("topic_model: %d topics over %dx%d nnz=%d in %.0f ms "
@@ -88,3 +80,47 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
     finally:
         flash_free(P)
         flash_free(labels)
+
+
+def lift_topics(a: CsrFlashMatrix, labels_np: np.ndarray, n_topics: int,
+                ctx=None) -> np.ndarray:
+    """Streamed topic lift: T[t, w] = sum of A[d, w] over docs d with
+    label t — algebraically one_hot(labels)^T A, computed WITHOUT
+    materializing the one-hot (reference semantics: the csrmm 'T' pass the
+    paper's ISLE uses to form cluster centroids in vocab space, Table 5).
+
+    Streams nnz-budgeted CSR row blocks (the reference's fill_blocks
+    discipline, blas_utils.h:84-97) and label-aggregates each block on the
+    host: a fused bincount over (topic * vocab + col) when T is small
+    enough for the scratch histogram, an indexed scatter-add otherwise.
+    Peak host memory is O(row block + T).  Returns (n_topics, vocab)
+    float32, unnormalized."""
+    from ..sparse.csr import fill_row_blocks
+
+    ctx = ctx or a.ctx or get_context()
+    docs, vocab = a.shape
+    if labels_np.shape != (docs,):
+        raise ValueError(f"labels shape {labels_np.shape} != ({docs},)")
+    ia = a.read_ia()
+    blocks = fill_row_blocks(ia, ctx.config.max_nnzs)
+    T = np.zeros((n_topics, vocab), np.float32)
+    # bincount allocates a float64 histogram of T.size per block — use it
+    # only while that scratch stays modest; otherwise np.add.at (no
+    # scratch, slower per nnz)
+    use_bincount = n_topics * vocab <= (1 << 26)
+    for r0, r1 in blocks:
+        nz0, nz1 = int(ia[r0]), int(ia[r1])
+        if nz1 == nz0:
+            continue
+        ja_blk = a.ja.read_block(nz0, nz1 - nz0)
+        va_blk = a.vals.read_block(nz0, nz1 - nz0)
+        t_idx = np.repeat(labels_np[r0:r1].astype(np.int64),
+                          np.diff(ia[r0:r1 + 1]).astype(np.int64))
+        if use_bincount:
+            flat = t_idx * vocab + ja_blk.astype(np.int64)
+            T += np.bincount(flat, weights=va_blk,
+                             minlength=n_topics * vocab
+                             ).reshape(n_topics, vocab).astype(np.float32)
+        else:
+            np.add.at(T, (t_idx, ja_blk), va_blk)
+    return T

@@ -5,7 +5,7 @@ block eigensolver over bag-of-words CSR matrices, NSDI'19 §5 Table 4).
 """
 from __future__ import annotations
 
-from ..apps import block_power_svd
+from ..apps import block_lanczos_svd, block_power_svd
 from ..sparse import CsrFlashMatrix
 from ._common import Timed, base_parser, make_context
 
@@ -16,14 +16,24 @@ def main(argv=None):
     p.add_argument("m", type=int)
     p.add_argument("k", type=int)
     p.add_argument("n_vals", type=int)
-    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--iters", type=int, default=12,
+                   help="power iterations / lanczos restarts")
+    p.add_argument("--solver", choices=["lanczos", "power"],
+                   default="lanczos",
+                   help="lanczos = block Krylov with thick restart "
+                        "(paper-parity, Table 4); power = block subspace "
+                        "iteration baseline")
     args = p.parse_args(argv)
     ctx = make_context(args)
     A = CsrFlashMatrix.map_files(args.a_prefix, (args.m, args.k), ctx=ctx)
     with Timed("eigensolver",
                flops=4.0 * A.nnz * args.n_vals * args.iters):
-        sigma, _v = block_power_svd(A, args.n_vals, n_iters=args.iters,
-                                    ctx=ctx)
+        if args.solver == "lanczos":
+            sigma, _v = block_lanczos_svd(A, args.n_vals,
+                                          n_restarts=args.iters, ctx=ctx)
+        else:
+            sigma, _v = block_power_svd(A, args.n_vals, n_iters=args.iters,
+                                        ctx=ctx)
     print("singular values:", " ".join(f"{s:.6g}" for s in sigma))
     ctx.destroy()
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -224,9 +225,15 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                     pin = cache.pin_read(store, off, sinfo)
                     desc = ("pin", hkey, store, off, sinfo, st_shape, pin)
                 pin = desc[6]
+                t0 = time.perf_counter()
                 cache.wait_ready(pin)
+                t1 = time.perf_counter()
                 host = cache.buf(pin).view(a.dtype).reshape(st_shape)
                 arr = dev.to_device(pad_to(host, (sb, sb)))
+                t2 = time.perf_counter()
+                METRICS.add("gemm.disk_wait_s", t1 - t0)
+                METRICS.add("gemm.h2d_s", t2 - t1)
+                METRICS.add("gemm.h2d_bytes", arr.nbytes)
                 if kind == "hbm":
                     cache.unpin(pin)
                 return hbm.put(hkey, arr, arr.nbytes)
@@ -235,8 +242,11 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 bi, bj, bl = tile_dims(i, j, l)
                 c_init = None
                 if l == 0 and beta != 0.0:
+                    t0 = time.perf_counter()
                     c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
                     c_init = dev.to_device(pad_to(c_host, c_full_storage))
+                    METRICS.add("gemm.c_read_s", time.perf_counter() - t0)
+                    METRICS.add("gemm.h2d_bytes", c_init.nbytes)
                 da, db = pinned.popleft()
                 try:
                     if idx + depth < len(steps):
@@ -274,11 +284,16 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                     break
                 i, j, bi, bj, c_dev = item
                 ci_shape = _storage_shape(c, (bi, bj))
+                t0 = time.perf_counter()
                 c_host = dev.from_device(c_dev)[:ci_shape[0], :ci_shape[1]]
+                METRICS.add("gemm.d2h_s", time.perf_counter() - t0)
+                METRICS.add("gemm.d2h_bytes", c_host.nbytes)
                 write_tickets.append(c.write_block_storage_async(
                     i * sb, j * sb, bi, bj, c_host))
+            t0 = time.perf_counter()
             for t in write_tickets:
                 t.wait()
+            METRICS.add("gemm.write_wait_s", time.perf_counter() - t0)
         except BaseException as e:  # pragma: no cover
             errors.append(e)
 
@@ -292,6 +307,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     beta_s = np.dtype(c.dtype).type(beta)
     for idx, (i, j, l) in enumerate(steps):
         item = None
+        t_get = time.perf_counter()
         while True:  # timeout-get: survive a producer that died silently
             try:
                 item = tile_q.get(timeout=1.0)
@@ -299,6 +315,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
             except queue.Empty:
                 if errors:
                     break
+        METRICS.add("gemm.tile_wait_s", time.perf_counter() - t_get)
         if item is None:
             break
         a_dev, b_dev, c_init = item

@@ -110,16 +110,26 @@ def sharding_for(mesh, spec):
 def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                  transa: str = "N", transb: str = "N",
                  blk: Optional[int] = None, mesh=None, ctx=None) -> None:
-    """Multi-chip out-of-core GEMM: the single-chip streaming structure of
-    ops/gemm.py with every superblock device-sharded over the mesh; all 8
+    """Multi-chip out-of-core GEMM: the single-chip 4-stage streaming
+    structure of ops/gemm.py with every superblock device-sharded over the
+    mesh.  A producer thread prefetches tiles through the pinned tile cache
+    and issues sharded device_puts `pipeline_depth` steps ahead; the main
+    thread dispatches the psum_scatter accumulate steps; a writer thread
+    drains finished C superblocks to disk asynchronously — so disk I/O,
+    host->HBM DMA, ICI collectives and MXU compute all overlap.  All 8
     {order}x{transA}x{transB} configs via storage-major blocks (no host or
     device transposition — shardings and contracting dims absorb it)."""
+    import queue
+    import threading
+    import time as _time
+
     import jax
     from jax.sharding import PartitionSpec as P
 
     from ..context import get_context
+    from ..core.pipeline import PrefetchSeq
     from ..ops.gemm import _op_block_reader, _storage_shape
-    from ..utils import cdiv
+    from ..utils import LOG, METRICS, cdiv
 
     ctx = ctx or c.ctx or get_context()
     cfg = ctx.config
@@ -153,34 +163,154 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         out[:mat.shape[0], :mat.shape[1]] = mat
         return out
 
-    def read_storage(arr, access, i0, l0, d0, d1):
-        (off, sinfo), st_shape = access(i0, l0, d0, d1)
-        raw = arr.store.read_sync(off, sinfo)
-        return raw.view(arr.dtype).reshape(st_shape)
-
     mB, nB, kB = cdiv(m, sb), cdiv(n, sb), cdiv(k, sb)
-    for j in range(nB):
-        bj = min(sb, n - j * sb)
-        for i in range(mB):
-            bi = min(sb, m - i * sb)
-            if beta != 0.0:
-                c_host = pad(c.read_block_storage(i * sb, bi, j * sb, bj),
-                             (sb, sb))
-                c_dev = jax.device_put(
-                    np.dtype(c.dtype).type(beta) * c_host, sh_c)
-            else:
-                c_dev = jax.device_put(np.zeros((sb, sb), c.dtype), sh_c)
-            for l in range(kB):
-                bl = min(sb, k - l * sb)
-                a_host = pad(read_storage(a, a_access, i * sb, l * sb,
-                                          bi, bl), (sb, sb))
-                b_host = pad(read_storage(b, b_access, l * sb, j * sb,
-                                          bl, bj), (sb, sb))
-                c_dev = step(c_dev,
-                             jax.device_put(a_host, sh_a),
-                             jax.device_put(b_host, sh_b),
-                             np.dtype(c.dtype).type(alpha))
-            ci = _storage_shape(c, (bi, bj))
-            c.write_block_storage(i * sb, j * sb, bi, bj,
-                                  np.asarray(c_dev)[:ci[0], :ci[1]])
+    steps = [(i, j, l) for j in range(nB) for i in range(mB)
+             for l in range(kB)]
+
+    def tile_dims(i, j, l):
+        return min(sb, m - i * sb), min(sb, n - j * sb), min(sb, k - l * sb)
+
+    a_specs, b_specs = [], []
+    for (i, j, l) in steps:
+        bi, bj, bl = tile_dims(i, j, l)
+        (off, si), shp = a_access(i * sb, l * sb, bi, bl)
+        a_specs.append(((a.store, off, si), shp))
+        (off, si), shp = b_access(l * sb, j * sb, bl, bj)
+        b_specs.append(((b.store, off, si), shp))
+
+    depth = max(1, cfg.pipeline_depth)
+    cache = ctx.pin_cache()
+    tile_q: queue.Queue = queue.Queue(maxsize=depth)
+    write_q: queue.Queue = queue.Queue(maxsize=max(2, depth))
+    errors: list = []
+    alpha_s = np.dtype(c.dtype).type(alpha)
+    beta_s = np.dtype(c.dtype).type(beta)
+
+    def producer():
+        seq_a = PrefetchSeq(cache, [s for s, _ in a_specs], depth)
+        seq_b = PrefetchSeq(cache, [s for s, _ in b_specs], depth)
+        try:
+            for idx, (i, j, l) in enumerate(steps):
+                bi, bj, bl = tile_dims(i, j, l)
+                c_init = None
+                if l == 0 and beta != 0.0:
+                    c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
+                    c_init = jax.device_put(
+                        beta_s * pad(c_host, (sb, sb)), sh_c)
+                t0 = _time.perf_counter()
+                a_host = seq_a.get(idx).view(a.dtype).reshape(
+                    a_specs[idx][1])
+                b_host = seq_b.get(idx).view(b.dtype).reshape(
+                    b_specs[idx][1])
+                t1 = _time.perf_counter()
+                a_dev = jax.device_put(pad(a_host, (sb, sb)), sh_a)
+                b_dev = jax.device_put(pad(b_host, (sb, sb)), sh_b)
+                t2 = _time.perf_counter()
+                seq_a.done(idx)
+                seq_b.done(idx)
+                METRICS.add("gemm_sharded.disk_wait_s", t1 - t0)
+                METRICS.add("gemm_sharded.h2d_s", t2 - t1)
+                METRICS.add("gemm_sharded.h2d_bytes",
+                            a_dev.nbytes + b_dev.nbytes)
+                while not errors:
+                    try:
+                        tile_q.put((a_dev, b_dev, c_init), timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                if errors:
+                    return
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+            try:
+                tile_q.put_nowait(None)
+            except queue.Full:
+                pass
+        finally:
+            seq_a.close()
+            seq_b.close()
+
+    def writer():
+        try:
+            tickets = []
+            while True:
+                item = write_q.get()
+                if item is None:
+                    break
+                i, j, bi, bj, c_dev = item
+                ci = _storage_shape(c, (bi, bj))
+                t0 = _time.perf_counter()
+                c_host = np.asarray(c_dev)[:ci[0], :ci[1]]
+                METRICS.add("gemm_sharded.d2h_s",
+                            _time.perf_counter() - t0)
+                tickets.append(c.write_block_storage_async(
+                    i * sb, j * sb, bi, bj, c_host))
+            for t in tickets:
+                t.wait()
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    prod_t = threading.Thread(target=producer, daemon=True)
+    writ_t = threading.Thread(target=writer, daemon=True)
+    prod_t.start()
+    writ_t.start()
+
+    t_start = _time.perf_counter()
+    c_dev = None
+    for idx, (i, j, l) in enumerate(steps):
+        item = None
+        while True:
+            try:
+                item = tile_q.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if errors:
+                    break
+        if item is None:
+            break
+        a_dev, b_dev, c_init = item
+        bi, bj, bl = tile_dims(i, j, l)
+        if l == 0:
+            c_dev = (c_init if c_init is not None
+                     else jax.device_put(np.zeros((sb, sb), c.dtype), sh_c))
+        c_dev = step(c_dev, a_dev, b_dev, alpha_s)
+        if l == kB - 1:
+            while not errors:
+                try:
+                    write_q.put((i, j, bi, bj, c_dev), timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+        if errors:
+            break
+    while not errors:
+        try:
+            write_q.put(None, timeout=1.0)
+            break
+        except queue.Full:
+            continue
+    if errors:
+        try:
+            write_q.put_nowait(None)
+        except queue.Full:
+            pass
+    while prod_t.is_alive():
+        prod_t.join(timeout=1.0)
+        if errors:
+            prod_t.join(timeout=30)
+            break
+    while writ_t.is_alive():
+        writ_t.join(timeout=1.0)
+        if errors:
+            writ_t.join(timeout=30)
+            break
+    if errors:
+        raise errors[0]
     c.store.flush()
+    wall = _time.perf_counter() - t_start
+    busy = (METRICS.get("gemm_sharded.disk_wait_s")
+            + METRICS.get("gemm_sharded.h2d_s")
+            + METRICS.get("gemm_sharded.d2h_s"))
+    LOG.info("gemm_sharded %dx%dx%d on %dx%d mesh: %.2fs wall, "
+             "%.2fs producer+writer stage time (overlap factor %.2f)",
+             m, n, k, px, py, wall, busy, busy / wall if wall else 0.0)
