@@ -48,9 +48,10 @@ class FlashConfig:
     max_nnzs: int = 1 << 26            # nnz budget per CSR row block
     csrmm_cblk_size: int = 4096        # column block width for csrmm
     csrgemv_blk_size: int = 1 << 20    # rows per csrgemv block
-    sparse_compute: str = "device"     # "device" (ELL on TPU) | "host"
+    sparse_compute: str = "auto"       # "device" (ELL on TPU) | "host" | "auto"
     #   "host" runs block products on CPU (scipy) — the reference's
-    #   execution model, and faster when the host<->device link is thin
+    #   execution model, and faster when the host<->device link is thin;
+    #   "auto" measures the link once and places compute per problem
 
     # ---- lib funcs (reference: MAP_BLK_SIZE, REDUCE_BLK_SIZE, SORT) ----
     map_blk_elems: int = 1 << 24       # elements per map/reduce block

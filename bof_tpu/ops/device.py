@@ -103,3 +103,25 @@ def to_device(x: np.ndarray):
 
 def from_device(x) -> np.ndarray:
     return np.asarray(x)
+
+
+_link_gbps: float | None = None
+
+
+def link_gbps_estimate(force: bool = False) -> float:
+    """One-shot measured host->device transfer rate (GB/s), cached for the
+    process.  Drives compute-placement heuristics: a real TPU host moves
+    tens of GB/s; the dev tunnel moves ~0.04 GB/s, where shipping operands
+    to the device can cost more than computing on the host (the
+    reference's own execution model is host MKL)."""
+    global _link_gbps
+    if _link_gbps is None or force:
+        import time
+        x = np.empty(8 << 20, np.uint8)
+        d = jax.device_put(x[:1 << 16])  # warm the path
+        np.asarray(jnp.sum(d[:1]))
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        float(np.asarray(jnp.sum(d[:1])))  # force materialization
+        _link_gbps = x.nbytes / max(time.perf_counter() - t0, 1e-9) / 1e9
+    return _link_gbps

@@ -1,0 +1,134 @@
+"""Sharded out-of-core sparse x dense matmul over a device mesh.
+
+New capability beyond the single-node reference (SURVEY §2.6): the csrmm
+block product distributed row-wise over every mesh device.  Layout:
+
+    B column panel: replicated              P()
+    ELL block (ja/vals): rows sharded       P(axes, None)
+    C row slice: rows sharded               P(axes, None)
+
+Sparse rows are independent, so the natural sharding is pure row data
+parallelism — no collective is needed in the product itself; ICI only
+carries the (tiny) replicated-B broadcast.  Each device gathers its row
+shard's B rows on its own MXU/VPU, which is exactly how the single-chip
+ELL kernel works (sparse/spmm_device.py — scatter-free by design).
+
+The planner streams nnz-budgeted row blocks (reference: fill_blocks,
+blas_utils.h:84-97) through the pinned tile cache with prefetch lookahead,
+like sparse/csrmm.py's single-chip pipeline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+
+def sharded_spmm_step(mesh):
+    """jitted (b_panel, ja_ell, va_ell) -> C rows, rows sharded over every
+    mesh axis, B replicated."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = mesh.axis_names
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(axes, None), P(axes, None)),
+        out_specs=P(axes, None))
+    def step(b_panel, ja_ell, va_ell):
+        g = jnp.take(b_panel, ja_ell.reshape(-1), axis=0)
+        g = g.reshape(ja_ell.shape + (b_panel.shape[1],))
+        return jnp.sum(va_ell[:, :, None] * g, axis=1)
+
+    return jax.jit(step)
+
+
+def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
+                  mesh=None, ctx=None) -> None:
+    """C = alpha * A B + beta * C with flash-resident CSR A, every block
+    product row-sharded over the mesh.  B column panels must fit HBM
+    replicated (project-to-low-dim workloads, paper Table 3 shape)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..context import get_context
+    from ..core.pipeline import PrefetchSeq
+    from ..sparse import spmm_device as sdev
+    from ..sparse.csr import fill_row_blocks
+    from .mesh import make_mesh
+
+    ctx = ctx or b.ctx or get_context()
+    cfg = ctx.config
+    mesh = mesh or make_mesh()
+    axes = mesh.axis_names
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    m, k = a.shape
+    if b.shape[0] != k or c.shape != (m, b.shape[1]):
+        raise ValueError("operand shapes inconsistent")
+    n = b.shape[1]
+
+    ia_np = a.read_ia()
+    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
+    cb = min(n, cfg.csrmm_cblk_size)
+    entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (cb * 4)))
+    cache = ctx.pin_cache()
+    idt, vdt = a.ja.dtype, a.vals.dtype
+    step = sharded_spmm_step(mesh)
+    sh_rows = NamedSharding(mesh, P(axes, None))
+    sh_rep = NamedSharding(mesh, P())
+
+    accesses = []
+    for r, e in blocks:
+        i0, i1 = int(ia_np[r]), int(ia_np[e])
+        ja_off, ja_si = a.ja.block_access(i0, i1 - i0)
+        va_off, va_si = a.vals.block_access(i0, i1 - i0)
+        accesses.append((a.ja.store, ja_off, ja_si))
+        accesses.append((a.vals.store, va_off, va_si))
+
+    write_tickets = []
+    for c0 in range(0, n, cb):
+        bc = min(cb, n - c0)
+        b_host = b.read_block(0, k, c0, bc)
+        b_pad = np.zeros((k, cb), b.dtype) if bc < cb else b_host
+        if bc < cb:
+            b_pad[:, :bc] = b_host
+        b_dev = jax.device_put(np.ascontiguousarray(b_pad), sh_rep)
+        pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
+        try:
+            for bi, (r, e) in enumerate(blocks):
+                i0, i1 = int(ia_np[r]), int(ia_np[e])
+                rows_b = e - r
+                ja_blk = pf.get(2 * bi).view(idt)
+                va_blk = pf.get(2 * bi + 1).view(vdt)
+                blk_ia = ia_np[r:e + 1] - i0
+                counts = np.diff(blk_ia)
+                c_np = np.empty((rows_b, bc), vdt)
+                for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                    sub_ia = blk_ia[s0:s1 + 1]
+                    lo, hi = int(sub_ia[0]), int(sub_ia[-1])
+                    ja_ell, va_ell = sdev.to_ell(
+                        sub_ia, ja_blk[lo:hi], va_blk[lo:hi],
+                        min_rows=max(8, n_dev))
+                    out = step(b_dev,
+                               jax.device_put(ja_ell, sh_rows),
+                               jax.device_put(va_ell, sh_rows))
+                    c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                pf.done(2 * bi)
+                pf.done(2 * bi + 1)
+                c_np *= np.dtype(vdt).type(alpha)
+                if beta != 0.0:
+                    c_np += beta * c.read_block(r, rows_b, c0, bc)
+                if c.order != "R":
+                    c_np = np.ascontiguousarray(c_np.T)
+                write_tickets.append(c.write_block_storage_async(
+                    r, c0, rows_b, bc, np.ascontiguousarray(c_np)))
+        finally:
+            pf.close()
+    for t in write_tickets:
+        t.wait()
+    c.store.flush()

@@ -40,6 +40,26 @@ def _col_block_width(n: int, k: int, cfg) -> int:
     return max(1, min(cb, max_cb))
 
 
+def _resolve_sparse_compute(cfg, m: int, k: int, n: int, nnz: int) -> str:
+    """Compute placement for the block products.  'auto' estimates both
+    paths: the device path ships ELL-padded sparse blocks + the B panel up
+    and C down over the measured host<->device link; the host path runs
+    scipy block products in place (the reference's own execution model —
+    MKL on the host, csrmm_task.h).  On a real TPU host (tens of GB/s) the
+    device always wins; on a thin link small problems stay on the host."""
+    mode = getattr(cfg, "sparse_compute", "device")
+    if mode != "auto":
+        return mode
+    from ..ops.device import link_gbps_estimate
+    link = link_gbps_estimate()
+    if link >= 1.0:  # real host: MXU + gather beats host scalar products
+        return "device"
+    dev_bytes = nnz * 16.0 + k * n * 4.0 + m * n * 4.0  # ELL + B up, C down
+    t_dev = dev_bytes / (link * 1e9)
+    t_host = 2.0 * nnz * n / 2.0e9  # scipy csr@dense ~2 GFLOP/s effective
+    return "host" if t_host < t_dev else "device"
+
+
 def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
           alpha: float = 1.0, beta: float = 0.0, transa: str = "N",
           ctx=None) -> None:
@@ -101,7 +121,7 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
         seq_accesses.append(((a.ja.store, ja_off, ja_sin),
                              (a.vals.store, va_off, va_sin)))
 
-    host_compute = cfg.sparse_compute == "host"
+    host_compute = _resolve_sparse_compute(cfg, m, k, n, a.nnz) == "host"
     for ri, (k0, k1) in enumerate(k_ranges):
         beta_eff = beta if ri == 0 else 1.0
         write_tickets = []

@@ -107,3 +107,25 @@ def test_gemm_sharded_all_layouts(ctx, rng, tmp_path, order, ta, tb):
     want = (opa.astype(np.float64) @ opb.astype(np.float64)).astype(
         np.float32)
     np.testing.assert_allclose(C.read_all(), want, rtol=2e-4, atol=1e-4)
+
+
+def test_csrmm_sharded_matches_scipy(ctx, rng):
+    """Row-sharded sparse x dense over the 8-device mesh vs scipy."""
+    import scipy.sparse as sps
+    from bof_tpu.parallel import csrmm_sharded, make_mesh
+    from bof_tpu.sparse import CsrFlashMatrix
+    from bof_tpu import mem_array
+
+    ctx.config.max_nnzs = 4096  # several row blocks
+    m, k, n = 500, 200, 48
+    a_sp = sps.random(m, k, density=0.05, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(5))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    c0_np = rng.standard_normal((m, n)).astype(np.float32)
+    B = mem_array((k, n), np.float32, data=b_np, ctx=ctx)
+    C = mem_array((m, n), np.float32, data=c0_np, ctx=ctx)
+    mesh = make_mesh(8)
+    csrmm_sharded(A, B, C, alpha=2.0, beta=0.5, mesh=mesh, ctx=ctx)
+    want = 2.0 * (a_sp @ b_np) + 0.5 * c0_np
+    np.testing.assert_allclose(C.read_all(), want, rtol=2e-4, atol=1e-4)

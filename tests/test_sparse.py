@@ -181,3 +181,28 @@ def test_csrmm_k_split_host_compute(ctx, rng):
     csrmm(A, B, C, ctx=ctx)
     np.testing.assert_allclose(C.read_all(), a_sp @ b_np, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_sparse_compute_auto_dispatch(monkeypatch):
+    """'auto' places block products by comparing estimated link-transfer
+    time against host compute time; a real-host link always picks the
+    device."""
+    import importlib
+    csrmm_mod = importlib.import_module("bof_tpu.sparse.csrmm")
+    from bof_tpu.config import FlashConfig
+
+    cfg = FlashConfig(sparse_compute="auto")
+    monkeypatch.setattr("bof_tpu.ops.device.link_gbps_estimate",
+                        lambda force=False: 20.0)  # real TPU host
+    assert csrmm_mod._resolve_sparse_compute(
+        cfg, 1 << 20, 1 << 16, 1024, 1 << 27) == "device"
+    monkeypatch.setattr("bof_tpu.ops.device.link_gbps_estimate",
+                        lambda force=False: 0.04)  # dev tunnel
+    # small problem on a thin link: host wins
+    assert csrmm_mod._resolve_sparse_compute(
+        cfg, 1 << 16, 1 << 14, 512, 1 << 23) == "host"
+    # explicit modes bypass the heuristic
+    assert csrmm_mod._resolve_sparse_compute(
+        FlashConfig(sparse_compute="device"), 8, 8, 8, 8) == "device"
+    assert csrmm_mod._resolve_sparse_compute(
+        FlashConfig(sparse_compute="host"), 8, 8, 8, 8) == "host"
