@@ -52,6 +52,9 @@ class FlashConfig:
     #   "host" runs block products on CPU (scipy) — the reference's
     #   execution model, and faster when the host<->device link is thin;
     #   "auto" measures the link once and places compute per problem
+    sparse_device_impl: str = "auto"   # device ELL kernel: "xla" (take+
+    #   reduce) | "pallas" (VMEM-resident gather, spmm_pallas.py) |
+    #   "auto" (measured v5e heuristic: pallas for shallow rmax)
 
     # ---- lib funcs (reference: MAP_BLK_SIZE, REDUCE_BLK_SIZE, SORT) ----
     map_blk_elems: int = 1 << 24       # elements per map/reduce block

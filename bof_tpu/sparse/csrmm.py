@@ -203,15 +203,16 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                     else:
                         counts = np.diff(blk_ia)
                         outs = []
+                        impl = getattr(cfg, "sparse_device_impl", "auto")
                         for (s0, s1) in sdev.ell_row_ranges(counts,
                                                             entry_cap):
                             sub_ia = blk_ia[s0:s1 + 1]
                             lo, hi = int(sub_ia[0]), int(sub_ia[-1])
                             ja_ell, va_ell = sdev.to_ell(
                                 sub_ia, blk_ja[lo:hi], blk_va[lo:hi])
-                            out = sdev.spmm_ell_block(
+                            out = sdev.spmm_ell_block_dispatch(
                                 b_panel, jnp.asarray(ja_ell),
-                                jnp.asarray(va_ell))
+                                jnp.asarray(va_ell), impl=impl)
                             outs.append((s0, s1, out))
                     pf.done(2 * bi)
                     pf.done(2 * bi + 1)

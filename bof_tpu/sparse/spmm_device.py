@@ -39,6 +39,24 @@ def spmm_ell_block(b_panel, ja_ell, va_ell):
     return jnp.sum(va_ell[:, :, None] * g, axis=1)
 
 
+def spmm_ell_block_dispatch(b_panel, ja_ell, va_ell, impl: str = "auto"):
+    """Route one ELL block product to the XLA take+reduce kernel or the
+    explicit Pallas VMEM-gather kernel (sparse/spmm_pallas.py).
+    impl: 'xla' | 'pallas' | 'auto' (FlashConfig.sparse_device_impl) —
+    'auto' uses the measured v5e heuristic (pallas_eligible) on TPU and
+    XLA everywhere else."""
+    if impl != "xla":
+        from .spmm_pallas import pallas_eligible, spmm_ell_pallas
+        rows, rmax = ja_ell.shape
+        k, cb = b_panel.shape
+        ok = pallas_eligible(k, cb, rmax, rows)
+        want = (impl == "pallas") or (
+            impl == "auto" and ok and jax.default_backend() == "tpu")
+        if want and ok:
+            return spmm_ell_pallas(b_panel, ja_ell, va_ell)
+    return spmm_ell_block(b_panel, ja_ell, va_ell)
+
+
 @jax.jit
 def spmv_ell_block(x, ja_ell, va_ell):
     """y_blk[row] = sum_r va_ell[row, r] * x[ja_ell[row, r]] (csrgemv 'N')."""

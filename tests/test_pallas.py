@@ -44,3 +44,57 @@ def test_pallas_accum_step_integration(rng):
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
     else:
         assert ref.shape == (bm, bn)
+
+
+def _random_ell(rng, rows, k, max_nnz_per_row):
+    from bof_tpu.sparse.spmm_device import to_ell
+    counts = rng.integers(0, max_nnz_per_row + 1, rows)
+    ia = np.zeros(rows + 1, np.int64)
+    np.cumsum(counts, out=ia[1:])
+    nnz = int(ia[-1])
+    ja = rng.integers(0, k, nnz, dtype=np.int64)
+    va = rng.standard_normal(nnz).astype(np.float32)
+    return to_ell(ia, ja, va), (ia, ja, va)
+
+
+def test_pallas_spmm_ell_interpret(rng):
+    """Pallas VMEM-gather SpMM vs the XLA take+reduce kernel, over ragged
+    blocks that exercise padding rows/slots and both unroll widths."""
+    import jax.numpy as jnp
+    from bof_tpu.sparse.spmm_device import spmm_ell_block
+    from bof_tpu.sparse.spmm_pallas import spmm_ell_pallas
+    for rows, k, cb, mr in ((64, 256, 128, 20),   # rmax pow2: unroll 8/4
+                            (24, 128, 128, 3),    # rmax=4: unroll 4
+                            (16, 128, 256, 1)):   # rmax=1: unroll 1
+        (ja_ell, va_ell), _ = _random_ell(rng, rows, k, mr)
+        b = rng.standard_normal((k, cb)).astype(np.float32)
+        want = np.asarray(spmm_ell_block(jnp.asarray(b), jnp.asarray(ja_ell),
+                                         jnp.asarray(va_ell)))
+        got = np.asarray(spmm_ell_pallas(jnp.asarray(b),
+                                         jnp.asarray(ja_ell),
+                                         jnp.asarray(va_ell),
+                                         interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_dispatch_routing(rng):
+    """'auto' uses the measured heuristic (pallas only on TPU backends for
+    shallow rmax + VMEM-fitting panels); explicit 'xla' always XLA."""
+    from bof_tpu.sparse.spmm_pallas import pallas_eligible
+    assert pallas_eligible(k=4096, cb=512, rmax=32, rows=64)
+    assert not pallas_eligible(k=4096, cb=512, rmax=128, rows=64)  # deep
+    assert not pallas_eligible(k=16384, cb=4096, rmax=32, rows=64)  # VMEM
+    assert not pallas_eligible(k=4096, cb=500, rmax=32, rows=64)   # lanes
+    assert not pallas_eligible(k=4096, cb=512, rmax=32, rows=30)   # rows%8
+    # dispatch runs (CPU backend: auto -> xla) and matches
+    import jax.numpy as jnp
+    from bof_tpu.sparse.spmm_device import (spmm_ell_block,
+                                            spmm_ell_block_dispatch)
+    (ja_ell, va_ell), _ = _random_ell(rng, 32, 128, 6)
+    b = rng.standard_normal((128, 128)).astype(np.float32)
+    want = np.asarray(spmm_ell_block(jnp.asarray(b), jnp.asarray(ja_ell),
+                                     jnp.asarray(va_ell)))
+    got = np.asarray(spmm_ell_block_dispatch(
+        jnp.asarray(b), jnp.asarray(ja_ell), jnp.asarray(va_ell),
+        impl="auto"))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
