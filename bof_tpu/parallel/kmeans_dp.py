@@ -9,14 +9,16 @@ the collective rides ICI; centers stay replicated.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import numpy as np
 
 
 def dp_lloyd_step(mesh, prec: str = "highest"):
-    """Returns jitted step(points, centers) -> (sums, counts, inertia_part)
-    with points sharded over every mesh axis on dim 0 and outputs
-    replicated (already psum-reduced)."""
+    """Returns jitted step(points, weights, centers) ->
+    (sums, counts, inertia_part, labels): points/weights sharded over
+    every mesh axis on dim 0, the statistics replicated (psum-reduced
+    over ICI), labels sharded like the points."""
     import jax
     import jax.numpy as jnp
     from jax import shard_map
@@ -29,7 +31,7 @@ def dp_lloyd_step(mesh, prec: str = "highest"):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axes), P(axes), P()),
-        out_specs=(P(), P(), P()))
+        out_specs=(P(), P(), P(), P(axes)))
     def step(p_loc, w_loc, centers):
         # w_loc: 1.0 for real points, 0.0 for shard-padding rows.  Pad rows
         # are masked out of every statistic explicitly — relying on exact
@@ -51,7 +53,7 @@ def dp_lloyd_step(mesh, prec: str = "highest"):
             sums = jax.lax.psum(sums, ax)
             counts = jax.lax.psum(counts, ax)
             inertia = jax.lax.psum(inertia, ax)
-        return sums, counts, inertia[None]
+        return sums, counts, inertia[None], labels.astype(jnp.int32)
 
     return jax.jit(step)
 
@@ -81,10 +83,113 @@ def lloyds_iter_sharded(points_np: np.ndarray, centers: np.ndarray,
     p = jax.device_put(points_np.astype(np.float32), sh)
     w = jax.device_put(weights, sh)
     c = jax.device_put(centers, NamedSharding(mesh, P()))
-    sums, counts, inertia = step(p, w, c)
+    sums, counts, inertia, _labels = step(p, w, c)
     sums = np.array(sums)
     counts = np.array(counts)
     inertia = float(np.asarray(inertia).sum())
     safe = np.maximum(counts, 1.0)[:, None]
     new_centers = np.where(counts[:, None] > 0, sums / safe, centers)
     return new_centers.astype(np.float32), inertia, counts
+
+
+def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
+                            labels_out=None, mesh=None,
+                            blk_rows: Optional[int] = None,
+                            prec: str = "highest", ctx=None):
+    """One Lloyd iteration over FLASH-resident points, each streamed block
+    data-parallel over the mesh: the out-of-core structure of
+    ops/kmeans.lloyds_iter with dp_lloyd_step as the device step.  Blocks
+    prefetch through the pinned tile cache; center statistics psum over
+    ICI per block and accumulate on the host.  Returns
+    (new_centers, inertia, counts)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..context import get_context
+    from ..core.pipeline import PrefetchSeq
+    from .mesh import make_mesh
+
+    ctx = ctx or points.ctx or get_context()
+    cfg = ctx.config
+    mesh = mesh or make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    n, d = points.shape
+    if points.order != "R":
+        raise ValueError("points must be row-major (one point per row)")
+    kc = centers.shape[0]
+    centers = np.ascontiguousarray(centers, np.float32)
+
+    blk = blk_rows or max(1, min(n, (64 << 20) // max(4 * d, 1)))
+    blk = ((blk + n_dev - 1) // n_dev) * n_dev  # shards stay uniform
+
+    step = dp_lloyd_step(mesh, prec)
+    sh = NamedSharding(mesh, P(mesh.axis_names))
+    c_dev = jax.device_put(centers, NamedSharding(mesh, P()))
+
+    cache = ctx.pin_cache()
+    spans = [(r0, min(blk, n - r0)) for r0 in range(0, n, blk)]
+    accesses = [(points.store,) + points.block_access(r0, bn, 0, d)
+                for r0, bn in spans]
+    pf = PrefetchSeq(cache, accesses, depth=cfg.pipeline_depth)
+
+    sums = np.zeros((kc, d), np.float64)
+    counts = np.zeros(kc, np.float64)
+    inertia = 0.0
+    write_tickets = []
+    try:
+        for bi, (r0, bn) in enumerate(spans):
+            p_host = pf.get(bi).view(points.dtype).reshape(bn, d)
+            pad = (-bn) % n_dev
+            w_np = np.ones(bn + pad, np.float32)
+            if pad:
+                p_host = np.concatenate(
+                    [p_host, np.zeros((pad, d), points.dtype)])
+                w_np[bn:] = 0.0
+            s, c, i, labels = step(
+                jax.device_put(p_host.astype(np.float32, copy=False), sh),
+                jax.device_put(w_np, sh), c_dev)
+            pf.done(bi)
+            sums += np.asarray(s, np.float64)
+            counts += np.asarray(c, np.float64)
+            inertia += float(np.asarray(i).sum())
+            if labels_out is not None:
+                lab_np = np.asarray(labels, np.int32)[:bn]
+                off, sinfo = labels_out.block_access(r0, bn)
+                write_tickets.append(labels_out.store.write(
+                    off, sinfo, lab_np.view(np.uint8).ravel()))
+    finally:
+        pf.close()
+    for t in write_tickets:
+        t.wait()
+    if labels_out is not None:
+        labels_out.store.flush()
+    safe = np.maximum(counts, 1.0)[:, None]
+    new_centers = np.where(counts[:, None] > 0, sums / safe, centers)
+    return new_centers.astype(np.float32), inertia, counts
+
+
+def kmeans_fit_sharded(points, n_centers: int, n_iters: int = 10,
+                       seed: int = 0, tol: float = 1e-4, labels_out=None,
+                       mesh=None, ctx=None):
+    """Full out-of-core Lloyd's over the mesh (the multi-chip analog of
+    ops/kmeans.kmeans_fit; the reference's driver loop is
+    drivers/kmeans.cpp:103-189).  Seeds with sampled k-means++ like the
+    single-chip fit.  Returns (centers, inertia)."""
+    rng = np.random.default_rng(seed)
+    from ..ops.kmeans import _kmeanspp_sample
+    centers = _kmeanspp_sample(points, n_centers, rng)
+    prev = None
+    inertia = 0.0
+    for it in range(n_iters):
+        last = it == n_iters - 1
+        centers, inertia, _ = lloyds_iter_ooc_sharded(
+            points, centers, labels_out=labels_out if last else None,
+            mesh=mesh, ctx=ctx)
+        if prev is not None and abs(prev - inertia) <= tol * max(prev, 1.0):
+            if labels_out is not None and not last:
+                _, inertia, _ = lloyds_iter_ooc_sharded(
+                    points, centers, labels_out=labels_out, mesh=mesh,
+                    ctx=ctx)
+            break
+        prev = inertia
+    return centers, inertia

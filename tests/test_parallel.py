@@ -129,3 +129,48 @@ def test_csrmm_sharded_matches_scipy(ctx, rng):
     csrmm_sharded(A, B, C, alpha=2.0, beta=0.5, mesh=mesh, ctx=ctx)
     want = 2.0 * (a_sp @ b_np) + 0.5 * c0_np
     np.testing.assert_allclose(C.read_all(), want, rtol=2e-4, atol=1e-4)
+
+
+def test_lloyds_iter_ooc_sharded_matches_single_chip(ctx, rng):
+    """Streamed flash-resident points through the DP Lloyd step must match
+    the single-chip lloyds_iter exactly (same statistics, same labels)."""
+    from bof_tpu import flash_empty, mem_array
+    from bof_tpu.ops.kmeans import lloyds_iter
+    from bof_tpu.parallel import lloyds_iter_ooc_sharded, make_mesh
+
+    n, d, kc = 437, 12, 5  # ragged vs both the block and the mesh
+    pts = rng.standard_normal((n, d)).astype(np.float32)
+    c0 = pts[rng.choice(n, kc, replace=False)].copy()
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    lab_a = flash_empty((n,), np.int32, ctx=ctx)
+    lab_b = flash_empty((n,), np.int32, ctx=ctx)
+    mesh = make_mesh(8)
+    want_c, want_i, want_n = lloyds_iter(P, c0, labels_out=lab_a,
+                                         blk_rows=64, ctx=ctx)
+    got_c, got_i, got_n = lloyds_iter_ooc_sharded(
+        P, c0, labels_out=lab_b, mesh=mesh, blk_rows=64, ctx=ctx)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_n, want_n)
+    assert abs(got_i - want_i) < 1e-2 * max(abs(want_i), 1.0)
+    np.testing.assert_array_equal(lab_b.read_all(), lab_a.read_all())
+
+
+def test_kmeans_fit_sharded_converges(ctx, rng):
+    from bof_tpu import flash_empty, mem_array
+    from bof_tpu.parallel import kmeans_fit_sharded, make_mesh
+    # three well-separated blobs
+    blobs = [rng.standard_normal((100, 4)).astype(np.float32) + 10 * i
+             for i in range(3)]
+    pts = np.concatenate(blobs)
+    rng.shuffle(pts)
+    P = mem_array((300, 4), np.float32, data=pts, ctx=ctx)
+    labels = flash_empty((300,), np.int32, ctx=ctx)
+    centers, inertia = kmeans_fit_sharded(P, 3, n_iters=8, seed=1,
+                                          labels_out=labels,
+                                          mesh=make_mesh(8), ctx=ctx)
+    # each blob center recovered (within noise)
+    got = np.sort(centers.mean(axis=1))
+    want = np.sort([b.mean() for b in blobs])
+    np.testing.assert_allclose(got, want, atol=0.5)
+    lab = labels.read_all()
+    assert set(np.unique(lab)) <= {0, 1, 2} and len(np.unique(lab)) == 3
