@@ -96,8 +96,8 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
                       block_size: Optional[int] = None,
                       max_kdim: Optional[int] = None,
                       n_restarts: int = 8, tol: float = 1e-6,
-                      seed: int = 0, ctx=None
-                      ) -> Tuple[np.ndarray, np.ndarray]:
+                      seed: int = 0, state_path: Optional[str] = None,
+                      ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     """Top `n_vals` singular values / right singular vectors of A by block
     Lanczos with thick restart on B = A^T A (the paper's block
     Krylov-Schur solver role, Table 4).
@@ -109,7 +109,14 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     (rate (sigma_{L+1}/sigma_L)^2 per pass) cannot — fewer csrmm passes for
     the same tolerance, which is the whole game out-of-core.
 
+    `state_path` makes the restart loop checkpointable: each completed
+    cycle atomically saves (panel, Ritz pairs, cycle index), and a rerun
+    resumes from the last finished cycle — extending the library's
+    kernel-boundary durability (SURVEY §5 checkpoint/resume) to this
+    hours-long solver's host state.  The file is removed on convergence.
+
     Returns (sigma (L,) descending, V (k, L))."""
+    import os
     ctx = ctx or a.ctx or get_context()
     m, k = a.shape
     L = n_vals
@@ -155,11 +162,27 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
                 Q, _ = np.linalg.qr(Q)
         return Q
 
+    def save_state(rnd, panel, theta, Y):
+        tmp = state_path + ".tmp.npz"  # .npz suffix: savez won't rename it
+        np.savez(tmp, rnd=rnd, panel=panel, theta=theta,
+                 Y=Y if Y is not None else np.zeros((0, 0)))
+        os.replace(tmp, state_path)
+
     try:
         panel = orthonormalize(rng.standard_normal((k, b)), None)
         ritz_theta = np.zeros(L)
         ritz_Y: Optional[np.ndarray] = None
-        for rnd in range(n_restarts):
+        converged = False
+        start_rnd = 0
+        if state_path and os.path.exists(state_path):
+            with np.load(state_path) as st:
+                start_rnd = int(st["rnd"]) + 1
+                panel = st["panel"]
+                ritz_theta = st["theta"]
+                ritz_Y = st["Y"] if st["Y"].size else None
+            LOG.info("lanczos: resuming from %s at restart %d",
+                     state_path, start_rnd)
+        for rnd in range(start_rnd, n_restarts):
             panels = [panel]
             Us = []
             # grow the Krylov basis: every appended panel gets one operator
@@ -191,6 +214,7 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
                       "delta %.2e (%.0f ms)", rnd, np.sqrt(scale),
                       float(resid.max() / scale), delta, timer.elapsed_ms())
             if resid.max() / scale < tol or delta < tol:
+                converged = True
                 break
             # thick restart: compress to the Ritz block, pad to b with the
             # strongest residual directions so the next cycle explores new
@@ -202,6 +226,11 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
                     if L > 0 else rng.standard_normal((k, b)), Y)
                 carry = np.hstack([Y, extra[:, :b - L]])
             panel = orthonormalize(carry[:, :b], None)
+            if state_path:
+                save_state(rnd, panel, ritz_theta, ritz_Y)
+        if converged and state_path and os.path.exists(state_path):
+            os.unlink(state_path)  # state consumed; an unconverged run
+            # (restart budget exhausted) keeps it for a longer rerun
         sigma = np.sqrt(ritz_theta)
         return sigma, ritz_Y.astype(np.float32)
     finally:

@@ -23,6 +23,9 @@ def main(argv=None):
                    help="lanczos = block Krylov with thick restart "
                         "(paper-parity, Table 4); power = block subspace "
                         "iteration baseline")
+    p.add_argument("--state", default=None,
+                   help="lanczos checkpoint file: interrupted runs resume "
+                        "from the last completed restart cycle")
     args = p.parse_args(argv)
     ctx = make_context(args)
     A = CsrFlashMatrix.map_files(args.a_prefix, (args.m, args.k), ctx=ctx)
@@ -30,7 +33,8 @@ def main(argv=None):
                flops=4.0 * A.nnz * args.n_vals * args.iters):
         if args.solver == "lanczos":
             sigma, _v = block_lanczos_svd(A, args.n_vals,
-                                          n_restarts=args.iters, ctx=ctx)
+                                          n_restarts=args.iters,
+                                          state_path=args.state, ctx=ctx)
         else:
             sigma, _v = block_power_svd(A, args.n_vals, n_iters=args.iters,
                                         ctx=ctx)

@@ -1,4 +1,6 @@
 """Application-layer tests: out-of-core spectral solver vs scipy svds."""
+import os
+
 import numpy as np
 import pytest
 import scipy.sparse as sps
@@ -142,3 +144,28 @@ def test_lanczos_beats_power_on_clustered_spectrum(ctx):
             or power_err > np.abs(sig_l - want).max() / want.max() * 2), (
         f"lanczos {lanczos_applies} vs power {power_applies} applies, "
         f"power_err {power_err:.2e}")
+
+
+def test_lanczos_checkpoint_resume(ctx, tmp_path, rng):
+    """A Lanczos run interrupted between restart cycles resumes from its
+    state file and reaches the same answer as an uninterrupted run."""
+    from bof_tpu.apps import block_lanczos_svd
+    ctx.config.max_nnzs = 1 << 20
+    n, L = 120, 3
+    s = np.concatenate([[8.0, 7.98, 7.96, 7.90],
+                        np.linspace(4.0, 0.1, n - 4)]).astype(np.float32)
+    a_sp = sps.diags(s, format="csr", dtype=np.float32)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    want = np.sort(s)[::-1][:L].astype(np.float64)
+    state = str(tmp_path / "lz_state.npz")
+
+    # phase 1: run only 2 restart cycles with a tight tol (won't converge)
+    sig1, _ = block_lanczos_svd(A, L, tol=1e-14, n_restarts=2, seed=3,
+                                state_path=state, ctx=ctx)
+    assert os.path.exists(state)  # interrupted: state persisted
+
+    # phase 2: resume — must pick up at cycle 2, finish, and delete state
+    sig2, _ = block_lanczos_svd(A, L, tol=1e-10, n_restarts=10, seed=3,
+                                state_path=state, ctx=ctx)
+    np.testing.assert_allclose(sig2, want, rtol=1e-5)
+    assert not os.path.exists(state)
