@@ -30,10 +30,12 @@ from ..utils import LOG, Timer
 
 
 def topic_model(a: CsrFlashMatrix, n_topics: int, proj_dim: int = 64,
-                n_iters: int = 8, seed: int = 0, ctx=None
-                ) -> Tuple[np.ndarray, np.ndarray]:
+                n_iters: int = 8, seed: int = 0, sample_rate: float = 1.0,
+                ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (topic_word (n_topics, vocab) row-normalized,
-    doc_labels (docs,) int32)."""
+    doc_labels (docs,) int32).  sample_rate < 1 clusters on a uniform doc
+    sample and assigns the full corpus in one streaming pass — the
+    paper's ISLE runs use sample rate 0.1 (Table 5)."""
     ctx = ctx or a.ctx or get_context()
     docs, vocab = a.shape
     rng = np.random.default_rng(seed)
@@ -44,11 +46,13 @@ def topic_model(a: CsrFlashMatrix, n_topics: int, proj_dim: int = 64,
     r_np = (rng.standard_normal((vocab, proj_dim))
             / np.sqrt(proj_dim)).astype(np.float32)
     return topic_model_with_basis(a, r_np, n_topics, n_iters=n_iters,
-                                  seed=seed, ctx=ctx)
+                                  seed=seed, sample_rate=sample_rate,
+                                  ctx=ctx)
 
 
 def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
                            n_topics: int, n_iters: int = 8, seed: int = 0,
+                           sample_rate: float = 1.0,
                            ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     ctx = ctx or a.ctx or get_context()
     docs, vocab = a.shape
@@ -61,8 +65,32 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
     try:
         csrmm(a, R, P, ctx=ctx)                      # project docs
         LOG.debug("topic_model: projected in %.0f ms", timer.elapsed_ms())
-        _, inertia = kmeans_fit(P, n_topics, n_iters=n_iters, seed=seed,
-                                n_init=3, labels_out=labels, ctx=ctx)
+        if sample_rate < 1.0:
+            # ISLE-style: fit centers on a doc sample (n_iters streaming
+            # passes touch only the sample), then one full assignment pass
+            from ..ops.kmeans import _sample_indices, lloyds_iter
+            rng = np.random.default_rng(seed)
+            s = max(n_topics * 8, int(docs * sample_rate))
+            idx = _sample_indices(docs, min(s, docs), rng)
+            samp = np.empty((len(idx), proj_dim), np.float32)
+            start = 0  # gather in contiguous runs
+            while start < len(idx):
+                end = start + 1
+                while end < len(idx) and idx[end] == idx[end - 1] + 1:
+                    end += 1
+                samp[start:end] = P.read_block(int(idx[start]),
+                                               end - start, 0, proj_dim)
+                start = end
+            Ps = mem_array((len(idx), proj_dim), np.float32, data=samp,
+                           ctx=ctx)
+            centers, _ = kmeans_fit(Ps, n_topics, n_iters=n_iters,
+                                    seed=seed, n_init=3, ctx=ctx)
+            _, inertia, _ = lloyds_iter(P, centers, labels_out=labels,
+                                        ctx=ctx)
+        else:
+            _, inertia = kmeans_fit(P, n_topics, n_iters=n_iters,
+                                    seed=seed, n_init=3,
+                                    labels_out=labels, ctx=ctx)
         lab_np = labels.read_all()
 
         # 3. lift: topic-word T = A^T one_hot(labels), normalized — but the

@@ -1,6 +1,9 @@
-"""CSR->CSC transpose driver (reference: drivers/csrcsc.cpp; note the
-reference bumps compute threads around this call, csrcsc.cpp:58-61 — the
-scheduler pool here is already sized by --compute-threads).
+"""CSR->CSC transpose driver (reference: drivers/csrcsc.cpp).
+
+Mirrors the reference's temporary compute-pool bump around the call
+(csrcsc.cpp:58-61: grow to 8 threads, restore after) — the transpose's
+per-block work is host-heavy, so it profits from extra compute threads
+that the streaming kernels don't need.
 
     python -m bof_tpu.drivers.csrcsc A_prefix m k OUT_prefix
 """
@@ -30,8 +33,14 @@ def main(argv=None):
     vals = map_array(args.out_prefix + ".csr", (A.nnz,), np.float32,
                      create=True, ctx=ctx)
     out = CsrFlashMatrix(ia, ja, vals, (k, m))
-    with Timed("csrcsc", nbytes=2.0 * A.nnz * 12.0):
-        csrcsc(A, out, ctx=ctx)
+    sched = ctx.scheduler()
+    prev_threads = sched._n_compute
+    sched.set_num_compute_threads(max(prev_threads, 8))
+    try:
+        with Timed("csrcsc", nbytes=2.0 * A.nnz * 12.0):
+            csrcsc(A, out, ctx=ctx)
+    finally:
+        sched.set_num_compute_threads(prev_threads)  # shrink via pills
     print(f"nnz {out.nnz}")
     ctx.destroy()
 

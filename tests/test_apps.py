@@ -169,3 +169,35 @@ def test_lanczos_checkpoint_resume(ctx, tmp_path, rng):
                                 state_path=state, ctx=ctx)
     np.testing.assert_allclose(sig2, want, rtol=1e-5)
     assert not os.path.exists(state)
+
+
+def test_topic_model_sampled_clustering(ctx, rng):
+    """sample_rate < 1 (the paper's ISLE mode, Table 5) must still recover
+    planted topics: clustering runs on a doc sample, assignment streams
+    the full corpus once."""
+    from bof_tpu.apps import topic_model
+    n_topics, docs_per, vocab_per = 3, 150, 40
+    docs, vocab = n_topics * docs_per, n_topics * vocab_per
+    rows, cols = [], []
+    rs = np.random.RandomState(1)
+    for t in range(n_topics):
+        for d in range(docs_per):
+            for w in t * vocab_per + rs.randint(0, vocab_per, 15):
+                rows.append(t * docs_per + d)
+                cols.append(w)
+    A_sp = sps.csr_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                          shape=(docs, vocab))
+    A_sp.sum_duplicates()
+    ctx.config.max_nnzs = 2048
+    A = CsrFlashMatrix.from_scipy(A_sp, ctx=ctx)
+    tw, labels = topic_model(A, n_topics, proj_dim=24, n_iters=8,
+                             sample_rate=0.4, ctx=ctx)
+    purity = sum(np.bincount(labels[t * docs_per:(t + 1) * docs_per],
+                             minlength=n_topics).max()
+                 for t in range(n_topics))
+    assert purity / docs > 0.9
+    for t in range(n_topics):
+        # sampled clustering is noisier than full-corpus Lloyd: a slightly
+        # looser mass threshold than the full-fit test's 0.85
+        assert max(tw[t, s * vocab_per:(s + 1) * vocab_per].sum()
+                   for s in range(n_topics)) > 0.8
