@@ -90,15 +90,28 @@ def ensure_csr_operands(m: int, k: int, row_nnz: int, n: int):
     prefix = os.path.join(CACHE_DIR, f"spA_{m}x{k}_r{row_nnz}")
     b_path = os.path.join(CACHE_DIR, f"spB_{k}x{n}.bin")
     rng = np.random.default_rng(7)
-    if not (os.path.exists(prefix + ".off")
-            and os.path.getsize(prefix + ".off") == (m + 1) * 8):
+
+    def _triplet_ok():
+        # all three files must be size-consistent — a crash mid-generation
+        # must not poison the cache (reads past EOF zero-fill silently)
+        try:
+            if os.path.getsize(prefix + ".off") != (m + 1) * 8:
+                return False
+            nz = int(np.fromfile(prefix + ".off", np.int64, 1,
+                                 offset=m * 8)[0])
+            return (os.path.getsize(prefix + ".col") == nz * 8
+                    and os.path.getsize(prefix + ".csr") == nz * 4)
+        except OSError:
+            return False
+
+    if not _triplet_ok():
         counts = rng.poisson(row_nnz, m).clip(1, 4 * row_nnz)
         ia = np.zeros(m + 1, np.int64)
         np.cumsum(counts, out=ia[1:])
-        with open(prefix + ".off", "wb") as f:
-            f.write(ia.tobytes())
-        with open(prefix + ".col", "wb") as fc, \
-                open(prefix + ".csr", "wb") as fv:
+        # write to temp names, atomically publish .off LAST (it is the
+        # consistency witness _triplet_ok checks first)
+        with open(prefix + ".col.tmp", "wb") as fc, \
+                open(prefix + ".csr.tmp", "wb") as fv:
             for r0 in range(0, m, 1 << 15):
                 r1 = min(m, r0 + (1 << 15))
                 nz = int(ia[r1] - ia[r0])
@@ -109,6 +122,11 @@ def ensure_csr_operands(m: int, k: int, row_nnz: int, n: int):
                 fc.write(cols[order].tobytes())
                 fv.write(rng.standard_normal(nz).astype(np.float32)
                          .tobytes())
+        with open(prefix + ".off.tmp", "wb") as f:
+            f.write(ia.tobytes())
+        os.replace(prefix + ".col.tmp", prefix + ".col")
+        os.replace(prefix + ".csr.tmp", prefix + ".csr")
+        os.replace(prefix + ".off.tmp", prefix + ".off")
     if not (os.path.exists(b_path)
             and os.path.getsize(b_path) == k * n * 4):
         with open(b_path, "wb") as f:
@@ -145,20 +163,6 @@ def run_csrmm(ctx) -> dict:
     nnz = A.nnz
     bytes_total = ((m + 1) * 8 + nnz * (8 + 4) + k * n * 4 + m * n * 4)
 
-    # TPU device path (ELL gather + MXU reduction, explicit)
-    ctx.config.sparse_compute = "device"
-    t0 = time.perf_counter()
-    csrmm(A, B, C, ctx=ctx)
-    dt = time.perf_counter() - t0
-
-    # out-of-core HOST path (scipy block products — the reference's own
-    # execution model: MKL on the host, csrmm_task.h)
-    ctx.config.sparse_compute = "host"
-    t0 = time.perf_counter()
-    csrmm(A, B, C, ctx=ctx)
-    dt_host = time.perf_counter() - t0
-    ctx.config.sparse_compute = "auto"
-
     # host in-memory twin (the role in-memory MKL csrmm plays, paper Fig.6)
     sp = A.to_scipy()
     b_np = B.read_all()
@@ -167,9 +171,28 @@ def run_csrmm(ctx) -> dict:
     want = sp @ b_np
     t_inmem = time.perf_counter() - t0
 
-    got = C.read_block(0, 2048, 0, n)
-    rel = float(np.abs(got - want[:2048]).max()
-                / (np.abs(want[:2048]).max() or 1.0))
+    def check():  # verify the path that JUST ran, before C is overwritten
+        got = C.read_block(0, 2048, 0, n)
+        rel = float(np.abs(got - want[:2048]).max()
+                    / (np.abs(want[:2048]).max() or 1.0))
+        return rel < 1e-3
+
+    # TPU device path (ELL gather + MXU reduction, explicit)
+    ctx.config.sparse_compute = "device"
+    t0 = time.perf_counter()
+    csrmm(A, B, C, ctx=ctx)
+    dt = time.perf_counter() - t0
+    dev_ok = check()
+
+    # out-of-core HOST path (scipy block products — the reference's own
+    # execution model: MKL on the host, csrmm_task.h)
+    ctx.config.sparse_compute = "host"
+    t0 = time.perf_counter()
+    csrmm(A, B, C, ctx=ctx)
+    dt_host = time.perf_counter() - t0
+    host_ok = check()
+    ctx.config.sparse_compute = "auto"
+
     return {
         "csrmm_gbps": round(bytes_total / dt / 1e9, 4),
         "csrmm_seconds": round(dt, 2),
@@ -179,7 +202,7 @@ def run_csrmm(ctx) -> dict:
         # (paper Fig. 6: ~0.5 of in-memory at bag-of-words sparsity)
         "csrmm_host_gbps": round(bytes_total / dt_host / 1e9, 4),
         "csrmm_host_vs_inmem": round(t_inmem / dt_host, 4),
-        "csrmm_verified": rel < 1e-3,
+        "csrmm_verified": dev_ok and host_ok,
     }
 
 
@@ -212,12 +235,12 @@ def main():
         h2d_1 = measure_h2d_gbps()
         r = run_csrmm(ctx)
         ctx.destroy()
+        ok = r.pop("csrmm_verified")
         result = {"metric": "ooc_csrmm_gbps", "value": r.pop("csrmm_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("csrmm_vs_inmem"),
-                  "h2d_gbps": round(h2d_1, 4), **r,
-                  "verified": r.pop("csrmm_verified")}
+                  "h2d_gbps": round(h2d_1, 4), **r, "verified": ok}
         print(json.dumps(result))
-        return 0 if result["verified"] else 1
+        return 0 if ok else 1
 
     inmem_tflops = measure_inmem_tflops(min(sb, 8192), prec)
     h2d_probe_before = measure_h2d_gbps()
@@ -335,6 +358,9 @@ def main():
         "link_utilization": round((h2d_bytes + d2h_bytes) / dt / 1e9
                                   / (link or 1), 4),
         "link_busy_frac": round((h2d_s + d2h_s) / dt, 4),
+        # NOTE: d2h time is pipeline-latency-inclusive — np.asarray in the
+        # writer blocks until the block's final async accumulate finishes,
+        # so on a slow link it absorbs upstream wait, not just transfer
         "stall_s": {"disk": round(md("gemm.disk_wait_s"), 2),
                     "h2d": round(h2d_s, 2), "d2h": round(d2h_s, 2),
                     "tile_wait": round(md("gemm.tile_wait_s"), 2),

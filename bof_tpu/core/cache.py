@@ -27,13 +27,13 @@ import numpy as np
 
 from ..io.native import alloc_aligned
 from ..io.store import Ticket
-from ..utils import METRICS
+from ..utils import LOG, METRICS
 from .task import Task, TaskStatus, access_key
 
 
 class _Entry:
     __slots__ = ("store", "offset", "sinfo", "buf", "refs", "dirty",
-                 "alloc_only", "complete", "nbytes", "error")
+                 "alloc_only", "complete", "nbytes", "error", "poisoned")
 
     def __init__(self, store, offset, sinfo, alloc_only: bool):
         self.store = store
@@ -46,6 +46,8 @@ class _Entry:
         self.complete = False         # buffer resident & contents valid
         self.nbytes = sinfo.nbytes
         self.error: Optional[BaseException] = None  # failed read
+        self.poisoned = False  # a failed task's write target: contents
+        #   are uninitialized/partial — never serve from cache
 
 
 class TileCache:
@@ -265,11 +267,28 @@ class TileCache:
                 e = self._entries.get(k)
                 if e is None:
                     continue
-                if ok and info["write"]:
-                    e.dirty = True
+                if info["write"]:
+                    if ok:
+                        e.dirty = True
+                    else:
+                        e.poisoned = True
                 e.refs -= 1
                 if e.refs == 0:
-                    if self.single_use_discard and not e.dirty:
+                    if e.poisoned:
+                        # drop without write-back: the buffer holds the
+                        # failed task's garbage/partial output.  If it was
+                        # also dirty from an earlier success, that result
+                        # is lost too (shared-buffer hazard) — loudly.
+                        if e.dirty:
+                            LOG.error("dropping dirty tile poisoned by a "
+                                      "failed task (offset %d, %d B): "
+                                      "earlier result NOT persisted",
+                                      e.offset, e.nbytes)
+                        self._entries.pop(k)
+                        self.commit_size -= e.nbytes
+                        self.real_size -= e.nbytes if e.buf is not None else 0
+                        METRICS.add("cache.drop_poisoned")
+                    elif self.single_use_discard and not e.dirty:
                         self._entries.pop(k)
                         self.commit_size -= e.nbytes
                         self.real_size -= e.nbytes if e.buf is not None else 0

@@ -75,8 +75,20 @@ def flash_memcpy(dst: FlashArray, src: FlashArray) -> None:
     size copy contiguously; ld-padded and mixed-layout 2-D arrays stream
     logical row blocks through strided scopy (flash_file_handle.cpp:
     718-727), transposing on the host only when orders differ."""
+    def _byte_compatible():
+        """Raw byte copy preserves logical contents: 1-D either side, or
+        equal storage orders, or the transpose-reinterpret case (orders
+        differ AND shapes are transposed — same byte layout).  An
+        equal-shape mixed-order pair must NOT take this path: the bytes
+        would land transposed."""
+        if len(dst.shape) == 1 or len(src.shape) == 1:
+            return True
+        if dst.order == src.order:
+            return True
+        return dst.shape == src.shape[::-1]
+
     pending = []
-    if _dense(dst) and _dense(src):
+    if _dense(dst) and _dense(src) and _byte_compatible():
         # raw byte copy, like the reference's flash_memcpy over flash_ptrs
         if dst.nbytes != src.nbytes:
             raise ValueError(f"size mismatch: {dst.nbytes} != {src.nbytes}")

@@ -25,9 +25,11 @@ from typing import Optional
 import numpy as np
 
 
+@functools.lru_cache(maxsize=None)
 def sharded_spmm_step(mesh):
     """jitted (b_panel, ja_ell, va_ell) -> C rows, rows sharded over every
-    mesh axis, B replicated."""
+    mesh axis, B replicated.  lru_cached so repeated planner calls reuse
+    jax.jit's trace cache (a fresh closure per call would retrace)."""
     import jax
     import jax.numpy as jnp
     from jax import shard_map

@@ -14,6 +14,7 @@ from typing import Optional
 import numpy as np
 
 
+@functools.lru_cache(maxsize=None)
 def dp_lloyd_step(mesh, prec: str = "highest"):
     """Returns jitted step(points, weights, centers) ->
     (sums, counts, inertia_part, labels): points/weights sharded over

@@ -55,6 +55,7 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(mesh_devs, axis_names)
 
 
+@functools.lru_cache(maxsize=None)
 def sharded_accum_step(mesh, prec: str = "highest", a_km: bool = False,
                        b_nk: bool = False, c_nm: bool = False):
     """Returns jitted step(c, a, b, alpha) with the sharding above,
@@ -63,7 +64,9 @@ def sharded_accum_step(mesh, prec: str = "highest", a_km: bool = False,
     (bn,bm).  The m dim shards over x, K over y, and the n dim is
     psum_scattered over y — dot_general contracting dims absorb the
     transposes, so every {order}x{transA}x{transB} config runs
-    multi-chip with zero data transposition."""
+    multi-chip with zero data transposition.  lru_cached: a fresh
+    shard_map closure per call would miss jax.jit's cache and retrace
+    (30s-class remote compiles, CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -187,9 +190,13 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     beta_s = np.dtype(c.dtype).type(beta)
 
     def producer():
-        seq_a = PrefetchSeq(cache, [s for s, _ in a_specs], depth)
-        seq_b = PrefetchSeq(cache, [s for s, _ in b_specs], depth)
+        seq_a = seq_b = None
         try:
+            # inside the try: PrefetchSeq pins `depth` tiles immediately,
+            # and a pin failure (over-budget tile, I/O error) must land in
+            # `errors` or the main loop would wait forever
+            seq_a = PrefetchSeq(cache, [s for s, _ in a_specs], depth)
+            seq_b = PrefetchSeq(cache, [s for s, _ in b_specs], depth)
             for idx, (i, j, l) in enumerate(steps):
                 bi, bj, bl = tile_dims(i, j, l)
                 c_init = None
@@ -227,8 +234,10 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             except queue.Full:
                 pass
         finally:
-            seq_a.close()
-            seq_b.close()
+            if seq_a is not None:
+                seq_a.close()
+            if seq_b is not None:
+                seq_b.close()
 
     def writer():
         try:
@@ -252,6 +261,7 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
 
     prod_t = threading.Thread(target=producer, daemon=True)
     writ_t = threading.Thread(target=writer, daemon=True)
+    m_before = METRICS.snapshot()
     prod_t.start()
     writ_t.start()
 
@@ -308,9 +318,10 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         raise errors[0]
     c.store.flush()
     wall = _time.perf_counter() - t_start
-    busy = (METRICS.get("gemm_sharded.disk_wait_s")
-            + METRICS.get("gemm_sharded.h2d_s")
-            + METRICS.get("gemm_sharded.d2h_s"))
+    m_after = METRICS.snapshot()
+    busy = sum(m_after.get(k, 0.0) - m_before.get(k, 0.0)
+               for k in ("gemm_sharded.disk_wait_s", "gemm_sharded.h2d_s",
+                         "gemm_sharded.d2h_s"))
     LOG.info("gemm_sharded %dx%dx%d on %dx%d mesh: %.2fs wall, "
              "%.2fs producer+writer stage time (overlap factor %.2f)",
              m, n, k, px, py, wall, busy, busy / wall if wall else 0.0)

@@ -150,3 +150,22 @@ def test_flash_memcpy_padded_and_mixed_order(ctx, rng):
                      data=np.zeros((6, 10), np.float32), ctx=ctx)
     flash_memcpy(cdst, src)
     np.testing.assert_array_equal(cdst.read_all(), src.read_all())
+
+
+def test_flash_memcpy_dense_mixed_order(ctx, rng):
+    """Equal-shape dense arrays with different storage orders must copy
+    LOGICALLY (a raw byte copy would land transposed); transposed-shape
+    pairs keep the byte-reinterpret semantics."""
+    from bof_tpu import mem_array
+    a = rng.standard_normal((6, 10)).astype(np.float32)
+    src = mem_array((6, 10), np.float32, order="R", data=a, ctx=ctx)
+    dst = mem_array((6, 10), np.float32, order="C",
+                    data=np.zeros((6, 10), np.float32), ctx=ctx)
+    flash_memcpy(dst, src)
+    np.testing.assert_array_equal(dst.read_all(), a)
+    # transpose-shape reinterpret: R(6,10) -> C(10,6) shares byte layout,
+    # so the raw copy yields the transpose as a (10,6) logical matrix
+    dst2 = mem_array((10, 6), np.float32, order="C",
+                     data=np.zeros((10, 6), np.float32), ctx=ctx)
+    flash_memcpy(dst2, src)
+    np.testing.assert_array_equal(dst2.read_all(), a.T)

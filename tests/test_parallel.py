@@ -174,3 +174,26 @@ def test_kmeans_fit_sharded_converges(ctx, rng):
     np.testing.assert_allclose(got, want, atol=0.5)
     lab = labels.read_all()
     assert set(np.unique(lab)) <= {0, 1, 2} and len(np.unique(lab)) == 3
+
+
+def test_gemm_sharded_pin_failure_raises_not_hangs(ctx, rng):
+    """A pin failure in the producer (tile over the program budget) must
+    surface as an exception from gemm_sharded, not a silent hang."""
+    from bof_tpu import FlashConfig, FlashContext, mem_array
+    from bof_tpu.parallel import gemm_sharded, make_mesh
+    import bof_tpu
+    small = FlashContext(FlashConfig(scratch_dir=ctx.config.scratch_dir,
+                                     program_budget=1 << 10))  # 1 KiB
+    try:
+        n = 64
+        A = mem_array((n, n), np.float32,
+                      data=rng.standard_normal((n, n)).astype(np.float32),
+                      ctx=small)
+        B = mem_array((n, n), np.float32,
+                      data=rng.standard_normal((n, n)).astype(np.float32),
+                      ctx=small)
+        C = mem_array((n, n), np.float32, ctx=small)
+        with pytest.raises(MemoryError):
+            gemm_sharded(A, B, C, blk=64, mesh=make_mesh(8), ctx=small)
+    finally:
+        small.destroy()

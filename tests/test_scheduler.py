@@ -452,3 +452,37 @@ def test_compute_pool_shrink_midstream(ctx):
     sched.add_tasks(more)
     sched.wait_for(more, timeout=60)
     assert len(done) == 50
+
+
+def test_failed_write_entry_not_served_from_cache(ctx):
+    """A failed task's write tile must be dropped from the cache, not
+    parked as a clean complete entry: a later reader of the same tile
+    must get real file contents, not the failed task's garbage buffer."""
+    from bof_tpu import mem_array
+    arr = mem_array((64,), np.float32,
+                    data=np.arange(64, dtype=np.float32), ctx=ctx)
+    sched = make_sched(ctx)
+    off, sinfo = arr.block_access(0, 64)
+
+    def explode(task):
+        buf = task.buffers[access_key(arr.store, off, sinfo)]
+        buf.view(np.float32)[:] = -1.0  # partial garbage, then fail
+        raise ValueError("boom")
+
+    t1 = FnTask(explode)
+    t1.add_write(arr.store, off, sinfo)
+    sched.add_task(t1)
+    with pytest.raises(RuntimeError):
+        sched.wait_for([t1], timeout=30)
+
+    got = {}
+
+    def read_back(task):
+        buf = task.buffers[access_key(arr.store, off, sinfo)]
+        got["v"] = buf.view(np.float32).copy()
+
+    t2 = FnTask(read_back)  # independent task, same access
+    t2.add_read(arr.store, off, sinfo)
+    sched.add_task(t2)
+    sched.wait_for([t2], timeout=30)
+    np.testing.assert_array_equal(got["v"], np.arange(64, dtype=np.float32))
