@@ -19,8 +19,11 @@ the run saturates, and the link probe is sampled before AND after the run
 
 Env overrides: BOF_BENCH_N, BOF_BENCH_BLK, BOF_BENCH_BUDGET_S,
 BOF_BENCH_PREC (highest|default), BOF_BENCH_SKIP_VERIFY=1, BOF_BENCH_DEPTH,
-BOF_BENCH_CACHE, BOF_BENCH_CSRMM=0 (skip sparse), BOF_BENCH_KERNEL=csrmm
-(sparse-only run: the JSON line's headline metric becomes csrmm GB/s).
+BOF_BENCH_CACHE, BOF_BENCH_CSRMM=0 (skip sparse).
+
+BOF_BENCH_KERNEL selects standalone modes covering every
+BASELINE.json.configs entry (each prints its own one-JSON-line result):
+  sgemm (default) | csrmm | kmeans | csrcsc_sort
 """
 from __future__ import annotations
 
@@ -206,6 +209,136 @@ def run_csrmm(ctx) -> dict:
     }
 
 
+def run_kmeans(ctx) -> dict:
+    """Out-of-core k-means streaming rate (BASELINE.json.configs[4]): GB/s
+    of point data streamed per Lloyd pass, vs a device-resident twin."""
+    import jax
+    import jax.numpy as jnp
+
+    import bof_tpu as bt
+    from bof_tpu.ops.kmeans import lloyds_iter
+
+    n = int(os.environ.get("BOF_BENCH_KM_N", 1 << 21))
+    d = int(os.environ.get("BOF_BENCH_KM_D", 16))
+    kc = int(os.environ.get("BOF_BENCH_KM_K", 64))
+    iters = 3
+    path = os.path.join(CACHE_DIR, f"km_{n}x{d}.bin")
+    ensure_operand_1d(path, n * d, seed=11)
+    P = bt.map_array(path, (n, d), np.float32, "R", ctx=ctx)
+    rng = np.random.default_rng(0)
+    centers = P.read_block(0, kc, 0, d).astype(np.float32) \
+        + rng.standard_normal((kc, d)).astype(np.float32) * 0.01
+
+    lloyds_iter(P, centers, ctx=ctx)  # warm (compiles the fused step)
+    t0 = time.perf_counter()
+    c = centers
+    for _ in range(iters):
+        c, inertia, counts = lloyds_iter(P, c, ctx=ctx)
+    dt = time.perf_counter() - t0
+    streamed = iters * n * d * 4
+
+    # device-resident twin: the same fused Lloyd step over HBM points
+    # (the in-memory MKL twin's role; the numpy golden model is O(n*k*d)
+    # pairwise and only fits test sizes)
+    from bof_tpu.ops.kmeans import _jit_steps
+    lb = _jit_steps()
+    p_dev = jax.device_put(P.read_block(0, n, 0, d))
+    float(np.asarray(jnp.sum(p_dev[:1, :1])))  # H2D done before timing
+    cin = centers
+
+    def one_iter(cc):
+        c_dev = jnp.asarray(cc)
+        c_norms = jnp.sum(c_dev * c_dev, axis=1)
+        _, _, sums, counts = lb(p_dev, c_dev, c_norms,
+                                jnp.zeros((kc, d), jnp.float32),
+                                jnp.zeros((kc,), jnp.float32),
+                                n_centers=kc, prec="highest")
+        s, cn = np.asarray(sums), np.asarray(counts)
+        safe = np.maximum(cn, 1.0)[:, None]
+        return np.where(cn[:, None] > 0, s / safe, cc).astype(np.float32)
+
+    one_iter(centers)  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cin = one_iter(cin)
+    dt_in = time.perf_counter() - t0
+    ok = bool(np.allclose(c, cin, rtol=1e-2, atol=1e-2))
+    return {"kmeans_gbps": round(streamed / dt / 1e9, 4),
+            "kmeans_seconds": round(dt, 2),
+            "kmeans_shape": [n, d, kc], "kmeans_iters": iters,
+            "kmeans_vs_inmem": round(dt_in / dt, 4),
+            "kmeans_verified": ok}
+
+
+def run_csrcsc_sort(ctx) -> dict:
+    """csrcsc transpose + external sample sort (BASELINE.json.configs[3]),
+    each as GB/s over the bytes they move, vs host scipy/np twins."""
+    import bof_tpu as bt
+    from bof_tpu.ops.sort import bof_sort
+    from bof_tpu.sparse import CsrFlashMatrix, csrcsc
+
+    m = int(os.environ.get("BOF_BENCH_SP_M", 1 << 16))
+    k = int(os.environ.get("BOF_BENCH_SP_K", 1 << 14))
+    row_nnz = int(os.environ.get("BOF_BENCH_SP_NNZ", 128))
+    prefix, _ = ensure_csr_operands(m, k, row_nnz, 1)
+    A = CsrFlashMatrix.map_files(prefix, (m, k), ctx=ctx)
+    out_pref = os.path.join(ctx.config.scratch_dir, "AT")
+    ia = bt.map_array(out_pref + ".off", (k + 1,), np.int64, create=True,
+                      ctx=ctx)
+    ja = bt.map_array(out_pref + ".col", (A.nnz,), A.ja.dtype, create=True,
+                      ctx=ctx)
+    vals = bt.map_array(out_pref + ".csr", (A.nnz,), np.float32,
+                        create=True, ctx=ctx)
+    AT = CsrFlashMatrix(ia, ja, vals, (k, m))
+    t0 = time.perf_counter()
+    csrcsc(A, AT, ctx=ctx)
+    dt_t = time.perf_counter() - t0
+    bytes_t = 2.0 * (A.nnz * 12 + (m + 1 + k + 1) * 8)
+    sp = A.to_scipy()
+    t0 = time.perf_counter()
+    want_csc = sp.tocsc()
+    dt_t_in = time.perf_counter() - t0
+    t_ok = bool(np.array_equal(AT.read_ia(), want_csc.indptr))
+
+    n_el = int(os.environ.get("BOF_BENCH_SORT_N", 1 << 24))
+    spath = os.path.join(CACHE_DIR, f"sort_{n_el}.bin")
+    ensure_operand_1d(spath, n_el, seed=13)
+    src = bt.map_array(spath, (n_el,), np.float32, ctx=ctx)
+    dst = bt.map_array(os.path.join(ctx.config.scratch_dir, "sorted.bin"),
+                       (n_el,), np.float32, create=True, ctx=ctx)
+    t0 = time.perf_counter()
+    bof_sort(src, dst, ctx=ctx)
+    dt_s = time.perf_counter() - t0
+    host = src.read_all()
+    t0 = time.perf_counter()
+    want_sorted = np.sort(host)
+    dt_s_in = time.perf_counter() - t0
+    got_head = dst.read_block(0, 4096)
+    s_ok = bool(np.array_equal(got_head, want_sorted[:4096]))
+    return {"csrcsc_gbps": round(bytes_t / dt_t / 1e9, 4),
+            "csrcsc_seconds": round(dt_t, 2),
+            "csrcsc_vs_inmem": round(dt_t_in / dt_t, 4),
+            "sort_gbps": round(2.0 * n_el * 4 / dt_s / 1e9, 4),
+            "sort_seconds": round(dt_s, 2),
+            "sort_vs_inmem": round(dt_s_in / dt_s, 4),
+            "verified_parts": {"csrcsc": t_ok, "sort": s_ok},
+            "csrcsc_sort_verified": t_ok and s_ok}
+
+
+def ensure_operand_1d(path: str, n_elems: int, seed: int):
+    nbytes = n_elems * 4
+    if os.path.exists(path) and os.path.getsize(path) == nbytes:
+        return
+    rng = np.random.default_rng(seed)
+    with open(path + ".tmp", "wb") as f:
+        left = n_elems
+        while left:
+            c = min(1 << 22, left)
+            f.write(rng.standard_normal(c).astype(np.float32).tobytes())
+            left -= c
+    os.replace(path + ".tmp", path)
+
+
 def main():
     import bof_tpu as bt
     from bof_tpu.ops import gemm
@@ -239,6 +372,24 @@ def main():
         result = {"metric": "ooc_csrmm_gbps", "value": r.pop("csrmm_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("csrmm_vs_inmem"),
                   "h2d_gbps": round(h2d_1, 4), **r, "verified": ok}
+        print(json.dumps(result))
+        return 0 if ok else 1
+    if kernel == "kmeans":  # streaming Lloyd mode
+        r = run_kmeans(ctx)
+        ctx.destroy()
+        ok = r.pop("kmeans_verified")
+        result = {"metric": "ooc_kmeans_gbps", "value": r.pop("kmeans_gbps"),
+                  "unit": "GB/s", "vs_baseline": r.pop("kmeans_vs_inmem"),
+                  **r, "verified": ok}
+        print(json.dumps(result))
+        return 0 if ok else 1
+    if kernel == "csrcsc_sort":  # transpose + external sort mode
+        r = run_csrcsc_sort(ctx)
+        ctx.destroy()
+        ok = r.pop("csrcsc_sort_verified")
+        result = {"metric": "ooc_csrcsc_gbps", "value": r.pop("csrcsc_gbps"),
+                  "unit": "GB/s", "vs_baseline": r.pop("csrcsc_vs_inmem"),
+                  **r, "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
 
