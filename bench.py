@@ -354,12 +354,14 @@ def main():
             "default": jax.lax.Precision.DEFAULT}[prec_name]
 
     os.makedirs(CACHE_DIR, exist_ok=True)
+    xfer = os.environ.get("BOF_BENCH_TRANSFER", "fp32")
     cfg = bt.FlashConfig(
         scratch_dir=os.path.join(CACHE_DIR, "scratch"),
         program_budget=48 << 30,
         n_io_threads=8, gemm_blk_size=sb,
         use_o_direct=True,  # measured path exercises kernel AIO
         pipeline_depth=int(os.environ.get("BOF_BENCH_DEPTH", "3")),
+        transfer_dtype="bfloat16" if xfer == "bf16" else "float32",
         tile_cache_backend=os.environ.get("BOF_BENCH_CACHE", "auto"))
     cfg.matmul_precision = prec_name
     ctx = bt.FlashContext(cfg)
@@ -481,7 +483,7 @@ def main():
         want = a_rows @ b_cols
         got = C.read_block(0, s, 0, s).astype(np.float64)
         rel = float(np.abs(got - want).max() / (np.abs(want).max() or 1.0))
-        ok = rel < 1e-3
+        ok = rel < (2e-2 if xfer == "bf16" else 1e-3)
 
     in_mem_time = flops / (inmem_tflops * 1e12)
     result = {
@@ -492,6 +494,7 @@ def main():
         "n": n, "blk": sb, "seconds": round(dt, 2),
         "in_mem_tflops": round(inmem_tflops, 2),
         "precision": prec_name,
+        "transfer_dtype": cfg.transfer_dtype,
         "verified": ok,
         # ---- link telemetry: probes sampled before+after (2x variance),
         # in-run effective rates, and per-stage busy/stall breakdown ----

@@ -39,6 +39,10 @@ class FlashConfig:
     hbm_budget: int = 12 << 30         # HBM working-set budget for tiles
     pipeline_depth: int = 3            # lookahead superblocks in flight
     device_compute: str = "auto"       # "pallas" | "xla" | "auto"
+    transfer_dtype: str = "float32"    # "bfloat16" halves the host->HBM
+    #   bytes of A/B tiles (inputs rounded to bf16 on the host; the
+    #   accumulator and C stay fp32) — for link-bound deployments that
+    #   accept ~1e-3 relative input rounding
 
     # ---- dense kernels (reference: GEMM_BLK_SIZE=8192) ----
     gemm_blk_size: int = 8192          # superblock edge for out-of-core gemm

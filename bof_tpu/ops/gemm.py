@@ -131,10 +131,13 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     b_access, b_nk = _op_block_reader(b, tb)  # storage is (n,k)-major?
     c_nm = c.order == "C"
     prec = getattr(cfg, "matmul_precision", "highest")
+    xfer_bf16 = getattr(cfg, "transfer_dtype", "float32") == "bfloat16"
+    if xfer_bf16 and c.dtype != np.float32:
+        raise ValueError("bfloat16 transfer mode needs float32 operands")
     impl = cfg.device_compute
     if impl == "auto":
         impl = "pallas" if (dev.on_tpu() and not (a_km or b_nk or c_nm)
-                            and sb % 1024 == 0) else "xla"
+                            and sb % 1024 == 0 and not xfer_bf16) else "xla"
 
     cache = ctx.pin_cache()
     hbm = HbmCache(cfg.hbm_budget)
@@ -229,6 +232,11 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 cache.wait_ready(pin)
                 t1 = time.perf_counter()
                 host = cache.buf(pin).view(a.dtype).reshape(st_shape)
+                if xfer_bf16:
+                    # round on the host so HALF the bytes cross the link
+                    # (the accumulate step keeps an fp32 accumulator)
+                    import ml_dtypes
+                    host = host.astype(ml_dtypes.bfloat16)
                 arr = dev.to_device(pad_to(host, (sb, sb)))
                 t2 = time.perf_counter()
                 METRICS.add("gemm.disk_wait_s", t1 - t0)

@@ -1,0 +1,102 @@
+"""Randomized differential fuzzing of the kernel planners.
+
+The reference's misc/gemm_run.sh sweeps the 8 transpose/order configs at
+one size; this goes further: seeded random shapes, leading dimensions
+(ld-padded sub-matrices), orders, transposes, alpha/beta and block sizes,
+every case checked against a float64 numpy golden model.  Catches planner
+edge cases (ragged tails, ld arithmetic, storage-major gathers) that the
+fixed-size tests can't.
+"""
+import numpy as np
+import pytest
+
+from bof_tpu import FlashArray, mem_array
+from bof_tpu.ops import gemm
+from bof_tpu.sparse import CsrFlashMatrix, csrmm
+
+
+def _padded_operand(rng, rows, cols, order, ctx):
+    """A logical (rows, cols) array stored as an ld-padded sub-matrix of a
+    bigger parent, with a random interior offset."""
+    lines, width = (rows, cols) if order == "R" else (cols, rows)
+    pad = int(rng.integers(0, 7))
+    off_lines = int(rng.integers(0, 3))
+    off_in = int(rng.integers(0, pad + 1))
+    ld = width + pad
+    parent = mem_array(((lines + off_lines) * ld,), np.float32, ctx=ctx,
+                       data=rng.standard_normal(
+                           (lines + off_lines) * ld).astype(np.float32))
+    arr = FlashArray(parent.store, (rows, cols), np.float32, order,
+                     offset=(off_lines * ld + off_in) * 4, ld=ld, ctx=ctx)
+    data = rng.standard_normal((rows, cols)).astype(np.float32)
+    arr.write_block(0, data)
+    return arr, data
+
+
+@pytest.mark.parametrize("case", range(10))
+def test_gemm_fuzz(case, ctx):
+    rng = np.random.default_rng(1000 + case)
+    m = int(rng.integers(3, 150))
+    n = int(rng.integers(3, 150))
+    k = int(rng.integers(3, 150))
+    ta, tb = bool(rng.integers(2)), bool(rng.integers(2))
+    orders = [("R", "C")[rng.integers(2)] for _ in range(3)]
+    alpha = float(rng.uniform(-2, 2))
+    beta = float(rng.choice([0.0, 1.0, rng.uniform(-1, 1)]))
+    blk = int(rng.choice([16, 32, 64, 128]))
+
+    A, a_np = _padded_operand(rng, *((k, m) if ta else (m, k)),
+                              orders[0], ctx)
+    B, b_np = _padded_operand(rng, *((n, k) if tb else (k, n)),
+                              orders[1], ctx)
+    C, c_np = _padded_operand(rng, m, n, orders[2], ctx)
+
+    gemm(A, B, C, alpha=alpha, beta=beta,
+         transa="T" if ta else "N", transb="T" if tb else "N",
+         blk=blk, ctx=ctx)
+    opa = a_np.T if ta else a_np
+    opb = b_np.T if tb else b_np
+    want = (alpha * (opa.astype(np.float64) @ opb.astype(np.float64))
+            + beta * c_np.astype(np.float64))
+    got = C.read_block(0, m, 0, n).astype(np.float64)
+    denom = max(float(np.abs(want).max()), 1.0)
+    assert float(np.abs(got - want).max()) / denom < 5e-4, (
+        f"case {case}: m{m} n{n} k{k} ta{ta} tb{tb} orders{orders} "
+        f"alpha{alpha:.3f} beta{beta:.3f} blk{blk}")
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_csrmm_fuzz(case, ctx):
+    import scipy.sparse as sps
+    rng = np.random.default_rng(2000 + case)
+    m = int(rng.integers(10, 400))
+    k = int(rng.integers(10, 300))
+    n = int(rng.integers(2, 100))
+    density = float(rng.uniform(0.005, 0.15))
+    alpha = float(rng.uniform(-2, 2))
+    beta = float(rng.choice([0.0, rng.uniform(-1, 1)]))
+    transa = "T" if rng.integers(2) else "N"
+    order_b = ("R", "C")[rng.integers(2)]
+    ctx.config.max_nnzs = int(rng.choice([256, 1024, 1 << 20]))
+    ctx.config.csrmm_cblk_size = int(rng.choice([16, 64, 4096]))
+
+    a_sp = sps.random(m, k, density=density, format="csr",
+                      dtype=np.float32,
+                      random_state=np.random.RandomState(case))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    out_rows = k if transa == "T" else m
+    b_rows = m if transa == "T" else k
+    b_np = rng.standard_normal((b_rows, n)).astype(np.float32)
+    c_np = rng.standard_normal((out_rows, n)).astype(np.float32)
+    B = mem_array((b_rows, n), np.float32, order=order_b, data=b_np,
+                  ctx=ctx)
+    C = mem_array((out_rows, n), np.float32, data=c_np, ctx=ctx)
+    csrmm(A, B, C, alpha=alpha, beta=beta, transa=transa, ctx=ctx)
+    opa = a_sp.T if transa == "T" else a_sp
+    want = alpha * (opa.astype(np.float64) @ b_np.astype(np.float64)) \
+        + beta * c_np.astype(np.float64)
+    got = C.read_all().astype(np.float64)
+    denom = max(float(np.abs(want).max()), 1.0)
+    assert float(np.abs(got - want).max()) / denom < 5e-4, (
+        f"case {case}: m{m} k{k} n{n} d{density:.3f} ta{transa} "
+        f"ob{order_b} a{alpha:.3f} b{beta:.3f}")

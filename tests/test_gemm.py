@@ -107,3 +107,26 @@ def test_grouped_schedule_small_hbm(ctx, rng):
     ctx.config.hbm_budget = 1  # forces minimum group width and LRU churn
     ctx.config.pipeline_depth = 2
     run_config(ctx, rng, "R", "N", "N", beta=0.4, m=80, n=96, k=64, blk=16)
+
+
+def test_gemm_bfloat16_transfer_mode(ctx, rng):
+    """transfer_dtype='bfloat16' halves the A/B link bytes: results match
+    within bf16 input-rounding error while the accumulator stays fp32."""
+    from bof_tpu import mem_array
+    from bof_tpu.ops import gemm
+    ctx.config.transfer_dtype = "bfloat16"
+    try:
+        m, n, k = 96, 80, 112
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        b = rng.standard_normal((k, n)).astype(np.float32)
+        A = mem_array((m, k), np.float32, data=a, ctx=ctx)
+        B = mem_array((k, n), np.float32, data=b, ctx=ctx)
+        C = mem_array((m, n), np.float32, ctx=ctx)
+        gemm(A, B, C, blk=64, ctx=ctx)
+        want = a.astype(np.float64) @ b.astype(np.float64)
+        got = C.read_all().astype(np.float64)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 2e-2, rel          # bf16 input rounding band
+        assert rel > 1e-6               # and it really did round (not fp32)
+    finally:
+        ctx.config.transfer_dtype = "float32"
