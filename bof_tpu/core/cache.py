@@ -68,7 +68,13 @@ class TileCache:
 
     # ------------------------------------------------------------ internal
     def _task_keys(self, task: Task):
-        """Unique accesses of a task with read/write classification."""
+        """Unique accesses of a task with read/write classification.
+        Memoized on the task — alloc_ready polls every pending task each
+        scheduler round, and the access lists never change after
+        admission."""
+        cached = getattr(task, "_key_map", None)
+        if cached is not None:
+            return cached
         keys: Dict[tuple, dict] = {}
         for store, off, si in task.read_list:
             k = access_key(store, off, si)
@@ -78,6 +84,7 @@ class TileCache:
             k = access_key(store, off, si)
             keys.setdefault(k, {"store": store, "offset": off, "sinfo": si,
                                 "read": False, "write": False})["write"] = True
+        task._key_map = keys
         return keys
 
     def _evict_locked(self, key: tuple):
@@ -91,9 +98,21 @@ class TileCache:
             # (it holds the buffer alive until completion)
             self._orphan_tickets.append(tkt)
         if e.dirty:
-            tkt = e.store.write(e.offset, e.sinfo, e.buf)
+            from ..io.store import store_uid
+            try:
+                tkt = e.store.write(e.offset, e.sinfo, e.buf)
+            except Exception as ex:
+                # a synchronously-raising store must not corrupt the
+                # accounting: record the lost write-back (flush raises)
+                # and free the slot
+                self.write_errors.append(
+                    ex if isinstance(ex, IOError) else IOError(str(ex)))
+                self.real_size -= e.nbytes if e.buf is not None else 0
+                METRICS.add("cache.evict_dirty_failed")
+                return
             self._inflight_writes[key] = (tkt, e.nbytes, e.buf)
-            self._dirty_stores[id(e.store)] = e.store
+            # keyed by store uid, never id()/fd — both recycle (CLAUDE.md)
+            self._dirty_stores[store_uid(e.store)] = e.store
             METRICS.add("cache.evict_dirty")
             # real_size stays until the write completes
         else:
@@ -171,13 +190,25 @@ class TileCache:
                     METRICS.add("cache.hit")
                     continue
                 if k in self._inflight_writes:
-                    # resurrect: write still in flight, contents valid
+                    # resurrect an evicted-dirty tile.  The in-flight
+                    # write-back must COMPLETE first: handing the buffer
+                    # to a writer while the engine is still pwriting from
+                    # it tears the on-disk bytes, and the new owner's own
+                    # eventual write-back would race this one unordered
+                    # (the reference spin-waits its flush for the same
+                    # reason, cache.cpp:45-70).  Bounded: one tile write.
                     tkt, nb, buf = self._inflight_writes.pop(k)
-                    self._orphan_tickets.append(tkt)
+                    try:
+                        tkt.wait()
+                    except IOError as ex:
+                        self.write_errors.append(ex)
+                    # real_size: stays counted — the buffer lives on in
+                    # the resurrected entry (reap no longer sees this
+                    # ticket, so it won't double-decrement)
                     e = _Entry(info["store"], info["offset"], info["sinfo"],
                                alloc_only=False)
                     e.buf = buf
-                    e.complete = True  # contents valid (write was in flight)
+                    e.complete = True  # contents valid (write finished)
                     self._entries[k] = e
                     self.commit_size += nb
                     METRICS.add("cache.resurrect")
@@ -217,7 +248,14 @@ class TileCache:
                     if self.real_size + e.nbytes > self.max_size:
                         break
                 self._backlog.popleft()
-                e.buf = alloc_aligned(e.nbytes)
+                try:
+                    e.buf = alloc_aligned(e.nbytes)
+                except MemoryError as ex:
+                    # allocation failure must not strand the entry
+                    # half-initialized (its task would wait forever)
+                    e.complete = True
+                    e.error = ex
+                    continue
                 self.real_size += e.nbytes
                 if e.alloc_only:
                     e.complete = True  # no read needed (cache.cpp:497-505)
@@ -245,9 +283,10 @@ class TileCache:
                 if e is None or not e.complete:
                     return False
             for k in keys:
-                err = self._entries[k].error
-                if err is not None:
-                    task.error = err
+                e = self._entries[k]
+                if e.error is not None or e.poisoned:
+                    task.error = e.error or RuntimeError(
+                        "input tile was poisoned by a failed task")
                     task.buffers = {}
                     return True
             task.buffers = {k: self._entries[k].buf for k in keys}
@@ -274,11 +313,14 @@ class TileCache:
                         e.poisoned = True
                 e.refs -= 1
                 if e.refs == 0:
-                    if e.poisoned:
-                        # drop without write-back: the buffer holds the
-                        # failed task's garbage/partial output.  If it was
-                        # also dirty from an earlier success, that result
-                        # is lost too (shared-buffer hazard) — loudly.
+                    if e.poisoned or e.error is not None:
+                        # drop without write-back: the buffer holds a
+                        # failed task's garbage/partial output or a failed
+                        # read — a later pin/allocate of the same tile
+                        # must re-fetch, not hit the stale error (the
+                        # native cache does the same, bof_cache.inc).
+                        # If it was also dirty from an earlier success,
+                        # that result is lost too (shared-buffer hazard):
                         if e.dirty:
                             LOG.error("dropping dirty tile poisoned by a "
                                       "failed task (offset %d, %d B): "
@@ -313,8 +355,13 @@ class TileCache:
                 METRICS.add("cache.hit")
                 return k
             if k in self._inflight_writes:
+                # see allocate(): the write-back must finish before the
+                # buffer gets a new owner (torn/unordered writes otherwise)
                 tkt, nb, buf = self._inflight_writes.pop(k)
-                self._orphan_tickets.append(tkt)
+                try:
+                    tkt.wait()
+                except IOError as ex:
+                    self.write_errors.append(ex)
                 e = _Entry(store, offset, sinfo, alloc_only=False)
                 e.buf = buf
                 e.complete = True
@@ -349,8 +396,15 @@ class TileCache:
     def ready(self, key: tuple) -> bool:
         with self._lock:
             e = self._entries.get(key)
-            if e is not None and e.error is not None:
-                raise IOError(f"tile read failed: {e.error}") from e.error
+            if e is not None and (e.error is not None or e.poisoned):
+                # mark poisoned so unpin drops the entry: a retried pin of
+                # the same tile re-fetches instead of hitting this error
+                # forever (parity with bof_cache_ready's containment)
+                e.poisoned = True
+                err = e.error
+                if err is not None:
+                    raise IOError(f"tile read failed: {err}") from err
+                raise IOError("tile poisoned by a failed task")
             return e is not None and e.complete
 
     def buf(self, key: tuple) -> np.ndarray:
@@ -364,7 +418,9 @@ class TileCache:
                 return
             e.refs -= 1
             if e.refs == 0:
-                if self.single_use_discard and not e.dirty:
+                if ((e.poisoned or e.error is not None)
+                        or (self.single_use_discard and not e.dirty)):
+                    # poisoned/errored entries drop so a retry re-fetches
                     self._entries.pop(key)
                     self.commit_size -= e.nbytes
                     if e.buf is not None:

@@ -271,7 +271,21 @@ class Scheduler:
             t = self.prio.get_prio()
             if t is None:
                 break
-            if self.cache.allocate(t):
+            try:
+                admitted = self.cache.allocate(t)
+            except Exception as ex:
+                # an eviction write or store error escaping allocate()
+                # must fail THIS task, not strand it outside every queue
+                # (wait_for would hang forever on a dropped task)
+                t.error = ex
+                t._admitted = False
+                LOG.error("task %d: allocate failed: %s", t.id, ex)
+                self._complete_q.put(t)
+                with self._lock:
+                    self._in_flight += 1  # balanced by completion drain
+                progressed = True
+                continue
+            if admitted:
                 with self._lock:
                     self._in_flight += 1
                     self._alloced.append(t)

@@ -51,10 +51,18 @@ class NativeTileCache:
         if lib is None:
             raise RuntimeError("native engine unavailable")
         self._lib = _bind(lib)
+        self._budget = int(budget_bytes)
         self._h = self._lib.bof_cache_create(budget_bytes)
 
     def pin_read(self, store: NativeFileStore, offset: int,
                  sinfo: StrideInfo) -> int:
+        if sinfo.nbytes > self._budget:
+            # same failure semantics as the Python TileCache: the native
+            # side would evict everything and still overcommit unboundedly
+            raise MemoryError(
+                f"pinned tile ({sinfo.nbytes} B) exceeds program budget "
+                f"({self._budget} B); raise program_budget or shrink the "
+                f"block size")
         eid = self._lib.bof_cache_pin_read(
             self._h, store.uid, store._fd, offset, sinfo.stride,
             sinfo.n_strides, sinfo.len_per_stride)

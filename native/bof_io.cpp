@@ -279,18 +279,54 @@ static int aio_execute(aio_context_t ctx, const Op& op, int max_slots) {
         err = errno;
         break;  // drained (or poisoned) below — context is reused
       }
+      int n_retry = 0;
+      iocb* retry[kSlots];
       for (int i = 0; i < got; ++i) {
         int s = (int)ev[i].data;
         long res = (long)ev[i].res;
         if (res < 0) {
           err = (int)-res;
         } else if (res < (long)slots[s].len) {
-          if (op.is_write)
+          if (op.is_write) {
             err = EIO;  // short aligned O_DIRECT write
-          else  // read past EOF: zero-fill like the sync path
+          } else if (res == 0) {
+            // true EOF: zero-fill like the sync path (full_pread)
+            memset(slots[s].buf, 0, (size_t)slots[s].len);
+          } else if ((res % kSector) == 0) {
+            // partial completion mid-file: re-issue the remainder — only
+            // res==0 means EOF (full_pread retries exactly the same way;
+            // blindly zero-filling here replaced valid file bytes)
+            slots[s].buf += res;
+            slots[s].len -= res;
+            iocb& cb = cbs[s];
+            cb.aio_buf += (uint64_t)res;
+            cb.aio_nbytes -= (uint64_t)res;
+            cb.aio_offset += res;
+            retry[n_retry++] = &cb;
+            continue;  // slot stays in flight
+          } else {
+            // unaligned partial on O_DIRECT: cannot resubmit (alignment);
+            // treat the tail as EOF-zero only if nothing remains on disk
             memset(slots[s].buf + res, 0, (size_t)(slots[s].len - res));
+          }
         }
         free_idx[n_free++] = s;
+        --inflight;
+      }
+      int done_r = 0;
+      while (done_r < n_retry && !err) {
+        int r = sys_io_submit(ctx, n_retry - done_r, retry + done_r);
+        if (r < 0) {
+          if (errno == EINTR) continue;
+          err = errno;
+          break;
+        }
+        done_r += r;
+      }
+      // anything not (re)submitted is not in the kernel: release its slot
+      // or the drain loop below would wait for events that never come
+      for (int i = done_r; i < n_retry; ++i) {
+        free_idx[n_free++] = (int)retry[i]->aio_data;
         --inflight;
       }
     }
@@ -595,6 +631,13 @@ long long bof_submit(long long fd, long long offset, long long stride,
   // matrices) don't flood the queue with microscopic ops.  Large runs are
   // split at max_chunk as before.
   constexpr int64_t kMinOpBytes = 1 << 20;
+  // empty access: complete immediately (must precede the grouping math —
+  // len_per_stride divides below, and 0 would SIGFPE the whole process)
+  if (n_strides == 0 || len_per_stride == 0) {
+    int64_t id = g_engine->tickets.acquire(1);
+    g_engine->tickets.op_done(g_engine->tickets.get(id), 0);
+    return id;
+  }
   int64_t group = 1;
   // grouping only applies to runs that fit one chunk — a grouped op is
   // executed run-by-run and never chunk-split, so len > max_chunk runs
@@ -609,11 +652,6 @@ long long bof_submit(long long fd, long long offset, long long stride,
           ? 1
           : (len_per_stride + max_chunk - 1) / max_chunk;
   int64_t n_ops = ((n_strides + group - 1) / group) * per_group_ops;
-  if (n_strides == 0 || len_per_stride == 0) {
-    int64_t id = g_engine->tickets.acquire(1);
-    g_engine->tickets.op_done(g_engine->tickets.get(id), 0);
-    return id;
-  }
   int64_t id = g_engine->tickets.acquire(n_ops);
   TicketSlot* slot = g_engine->tickets.get(id);
   char* base = (char*)buf;

@@ -363,3 +363,39 @@ def test_aio_depth_knob_plumbed(tmp_path, rng):
         st.close()
     finally:
         lib.bof_set_aio_depth(64, 256)
+
+
+def test_zero_length_strided_submit(tmp_path):
+    """Zero-length / zero-run accesses complete immediately — regression:
+    the native grouping math divided by len_per_stride before the guard
+    (SIGFPE killed the process)."""
+    from bof_tpu.io.native import NativeFileStore, load_library
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+    data = iota_file(1 << 12)
+    st = make_store("native", tmp_path, data)
+    for n_runs, ln in ((2, 0), (0, 64), (0, 0)):
+        si = StrideInfo(stride=512, n_strides=n_runs, len_per_stride=ln)
+        out = np.zeros(max(1, si.nbytes), np.uint8)
+        st.read(0, si, out[:si.nbytes] if si.nbytes else out[:0]).wait()
+        st.write(0, si, out[:si.nbytes] if si.nbytes else out[:0]).wait()
+    st.close()
+
+
+def test_native_pin_oversized_raises(tmp_path):
+    """Backend parity: the native pin cache rejects tiles larger than the
+    budget with MemoryError (the Python cache's semantics), instead of
+    evicting everything and overcommitting."""
+    from bof_tpu.io.native import NativeFileStore, load_library
+    from bof_tpu.io.native_cache import NativeTileCache
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+    data = iota_file(1 << 14)
+    st = make_store("native", tmp_path, data)
+    nc = NativeTileCache(4096)
+    try:
+        with pytest.raises(MemoryError):
+            nc.pin_read(st, 0, StrideInfo.contiguous(1 << 14))
+    finally:
+        nc.close()
+        st.close()

@@ -486,3 +486,103 @@ def test_failed_write_entry_not_served_from_cache(ctx):
     sched.add_task(t2)
     sched.wait_for([t2], timeout=30)
     np.testing.assert_array_equal(got["v"], np.arange(64, dtype=np.float32))
+
+
+class _HealingStore:
+    """Read fails the first `n_fail` times, then serves from the inner
+    store — models a transient I/O error."""
+
+    def __init__(self, inner, n_fail=1):
+        self._inner = inner
+        self._left = n_fail
+
+    def read(self, offset, sinfo, out):
+        if self._left > 0:
+            self._left -= 1
+            from bof_tpu.io.store import Ticket
+            t = Ticket(out)
+            t._complete("transient read failure")
+            return t
+        return self._inner.read(offset, sinfo, out)
+
+    def write(self, offset, sinfo, src):
+        return self._inner.write(offset, sinfo, src)
+
+    def flush(self):
+        pass
+
+
+def test_transient_read_error_refetches_on_retry(ctx):
+    """A failed read must not be served as a stale error forever: after
+    the erroring pin is released, a retry re-fetches and succeeds (parity
+    with the native cache's poison containment)."""
+    from bof_tpu import mem_array
+    base = mem_array((64,), np.float32,
+                     data=np.arange(64, dtype=np.float32), ctx=ctx)
+    healing = _HealingStore(base.store, n_fail=1)
+    cache = ctx.scheduler().cache
+    off, sinfo = base.block_access(0, 64)
+    key = cache.pin_read(healing, off, sinfo)
+    with pytest.raises(IOError):
+        cache.wait_ready(key, pump=True)
+    cache.unpin(key)  # errored entry drops here
+    key2 = cache.pin_read(healing, off, sinfo)
+    cache.wait_ready(key2, pump=True)
+    got = cache.buf(key2).view(np.float32).copy()
+    cache.unpin(key2)
+    np.testing.assert_array_equal(got, np.arange(64, dtype=np.float32))
+
+
+def test_eviction_write_error_contained_and_reported(ctx, rng):
+    """A store whose write raises synchronously during dirty eviction must
+    not wedge the scheduler or corrupt cache accounting: the evicting task
+    proceeds, and the LOST write-back surfaces from flush_cache() as an
+    IOError (data-not-persisted is never silent)."""
+    from bof_tpu import FlashConfig, FlashContext, mem_array
+
+    class _WriteExplodes:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def read(self, offset, sinfo, out):
+            return self._inner.read(offset, sinfo, out)
+
+        def write(self, offset, sinfo, src):
+            raise IOError("write explosion during eviction")
+
+        def flush(self):
+            pass
+
+    small = FlashContext(FlashConfig(scratch_dir=ctx.config.scratch_dir,
+                                     program_budget=768,
+                                     n_compute_threads=1))
+    try:
+        sched = small.scheduler()
+        base = mem_array((128,), np.float32, ctx=small)
+        bad = _WriteExplodes(base.store)
+        off, sinfo = base.block_access(0, 128)  # 512 B
+
+        def fill(task):
+            task.buffers[access_key(bad, off, sinfo)].view(
+                np.float32)[:] = 1.0
+
+        t1 = FnTask(fill)  # dirty tile on the exploding store
+        t1.add_write(bad, off, sinfo)
+        sched.add_task(t1)
+        sched.wait_for([t1], timeout=30)
+
+        # t2 (512 B) over the 768 B budget forces eviction of t1's dirty
+        # tile; the store's write raises — contained, t2 still completes
+        other = mem_array((128,), np.float32, ctx=small)
+        off2, sinfo2 = other.block_access(0, 128)
+        t2 = FnTask(lambda task: None)
+        t2.add_write(other.store, off2, sinfo2)
+        sched.add_task(t2)
+        sched.wait_for([t2], timeout=30)
+        with pytest.raises(IOError, match="NOT fully persisted"):
+            sched.flush_cache()
+    finally:
+        try:
+            small.destroy()
+        except IOError:
+            pass
