@@ -66,7 +66,10 @@ def measure_h2d_gbps() -> float:
 
     g = jax.jit(lambda d: jnp.sum(d[:1]))
     x = np.empty(64 << 20, np.uint8)
-    float(np.asarray(g(jax.device_put(x[:1 << 20]))))  # warm
+    # warm at the FULL shape: jit would otherwise recompile for the
+    # 64 MB shape inside the timed window (30s+ cold over the tunnel,
+    # collapsing the probe and the auto-sizer with it)
+    float(np.asarray(g(jax.device_put(x))))
     t0 = time.perf_counter()
     d = jax.device_put(x)
     float(np.asarray(g(d)))
@@ -157,10 +160,14 @@ def run_csrmm(ctx) -> dict:
     c_path = os.path.join(CACHE_DIR, f"spC_{m}x{n}.bin")
     C = bt.map_array(c_path, (m, n), np.float32, "R", create=True, ctx=ctx)
 
-    # warm-up on a row slice: compiles the bucketed ELL kernels
-    Aw_ia = bt.FlashArray(A.ia.store, (1025,), np.int64, ctx=ctx)
-    Aw = CsrFlashMatrix(Aw_ia, A.ja, A.vals, (1024, k))
-    Cw = bt.FlashArray(C.store, (1024, n), np.float32, "R", ld=n, ctx=ctx)
+    # warm-up on a row slice: compiles the bucketed ELL kernels.  Pin the
+    # device path FIRST — 'auto' can resolve to host on a thin link, which
+    # would leave the timed device pass paying the remote compiles.
+    ctx.config.sparse_compute = "device"
+    wr = min(1024, m)
+    Aw_ia = bt.FlashArray(A.ia.store, (wr + 1,), np.int64, ctx=ctx)
+    Aw = CsrFlashMatrix(Aw_ia, A.ja, A.vals, (wr, k))
+    Cw = bt.FlashArray(C.store, (wr, n), np.float32, "R", ld=n, ctx=ctx)
     csrmm(Aw, B, Cw, ctx=ctx)
 
     nnz = A.nnz
@@ -174,14 +181,22 @@ def run_csrmm(ctx) -> dict:
     want = sp @ b_np
     t_inmem = time.perf_counter() - t0
 
+    vr = min(2048, m)  # verify window (clamped for BOF_BENCH_SP_M < 2048)
+
+    def scrub():
+        # C_{...}.bin is a persistent cache and the operands are
+        # deterministic, so a previous run's correct output would make
+        # verification vacuous — zero the verify window first
+        C.write_block(0, np.zeros((vr, n), np.float32))
+
     def check():  # verify the path that JUST ran, before C is overwritten
-        got = C.read_block(0, 2048, 0, n)
-        rel = float(np.abs(got - want[:2048]).max()
-                    / (np.abs(want[:2048]).max() or 1.0))
+        got = C.read_block(0, vr, 0, n)
+        rel = float(np.abs(got - want[:vr]).max()
+                    / (np.abs(want[:vr]).max() or 1.0))
         return rel < 1e-3
 
     # TPU device path (ELL gather + MXU reduction, explicit)
-    ctx.config.sparse_compute = "device"
+    scrub()
     t0 = time.perf_counter()
     csrmm(A, B, C, ctx=ctx)
     dt = time.perf_counter() - t0
@@ -190,6 +205,7 @@ def run_csrmm(ctx) -> dict:
     # out-of-core HOST path (scipy block products — the reference's own
     # execution model: MKL on the host, csrmm_task.h)
     ctx.config.sparse_compute = "host"
+    scrub()
     t0 = time.perf_counter()
     csrmm(A, B, C, ctx=ctx)
     dt_host = time.perf_counter() - t0
@@ -239,7 +255,9 @@ def run_kmeans(ctx) -> dict:
 
     # device-resident twin: the same fused Lloyd step over HBM points
     # (the in-memory MKL twin's role; the numpy golden model is O(n*k*d)
-    # pairwise and only fits test sizes)
+    # pairwise and only fits test sizes).  Same precision as the measured
+    # path — a cross-precision twin would skew the ratio and the check.
+    prec_name = getattr(ctx.config, "matmul_precision", "highest")
     from bof_tpu.ops.kmeans import _jit_steps
     lb = _jit_steps()
     p_dev = jax.device_put(P.read_block(0, n, 0, d))
@@ -252,7 +270,7 @@ def run_kmeans(ctx) -> dict:
         _, _, sums, counts = lb(p_dev, c_dev, c_norms,
                                 jnp.zeros((kc, d), jnp.float32),
                                 jnp.zeros((kc,), jnp.float32),
-                                n_centers=kc, prec="highest")
+                                n_centers=kc, prec=prec_name)
         s, cn = np.asarray(sums), np.asarray(counts)
         safe = np.maximum(cn, 1.0)[:, None]
         return np.where(cn[:, None] > 0, s / safe, cc).astype(np.float32)
@@ -290,6 +308,7 @@ def run_csrcsc_sort(ctx) -> dict:
     vals = bt.map_array(out_pref + ".csr", (A.nnz,), np.float32,
                         create=True, ctx=ctx)
     AT = CsrFlashMatrix(ia, ja, vals, (k, m))
+    ia.write_block(0, np.zeros(k + 1, np.int64))  # scrub stale cache
     t0 = time.perf_counter()
     csrcsc(A, AT, ctx=ctx)
     dt_t = time.perf_counter() - t0
@@ -299,6 +318,18 @@ def run_csrcsc_sort(ctx) -> dict:
     want_csc = sp.tocsc()
     dt_t_in = time.perf_counter() - t0
     t_ok = bool(np.array_equal(AT.read_ia(), want_csc.indptr))
+    # spot-check a few random columns' row indices + values, not just
+    # the offsets (counts can be right while the merge scrambled data)
+    rng_v = np.random.default_rng(3)
+    at_ia = AT.read_ia()
+    for col in rng_v.integers(0, k, 4):
+        lo, hi = int(at_ia[col]), int(at_ia[col + 1])
+        if lo == hi:
+            continue
+        t_ok = t_ok and bool(np.array_equal(
+            AT.ja.read_block(lo, hi - lo),
+            want_csc.indices[lo:hi])) and bool(np.allclose(
+                AT.vals.read_block(lo, hi - lo), want_csc.data[lo:hi]))
 
     n_el = int(os.environ.get("BOF_BENCH_SORT_N", 1 << 24))
     spath = os.path.join(CACHE_DIR, f"sort_{n_el}.bin")
@@ -306,6 +337,7 @@ def run_csrcsc_sort(ctx) -> dict:
     src = bt.map_array(spath, (n_el,), np.float32, ctx=ctx)
     dst = bt.map_array(os.path.join(ctx.config.scratch_dir, "sorted.bin"),
                        (n_el,), np.float32, create=True, ctx=ctx)
+    dst.write_block(0, np.zeros(4096, np.float32))  # scrub stale cache
     t0 = time.perf_counter()
     bof_sort(src, dst, ctx=ctx)
     dt_s = time.perf_counter() - t0
@@ -313,8 +345,14 @@ def run_csrcsc_sort(ctx) -> dict:
     t0 = time.perf_counter()
     want_sorted = np.sort(host)
     dt_s_in = time.perf_counter() - t0
-    got_head = dst.read_block(0, 4096)
-    s_ok = bool(np.array_equal(got_head, want_sorted[:4096]))
+    # verify random windows across the whole output, not just the head
+    # (a merge bug in a later bucket would pass a head-only check)
+    s_ok = True
+    rng_s = np.random.default_rng(5)
+    for w0 in [0] + list(rng_s.integers(0, n_el - 4096, 4)):
+        w0 = int(w0)
+        s_ok = s_ok and bool(np.array_equal(
+            dst.read_block(w0, 4096), want_sorted[w0:w0 + 4096]))
     return {"csrcsc_gbps": round(bytes_t / dt_t / 1e9, 4),
             "csrcsc_seconds": round(dt_t, 2),
             "csrcsc_vs_inmem": round(dt_t_in / dt_t, 4),
@@ -345,6 +383,12 @@ def main():
     from bof_tpu.utils import METRICS
 
     kernel = os.environ.get("BOF_BENCH_KERNEL", "sgemm")
+    if kernel not in ("sgemm", "csrmm", "kmeans", "csrcsc_sort"):
+        print(json.dumps({"metric": "error", "value": 0, "unit": "",
+                          "vs_baseline": 0,
+                          "error": f"unknown BOF_BENCH_KERNEL={kernel!r}; "
+                          "use sgemm|csrmm|kmeans|csrcsc_sort"}))
+        return 2
     budget_s = float(os.environ.get("BOF_BENCH_BUDGET_S", "240"))
     prec_name = os.environ.get("BOF_BENCH_PREC", "highest")
     sb = int(os.environ.get("BOF_BENCH_BLK", "4096"))
@@ -450,6 +494,11 @@ def main():
     Cw = bt.FlashArray(C.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     gemm(Aw, Bw, Cw, blk=sb, ctx=ctx)
 
+    # scrub the verify window: C_{n}.bin persists across runs with
+    # deterministic operands, so stale correct bytes would make the
+    # post-run check vacuous
+    C.write_block(0, np.zeros((64, 64), np.float32))
+
     m_before = METRICS.snapshot()
     t0 = time.perf_counter()
     gemm(A, B, C, blk=sb, ctx=ctx)
@@ -537,6 +586,7 @@ def main():
     if os.environ.get("BOF_BENCH_CSRMM", "1") != "0":
         try:
             result.update(run_csrmm(ctx))
+            ok = ok and result.get("csrmm_verified", True)
         except Exception as e:  # sparse secondary must not sink the line
             result["csrmm_error"] = f"{type(e).__name__}: {e}"
     ctx.destroy()
