@@ -30,7 +30,12 @@ def main(argv=None):
     p.add_argument("--pmem", action="store_true",
                    help="B/C in DRAM (csrmm_pmem)")
     p.add_argument("--create-c", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="row-shard the block products over all local "
+                        "devices ('N' only)")
     args = p.parse_args(argv)
+    if args.sharded and args.ta == "T":
+        p.error("--sharded supports transa='N' only")
     ctx = make_context(args)
     m, k, n = args.m, args.k, args.n
     A = CsrFlashMatrix.map_files(args.a_prefix, (m, k), ctx=ctx)
@@ -48,8 +53,13 @@ def main(argv=None):
                       create=args.create_c, ctx=ctx)
     with Timed("csrmm", flops=2.0 * A.nnz * n,
                nbytes=A.nnz * 12.0 + b_rows * n * 4.0 + c_rows * n * 4.0):
-        csrmm(A, B, C, alpha=args.alpha, beta=args.beta, transa=args.ta,
-              ctx=ctx)
+        if args.sharded:
+            from ..parallel import csrmm_sharded, make_mesh
+            csrmm_sharded(A, B, C, alpha=args.alpha, beta=args.beta,
+                          mesh=make_mesh(), ctx=ctx)
+        else:
+            csrmm(A, B, C, alpha=args.alpha, beta=args.beta,
+                  transa=args.ta, ctx=ctx)
     if args.pmem:
         C.read_all().tofile(args.c_path)
     print(f"checksum {checksum(C.read_block(0, min(c_rows, 128)))}")

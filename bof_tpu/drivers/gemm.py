@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--beta", type=float, default=0.0)
     p.add_argument("--blk", type=int, default=None)
     p.add_argument("--create-c", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="run the multi-chip path over all local devices "
+                        "(jax mesh + psum_scatter; new capability beyond "
+                        "the single-node reference)")
     args = p.parse_args(argv)
     ctx = make_context(args)
     m, n, k = args.m, args.n, args.k
@@ -37,8 +41,14 @@ def main(argv=None):
     C = map_array(args.c_path, (m, n), np.float32, args.order,
                   create=args.create_c, ctx=ctx)
     with Timed("gemm", flops=2.0 * m * n * k):
-        gemm(A, B, C, alpha=args.alpha, beta=args.beta,
-             transa=args.ta, transb=args.tb, blk=args.blk, ctx=ctx)
+        if args.sharded:
+            from ..parallel import gemm_sharded, make_mesh
+            gemm_sharded(A, B, C, alpha=args.alpha, beta=args.beta,
+                         transa=args.ta, transb=args.tb, blk=args.blk,
+                         mesh=make_mesh(), ctx=ctx)
+        else:
+            gemm(A, B, C, alpha=args.alpha, beta=args.beta,
+                 transa=args.ta, transb=args.tb, blk=args.blk, ctx=ctx)
     print(f"checksum {checksum(C.read_block(0, min(m, 128), 0, min(n, 128)))}")
     ctx.destroy()
 

@@ -22,6 +22,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--labels-out", default=None)
     p.add_argument("--in-mem", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="data-parallel Lloyd over all local devices")
     args = p.parse_args(argv)
     n, d, k = args.n, args.d, args.k
     if args.in_mem:
@@ -40,9 +42,15 @@ def main(argv=None):
         labels = map_array(args.labels_out, (n,), np.int32, create=True,
                            ctx=ctx)
     with Timed("kmeans", flops=2.0 * n * d * k * args.iters):
-        centers, inertia = kmeans_fit(P, k, n_iters=args.iters,
-                                      seed=args.seed, labels_out=labels,
-                                      ctx=ctx)
+        if args.sharded:
+            from ..parallel import kmeans_fit_sharded, make_mesh
+            centers, inertia = kmeans_fit_sharded(
+                P, k, n_iters=args.iters, seed=args.seed,
+                labels_out=labels, mesh=make_mesh(), ctx=ctx)
+        else:
+            centers, inertia = kmeans_fit(P, k, n_iters=args.iters,
+                                          seed=args.seed,
+                                          labels_out=labels, ctx=ctx)
     print(f"inertia {inertia}")
     ctx.destroy()
 

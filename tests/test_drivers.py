@@ -187,3 +187,48 @@ def test_topic_model_driver(tmp_path, scratch):
     r = run_driver("topic_model", prefix, m, k, 3, "--proj-dim", 16,
                    "--iters", 3, "--scratch", scratch)
     assert "topics (3," in r.stdout
+
+
+def test_sharded_driver_flags(tmp_path, rng):
+    """--sharded on the gemm/csrmm/kmeans CLIs runs the mesh path over
+    whatever devices exist (8 virtual CPU devices here)."""
+    import scipy.sparse as sps
+    from bof_tpu.drivers import csrmm as csrmm_drv
+    from bof_tpu.drivers import gemm as gemm_drv
+    from bof_tpu.drivers import kmeans as kmeans_drv
+
+    n = 96
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    b = rng.standard_normal((n, n)).astype(np.float32)
+    (tmp_path / "A.bin").write_bytes(a.tobytes())
+    (tmp_path / "B.bin").write_bytes(b.tobytes())
+    gemm_drv.main([str(tmp_path / "A.bin"), str(tmp_path / "B.bin"),
+                   str(tmp_path / "C.bin"), str(n), str(n), str(n),
+                   "--blk", "48", "--create-c", "--sharded",
+                   "--scratch", str(tmp_path / "s1")])
+    got = np.fromfile(tmp_path / "C.bin", np.float32).reshape(n, n)
+    np.testing.assert_allclose(got, a @ b, rtol=2e-4, atol=1e-3)
+
+    sp = sps.random(200, 80, density=0.08, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(2))
+    from bof_tpu.sparse.csr import CsrFlashMatrix
+    from bof_tpu import FlashConfig, FlashContext
+    ctx = FlashContext(FlashConfig(scratch_dir=str(tmp_path / "mk")))
+    CsrFlashMatrix.from_scipy(sp, backing="file",
+                              path_prefix=str(tmp_path / "S"), ctx=ctx)
+    ctx.destroy()
+    bmat = rng.standard_normal((80, 16)).astype(np.float32)
+    (tmp_path / "Bs.bin").write_bytes(bmat.tobytes())
+    csrmm_drv.main([str(tmp_path / "S"), "200", "80",
+                    str(tmp_path / "Bs.bin"), "16",
+                    str(tmp_path / "Cs.bin"), "--create-c", "--sharded",
+                    "--scratch", str(tmp_path / "s2")])
+    got = np.fromfile(tmp_path / "Cs.bin", np.float32).reshape(200, 16)
+    np.testing.assert_allclose(got, sp @ bmat, rtol=2e-4, atol=1e-4)
+
+    pts = np.concatenate([rng.standard_normal((80, 4)).astype(np.float32)
+                          + 8 * i for i in range(3)])
+    (tmp_path / "P.bin").write_bytes(pts.tobytes())
+    kmeans_drv.main([str(tmp_path / "P.bin"), "240", "4", "3",
+                     "--iters", "6", "--sharded",
+                     "--scratch", str(tmp_path / "s3")])
