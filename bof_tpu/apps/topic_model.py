@@ -68,19 +68,12 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
         if sample_rate < 1.0:
             # ISLE-style: fit centers on a doc sample (n_iters streaming
             # passes touch only the sample), then one full assignment pass
-            from ..ops.kmeans import _sample_indices, lloyds_iter
+            from ..ops.kmeans import (_sample_indices, gather_rows,
+                                      lloyds_iter)
             rng = np.random.default_rng(seed)
             s = max(n_topics * 8, int(docs * sample_rate))
             idx = _sample_indices(docs, min(s, docs), rng)
-            samp = np.empty((len(idx), proj_dim), np.float32)
-            start = 0  # gather in contiguous runs
-            while start < len(idx):
-                end = start + 1
-                while end < len(idx) and idx[end] == idx[end - 1] + 1:
-                    end += 1
-                samp[start:end] = P.read_block(int(idx[start]),
-                                               end - start, 0, proj_dim)
-                start = end
+            samp = gather_rows(P, idx)
             Ps = mem_array((len(idx), proj_dim), np.float32, data=samp,
                            ctx=ctx)
             centers, _ = kmeans_fit(Ps, n_topics, n_iters=n_iters,
@@ -131,10 +124,13 @@ def lift_topics(a: CsrFlashMatrix, labels_np: np.ndarray, n_topics: int,
         raise ValueError(f"labels shape {labels_np.shape} != ({docs},)")
     ia = a.read_ia()
     blocks = fill_row_blocks(ia, ctx.config.max_nnzs)
-    T = np.zeros((n_topics, vocab), np.float32)
-    # bincount allocates a float64 histogram of T.size per block — use it
-    # only while that scratch stays modest; otherwise np.add.at (no
-    # scratch, slower per nnz)
+    # accumulate in ONE float64 buffer (bincount's native dtype): adding
+    # per-block float64 histograms into a float32 T would allocate two
+    # T-sized temporaries per block; cast once at return instead
+    T = np.zeros((n_topics, vocab), np.float64)
+    # bincount allocates a histogram of T.size per block — use it only
+    # while that scratch stays modest; otherwise np.add.at (no scratch,
+    # slower per nnz)
     use_bincount = n_topics * vocab <= (1 << 26)
     for r0, r1 in blocks:
         nz0, nz1 = int(ia[r0]), int(ia[r1])
@@ -148,7 +144,7 @@ def lift_topics(a: CsrFlashMatrix, labels_np: np.ndarray, n_topics: int,
             flat = t_idx * vocab + ja_blk.astype(np.int64)
             T += np.bincount(flat, weights=va_blk,
                              minlength=n_topics * vocab
-                             ).reshape(n_topics, vocab).astype(np.float32)
+                             ).reshape(n_topics, vocab)
         else:
             np.add.at(T, (t_idx, ja_blk), va_blk)
-    return T
+    return T.astype(np.float32)

@@ -97,8 +97,11 @@ class PyIoPool:
                         view[pos:pos + len(chunk)] = np.frombuffer(
                             chunk, dtype=np.uint8)
                         pos += len(chunk)
-            except OSError as e:  # pragma: no cover - error path
-                err = str(e)
+            except Exception as e:  # pragma: no cover - error path
+                # broader than OSError: ANY worker exception must complete
+                # the ticket (e.g. TypeError from a closed store's fd=None)
+                # or the waiter hangs forever AND the pool thread dies
+                err = f"{type(e).__name__}: {e}"
             op.state.op_done(err)
 
     def close(self):
@@ -143,6 +146,8 @@ class PyFileStore(BaseStore):
                 c = min(ln, self._max_chunk)
                 ops.append((fo, bo, c))
                 fo, bo, ln = fo + c, bo + c, ln - c
+        if not ops:  # zero-byte access: nothing will ever call op_done
+            return Ticket.completed()
         ticket = Ticket(buf)
         state = _TicketState(len(ops), ticket)
         for fo, bo, c in ops:

@@ -287,7 +287,14 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         try:
             write_tickets = []
             while True:
-                item = write_q.get()
+                try:  # timeout-get: a dead dispatcher can't hang us —
+                    # the error-path sentinel can be dropped on a full
+                    # queue, so the errors flag is the fallback signal
+                    item = write_q.get(timeout=1.0)
+                except queue.Empty:
+                    if errors:
+                        break
+                    continue
                 if item is None:
                     break
                 i, j, bi, bj, c_dev = item
@@ -313,39 +320,45 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     c_live: dict = {}  # j -> device accumulator for the current i sweep
     alpha_s = np.dtype(c.dtype).type(alpha)
     beta_s = np.dtype(c.dtype).type(beta)
-    for idx, (i, j, l) in enumerate(steps):
-        item = None
-        t_get = time.perf_counter()
-        while True:  # timeout-get: survive a producer that died silently
-            try:
-                item = tile_q.get(timeout=1.0)
-                break
-            except queue.Empty:
-                if errors:
-                    break
-        METRICS.add("gemm.tile_wait_s", time.perf_counter() - t_get)
-        if item is None:
-            break
-        a_dev, b_dev, c_init = item
-        bi, bj, bl = tile_dims(i, j, l)
-        if l == 0:
-            c_live[j] = (dev.scale_init(c_init, beta_s)
-                         if c_init is not None
-                         else dev.zeros_block(c_full_storage, c.dtype))
-        c_live[j] = dev.accum_step(c_live[j], a_dev, b_dev, alpha_s,
-                                   a_km=a_km, b_nk=b_nk, c_nm=c_nm,
-                                   prec=prec, impl=impl)
-        if l == kB - 1:
-            # timeout-put so a dead writer can't deadlock the loop
-            done_c = c_live.pop(j)
-            while not errors:
+    try:
+        for idx, (i, j, l) in enumerate(steps):
+            item = None
+            t_get = time.perf_counter()
+            while True:  # timeout-get: survive a dead producer
                 try:
-                    write_q.put((i, j, bi, bj, done_c), timeout=1.0)
+                    item = tile_q.get(timeout=1.0)
                     break
-                except queue.Full:
-                    continue
-        if errors:
-            break
+                except queue.Empty:
+                    if errors:
+                        break
+            METRICS.add("gemm.tile_wait_s", time.perf_counter() - t_get)
+            if item is None:
+                break
+            a_dev, b_dev, c_init = item
+            bi, bj, bl = tile_dims(i, j, l)
+            if l == 0:
+                c_live[j] = (dev.scale_init(c_init, beta_s)
+                             if c_init is not None
+                             else dev.zeros_block(c_full_storage, c.dtype))
+            c_live[j] = dev.accum_step(c_live[j], a_dev, b_dev, alpha_s,
+                                       a_km=a_km, b_nk=b_nk, c_nm=c_nm,
+                                       prec=prec, impl=impl)
+            if l == kB - 1:
+                # timeout-put so a dead writer can't deadlock the loop
+                done_c = c_live.pop(j)
+                while not errors:
+                    try:
+                        write_q.put((i, j, bi, bj, done_c), timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+            if errors:
+                break
+    except BaseException as e:
+        # a dispatch failure (device OOM, compile error) must land in
+        # `errors`: both helper threads key their shutdown off it — the
+        # producer would otherwise spin forever holding pinned tiles
+        errors.append(e)
     while not errors:
         try:
             write_q.put(None, timeout=1.0)

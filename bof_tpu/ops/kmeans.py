@@ -97,20 +97,22 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
 
     inertia = 0.0
     write_tickets = []
-    for bi, (r0, bn) in enumerate(spans):
-        p_host = pf.get(bi).view(points.dtype).reshape(bn, d)
-        p_norm2 = float((p_host.astype(np.float64) ** 2).sum())
-        p_blk = jnp.asarray(p_host.astype(np.float32, copy=False))
-        labels, mind, sums, counts = lloyd_block(
-            p_blk, c_dev, c_norms, sums, counts, n_centers=k, prec=prec)
-        pf.done(bi)
-        inertia += float(np.asarray(mind, np.float64).sum()) + p_norm2
-        if labels_out is not None:
-            lab_np = np.asarray(labels, dtype=np.int32)
-            off, sinfo = labels_out.block_access(r0, bn)
-            write_tickets.append(labels_out.store.write(
-                off, sinfo, lab_np.view(np.uint8).ravel()))
-    pf.close()
+    try:
+        for bi, (r0, bn) in enumerate(spans):
+            p_host = pf.get(bi).view(points.dtype).reshape(bn, d)
+            p_norm2 = float((p_host.astype(np.float64) ** 2).sum())
+            p_blk = jnp.asarray(p_host.astype(np.float32, copy=False))
+            labels, mind, sums, counts = lloyd_block(
+                p_blk, c_dev, c_norms, sums, counts, n_centers=k, prec=prec)
+            pf.done(bi)
+            inertia += float(np.asarray(mind, np.float64).sum()) + p_norm2
+            if labels_out is not None:
+                lab_np = np.asarray(labels, dtype=np.int32)
+                off, sinfo = labels_out.block_access(r0, bn)
+                write_tickets.append(labels_out.store.write(
+                    off, sinfo, lab_np.view(np.uint8).ravel()))
+    finally:
+        pf.close()  # an exception mid-stream must not leak pinned tiles
     for t in write_tickets:
         t.wait()
     if labels_out is not None:
@@ -139,6 +141,22 @@ def _sample_indices(n: int, s: int, rng) -> np.ndarray:
         if len(picked) > s else picked
 
 
+def gather_rows(points: FlashArray, idx: np.ndarray) -> np.ndarray:
+    """Gather sorted row indices from a flash matrix in contiguous runs
+    (one strided read per run instead of one per row)."""
+    d = points.shape[1]
+    out = np.empty((len(idx), d), np.float32)
+    start = 0
+    while start < len(idx):
+        end = start + 1
+        while end < len(idx) and idx[end] == idx[end - 1] + 1:
+            end += 1
+        out[start:end] = points.read_block(int(idx[start]),
+                                           end - start, 0, d)
+        start = end
+    return out
+
+
 def _kmeanspp_sample(points: FlashArray, n_centers: int, rng,
                      sample_cap: int = 1 << 16) -> np.ndarray:
     """k-means++ seeding on a uniform sample of the flash points (a full
@@ -147,16 +165,7 @@ def _kmeanspp_sample(points: FlashArray, n_centers: int, rng,
     n, d = points.shape
     s = min(n, max(sample_cap, 16 * n_centers))
     idx = _sample_indices(n, s, rng)
-    # gather the sample in contiguous runs (cheap: s rows total)
-    sample = np.empty((s, d), np.float32)
-    start = 0
-    while start < s:
-        end = start + 1
-        while end < s and idx[end] == idx[end - 1] + 1:
-            end += 1
-        sample[start:end] = points.read_block(int(idx[start]),
-                                              end - start, 0, d)
-        start = end
+    sample = gather_rows(points, idx)
     centers = np.empty((n_centers, d), np.float64)
     centers[0] = sample[rng.integers(0, s)]
     d2 = ((sample.astype(np.float64) - centers[0]) ** 2).sum(1)

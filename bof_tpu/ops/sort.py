@@ -43,6 +43,8 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     if src.shape != dst.shape or len(src.shape) != 1:
         raise ValueError("sort needs equal-shape 1-D arrays")
     n = src.shape[0]
+    if n == 0:  # empty input: sorted output is empty (n_blks==0 would
+        return  # otherwise hit np.concatenate([]) in the pivot phase)
     blk = blk_elems or ctx.config.sort_blk_elems
     sched = ctx.scheduler()
     n_blks = cdiv(n, blk)

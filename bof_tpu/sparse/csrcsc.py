@@ -141,28 +141,27 @@ def csrcsc(a: CsrFlashMatrix, out: CsrFlashMatrix, ctx=None) -> None:
                 out_rows[:] = task.buf(sr.store, r_off, r_sin, idt)
                 out_vals[:] = task.buf(sv.store, v_off, v_sin, vdt)
                 return
-            # multi-block merge: per-column concatenation in ascending
-            # source-row order == sparse matrix addition of the fragments
-            # (disjoint row ranges, canonical csc sorts rows per column) —
-            # compiled, vs the former numpy repeat/scatter interleave
-            import scipy.sparse as sps
-            acc = None
+            # multi-block merge: concatenate the fragments in block order
+            # with per-entry column ids, then ONE stable argsort by column
+            # (bounded by max_nnzs — column blocks are nnz-budgeted).
+            # Stability gives ascending source rows within each column.
+            # NOTE: must NOT use scipy sparse addition here — it prunes
+            # explicit zeros and sums duplicate (row, col) entries, both
+            # legal in CSR inputs, corrupting the nnz accounting.
+            cols_parts, rows_parts, vals_parts = [], [], []
             for bi, f0, flen, lens in frags:
                 sr, sv = scratch_rows[bi], scratch_vals[bi]
                 r_off, r_sin = sr.block_access(f0, flen)
                 v_off, v_sin = sv.block_access(f0, flen)
-                frag_rows = task.buf(sr.store, r_off, r_sin, idt)
-                frag_vals = task.buf(sv.store, v_off, v_sin, vdt)
-                cp = np.zeros(c1 - c0 + 1, np.int64)
-                np.cumsum(lens, out=cp[1:])
-                piece = sps.csc_matrix(
-                    (frag_vals, frag_rows.astype(np.int64), cp),
-                    shape=(m, c1 - c0))
-                acc = piece if acc is None else acc + piece
-            assert acc.nnz == n_out
-            acc.sort_indices()
-            out_rows[:] = acc.indices.astype(idt)
-            out_vals[:] = acc.data
+                rows_parts.append(task.buf(sr.store, r_off, r_sin, idt))
+                vals_parts.append(task.buf(sv.store, v_off, v_sin, vdt))
+                cols_parts.append(np.repeat(
+                    np.arange(c1 - c0, dtype=np.int32), lens))
+            cols = np.concatenate(cols_parts)
+            order = np.argsort(cols, kind="stable")
+            out_rows[:] = np.concatenate(rows_parts)[order]
+            out_vals[:] = np.concatenate(vals_parts)[order]
+            assert len(cols) == n_out
         t = FnTask(run)
         for bi, f0, flen, _l in frags:
             sr, sv = scratch_rows[bi], scratch_vals[bi]

@@ -50,42 +50,45 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
         accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
     pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
 
-    if not t:
-        y = np.empty(m, dtype=vdt)
-        x_dev = jnp.asarray(x)
+    try:
+        if not t:
+            y = np.empty(m, dtype=vdt)
+            x_dev = jnp.asarray(x)
+            for bi, (r, e) in enumerate(blocks):
+                i0 = int(ia_np[r])
+                ja_blk = pf.get(2 * bi).view(idt)
+                va_blk = pf.get(2 * bi + 1).view(vdt)
+                counts = np.diff(ia_np[r:e + 1])
+                for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                    sub_ia = ia_np[r + s0:r + s1 + 1]
+                    lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
+                    ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
+                                                 va_blk[lo:hi])
+                    out = sdev.spmv_ell_block(x_dev, jnp.asarray(ja_ell),
+                                              jnp.asarray(va_ell))
+                    y[r + s0:r + s1] = np.asarray(out)[:s1 - s0]
+                pf.done(2 * bi)
+                pf.done(2 * bi + 1)
+            return y
+
+        # trans: y[k] += A_blk^T x_blk — a scatter over columns.  TPU
+        # scatter serializes, so the accumulation runs on host via
+        # bincount (C speed, memory-bound — same role as the reference's
+        # mutexed OpenMP accumulate, csrgemv_task.h:169-176).
+        y = np.zeros(k, dtype=np.float64)
         for bi, (r, e) in enumerate(blocks):
-            i0 = int(ia_np[r])
             ja_blk = pf.get(2 * bi).view(idt)
             va_blk = pf.get(2 * bi + 1).view(vdt)
-            counts = np.diff(ia_np[r:e + 1])
-            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                sub_ia = ia_np[r + s0:r + s1 + 1]
-                lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
-                ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
-                                             va_blk[lo:hi])
-                out = sdev.spmv_ell_block(x_dev, jnp.asarray(ja_ell),
-                                          jnp.asarray(va_ell))
-                y[r + s0:r + s1] = np.asarray(out)[:s1 - s0]
+            row_ids = sdev.expand_row_ids(ia_np[r:e + 1])
+            w = va_blk.astype(np.float64) \
+                * x[r:e].astype(np.float64)[row_ids]
+            y += np.bincount(ja_blk.astype(np.int64), weights=w,
+                             minlength=k)
             pf.done(2 * bi)
             pf.done(2 * bi + 1)
-        pf.close()
-        return y
-
-    # trans: y[k] += A_blk^T x_blk — a scatter over columns.  TPU scatter
-    # serializes, so the accumulation runs on host via bincount (C speed,
-    # memory-bound — same role as the reference's mutexed OpenMP
-    # accumulate, csrgemv_task.h:169-176).
-    y = np.zeros(k, dtype=np.float64)
-    for bi, (r, e) in enumerate(blocks):
-        ja_blk = pf.get(2 * bi).view(idt)
-        va_blk = pf.get(2 * bi + 1).view(vdt)
-        row_ids = sdev.expand_row_ids(ia_np[r:e + 1])
-        w = va_blk.astype(np.float64) * x[r:e].astype(np.float64)[row_ids]
-        y += np.bincount(ja_blk.astype(np.int64), weights=w, minlength=k)
-        pf.done(2 * bi)
-        pf.done(2 * bi + 1)
-    pf.close()
-    return y.astype(vdt)
+        return y.astype(vdt)
+    finally:
+        pf.close()  # an exception mid-stream must not leak pinned tiles
 
 
 def csrgemv_in_mem(a_sp, x: np.ndarray, trans: str = "N") -> np.ndarray:

@@ -87,6 +87,12 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
     n = b.shape[1]
     if c.shape != (m, n):
         raise ValueError(f"C shape {c.shape} != ({m}, {n})")
+    if not (b.dtype == c.dtype == a.vals.dtype):
+        # fail up front like gemm does — a mismatch would otherwise
+        # surface as a confusing buffer-size error inside the writer
+        raise ValueError(
+            f"mixed dtypes not supported: vals {a.vals.dtype}, "
+            f"B {b.dtype}, C {c.dtype}")
 
     timer = Timer()
     ia_np = a.read_ia()

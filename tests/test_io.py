@@ -399,3 +399,17 @@ def test_native_pin_oversized_raises(tmp_path):
     finally:
         nc.close()
         st.close()
+
+
+def test_pystore_zero_length_ticket_completes(tmp_path):
+    """Zero-byte accesses must return completed tickets (regression: a
+    0-op _TicketState never fired op_done and waiters hung forever)."""
+    data = np.arange(64, dtype=np.uint32)
+    st = make_store("py", tmp_path, data)
+    t = st.read(0, StrideInfo.contiguous(0), np.zeros(0, np.uint8))
+    assert t.done()
+    t.wait()
+    t2 = st.write(0, StrideInfo(stride=64, n_strides=0, len_per_stride=0),
+                  np.zeros(0, np.uint8))
+    assert t2.done()
+    st.close()

@@ -114,3 +114,11 @@ def test_sort_device_compute(ctx, rng):
     dst = mem_array((n,), np.float32, ctx=ctx)
     bof_sort(src, dst, blk_elems=4096, ctx=ctx)
     np.testing.assert_array_equal(dst.read_all(), np.sort(data))
+
+
+def test_sort_empty_input(ctx):
+    from bof_tpu import flash_empty
+    from bof_tpu.ops.sort import bof_sort
+    src = flash_empty((0,), np.float32, ctx=ctx)
+    dst = flash_empty((0,), np.float32, ctx=ctx)
+    bof_sort(src, dst, ctx=ctx)  # must be a no-op, not a crash

@@ -206,3 +206,29 @@ def test_sparse_compute_auto_dispatch(monkeypatch):
         FlashConfig(sparse_compute="device"), 8, 8, 8, 8) == "device"
     assert csrmm_mod._resolve_sparse_compute(
         FlashConfig(sparse_compute="host"), 8, 8, 8, 8) == "host"
+
+
+def test_csrcsc_preserves_explicit_zeros_and_duplicates(ctx):
+    """Legal CSR inputs may carry explicit zero values and duplicate
+    (row, col) entries; the transpose must preserve every stored entry in
+    stable order (regression: a sparse-addition merge pruned/summed them)."""
+    small_cfg(ctx, max_nnzs=4)  # forces multi-fragment phase-2 merges
+    # rows: 0:[c1=0.0(explicit), c2=5], 1:[c1=1, c1=2(dup), c2=0.0], 2:[c0=7]
+    ia = np.array([0, 2, 5, 6], np.int64)
+    ja = np.array([1, 2, 1, 1, 2, 0], np.int64)
+    va = np.array([0.0, 5.0, 1.0, 2.0, 0.0, 7.0], np.float32)
+    from bof_tpu import mem_array
+    A = CsrFlashMatrix(
+        mem_array((4,), np.int64, data=ia, ctx=ctx),
+        mem_array((6,), np.int64, data=ja, ctx=ctx),
+        mem_array((6,), np.float32, data=va, ctx=ctx), (3, 3))
+    At = csrcsc_scratch(A, ctx=ctx)
+    np.testing.assert_array_equal(At.read_ia(), [0, 1, 4, 6])
+    # col 1 entries in ascending-source-row stable order: row0(0.0),
+    # row1(1.0), row1(2.0 dup)
+    np.testing.assert_array_equal(At.ja.read_all(), [2, 0, 1, 1, 0, 1])
+    np.testing.assert_allclose(At.vals.read_all(),
+                               [7.0, 0.0, 1.0, 2.0, 5.0, 0.0])
+    for arr in (At.ia, At.ja, At.vals):
+        from bof_tpu import flash_free
+        flash_free(arr)
