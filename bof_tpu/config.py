@@ -47,6 +47,9 @@ class FlashConfig:
     # ---- dense kernels (reference: GEMM_BLK_SIZE=8192) ----
     gemm_blk_size: int = 8192          # superblock edge for out-of-core gemm
     gemm_tile: tuple = (512, 512, 512)  # pallas (bm, bn, bk) MXU tile
+    matmul_precision: str = "highest"  # "highest" = fp32 parity (6-pass
+    #   MXU emulation) | "high" | "default" (bf16 passes, ~3-6x faster);
+    #   a declared field so dataclasses.replace() copies preserve it
 
     # ---- sparse kernels (reference: MAX_NNZS, CSRMM_*_CBLK_SIZE) ----
     max_nnzs: int = 1 << 26            # nnz budget per CSR row block

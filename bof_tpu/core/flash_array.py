@@ -162,15 +162,30 @@ class FlashArray:
         scheduler, allocator.h:19-45; the kmeans driver argmins through
         it, drivers/kmeans.cpp:94-99).  File-backed stores only; the
         caller must not mix mmap writes with in-flight scheduler writes
-        to the same region."""
+        to the same region.  ld-padded sub-matrices map with the real
+        leading-dimension stride, so only the view's own bytes are
+        touched."""
         path = getattr(self.store, "path", None)
         if path is None:
             raise TypeError("as_memmap needs a file-backed store")
-        mm = np.memmap(path, dtype=self.dtype, mode=mode,
-                       offset=self.offset,
-                       shape=self._block_shape_storage(*self.shape)
-                       if len(self.shape) == 2 else self.shape)
-        return mm.T if (len(self.shape) == 2 and self.order == "C") else mm
+        if len(self.shape) == 1:
+            return np.memmap(path, dtype=self.dtype, mode=mode,
+                             offset=self.offset, shape=self.shape)
+        lines, width = self._block_shape_storage(*self.shape)
+        if self.ld == width:
+            mm = np.memmap(path, dtype=self.dtype, mode=mode,
+                           offset=self.offset, shape=(lines, width))
+        else:
+            # map exactly the spanned elements 1-D, then stride by ld —
+            # a contiguous (lines, width) map would read/write the
+            # parent matrix's neighboring bytes
+            span = (lines - 1) * self.ld + width
+            flat = np.memmap(path, dtype=self.dtype, mode=mode,
+                             offset=self.offset, shape=(span,))
+            mm = np.lib.stride_tricks.as_strided(
+                flat, shape=(lines, width),
+                strides=(self.ld * self.itemsize, self.itemsize))
+        return mm.T if self.order == "C" else mm
 
     def vec_view(self, start: int, n: int) -> "FlashArray":
         """1-D sub-view (flash_ptr + offset arithmetic analog)."""

@@ -34,10 +34,6 @@ class TaskStatus(enum.IntEnum):
     COMPLETE = 5
 
 
-class Access(Tuple):
-    pass
-
-
 def access_key(store: BaseStore, offset: int, sinfo: StrideInfo):
     """Cache key for one access (reference hashes Key{fptr,sinfo} with
     fnv64a, cache.h:11-42; Python tuples hash natively).  Keyed on a

@@ -42,7 +42,11 @@ def main(argv=None):
     c_rows = k if args.ta == "T" else m
     b_rows = m if args.ta == "T" else k
     if args.pmem:
-        b_np = np.fromfile(args.b_path, np.float32).reshape(b_rows, n)
+        raw = np.fromfile(args.b_path, np.float32)
+        # honor --order-b: a column-major file's bytes are the transpose
+        # of the row-major reshape (same layout the non-pmem path maps)
+        b_np = (raw.reshape(n, b_rows).T if args.order_b == "C"
+                else raw.reshape(b_rows, n))
         B = mem_array((b_rows, n), np.float32, args.order_b, data=b_np,
                       ctx=ctx)
         C = mem_array((c_rows, n), np.float32, args.order_b, ctx=ctx)
@@ -61,7 +65,10 @@ def main(argv=None):
             csrmm(A, B, C, alpha=args.alpha, beta=args.beta,
                   transa=args.ta, ctx=ctx)
     if args.pmem:
-        C.read_all().tofile(args.c_path)
+        out = C.read_all()
+        if args.order_b == "C":  # file layout follows --order-b
+            out = np.ascontiguousarray(out.T)
+        out.tofile(args.c_path)
     print(f"checksum {checksum(C.read_block(0, min(c_rows, 128)))}")
     ctx.destroy()
 

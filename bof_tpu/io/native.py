@@ -22,6 +22,7 @@ from .stride import StrideInfo
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "bof_io.cpp"))
+_INC = os.path.abspath(os.path.join(_NATIVE_DIR, "bof_cache.inc"))
 _SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libbof_io.so"))
 
 _lib = None
@@ -45,8 +46,13 @@ def load_library():
         if _lib is not None:
             return _lib
         try:
+            # staleness vs BOTH sources: bof_io.cpp #includes the pin
+            # cache, so an .inc-only edit must also trigger a rebuild
+            src_mtime = max(os.path.getmtime(_SRC),
+                            os.path.getmtime(_INC)
+                            if os.path.exists(_INC) else 0.0)
             if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_SO) < src_mtime):
                 _build()
             lib = ctypes.CDLL(_SO)
         except (OSError, subprocess.CalledProcessError) as e:
@@ -107,29 +113,42 @@ def alloc_aligned(nbytes: int, alignment: int = SECTOR_LEN) -> np.ndarray:
 
 
 class NativeTicket(Ticket):
-    __slots__ = ("_lib", "_tid", "_waited")
+    __slots__ = ("_lib", "_tid", "_waiting")
 
     def __init__(self, lib, tid: int, buf):
         super().__init__(buf)
         self._lib = lib
         self._tid = tid
-        self._waited = False
+        self._waiting = False  # a thread is inside bof_wait
 
     def done(self) -> bool:
+        """True once the access completed (with OR without error — call
+        wait() to surface errors; poll never frees the ticket slot)."""
         with self._cv:
             if self._done:
                 return True
+            if self._waiting:
+                # another thread is inside bof_wait, which FREES the
+                # slot on return: polling now could read a recycled
+                # ticket id — report not-done until _complete fires
+                return False
         return self._lib.bof_poll(self._tid) != 0
 
     def wait(self):
         with self._cv:
+            while self._waiting and not self._done:
+                self._cv.wait()  # another thread owns the bof_wait call
             if self._done:
                 if self._error:
                     raise IOError(self._error)
                 return
+            # exactly one thread may call bof_wait: it frees the ticket
+            # slot, and slot ids are recycled — a second concurrent call
+            # could block on (and free!) an unrelated ticket
+            self._waiting = True
         rc = self._lib.bof_wait(self._tid)  # releases the GIL
         err = None if rc == 0 else f"native io error: errno {-rc}"
-        self._complete(err)
+        self._complete(err)  # notifies any waiters parked above
         self._buf = None
         if err:
             raise IOError(err)

@@ -80,12 +80,14 @@ def flash_memcpy(dst: FlashArray, src: FlashArray) -> None:
         equal storage orders, or the transpose-reinterpret case (orders
         differ AND shapes are transposed — same byte layout).  An
         equal-shape mixed-order pair must NOT take this path: the bytes
-        would land transposed."""
+        would land transposed.  Square shapes are both equal AND
+        reversed-equal — the logical-copy contract wins there."""
         if len(dst.shape) == 1 or len(src.shape) == 1:
             return True
         if dst.order == src.order:
             return True
-        return dst.shape == src.shape[::-1]
+        return (dst.shape == src.shape[::-1]
+                and dst.shape != src.shape)
 
     pending = []
     if _dense(dst) and _dense(src) and _byte_compatible():

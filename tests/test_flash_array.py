@@ -85,3 +85,27 @@ def test_as_memmap_raw_access(ctx, tmp_path, rng):
     arr_c.store.flush()
     np.testing.assert_array_equal(np.asarray(arr_c.as_memmap()),
                                   ref[:7, :9])
+
+
+def test_as_memmap_honors_ld(ctx, tmp_path, rng):
+    """as_memmap over an ld-padded sub-matrix must view only the
+    sub-matrix bytes (a contiguous map read/wrote the parent's
+    neighbors)."""
+    from bof_tpu import FlashArray, map_array
+    parent_np = rng.standard_normal((10, 12)).astype(np.float32)
+    path = str(tmp_path / "mm.bin")
+    parent_np.tofile(path)
+    parent = map_array(path, (10, 12), np.float32, "R", ctx=ctx)
+    it = 4
+    sub = FlashArray(parent.store, (4, 5), np.float32, "R",
+                     offset=(2 * 12 + 3) * it, ld=12, ctx=ctx)
+    mm = sub.as_memmap(mode="r")
+    np.testing.assert_array_equal(np.asarray(mm), parent_np[2:6, 3:8])
+    # writes through the strided view stay inside the sub-matrix
+    mm2 = sub.as_memmap(mode="r+")
+    mm2[:] = 7.0
+    del mm2
+    got = np.fromfile(path, np.float32).reshape(10, 12)
+    want = parent_np.copy()
+    want[2:6, 3:8] = 7.0
+    np.testing.assert_array_equal(got, want)

@@ -169,3 +169,16 @@ def test_flash_memcpy_dense_mixed_order(ctx, rng):
                      data=np.zeros((10, 6), np.float32), ctx=ctx)
     flash_memcpy(dst2, src)
     np.testing.assert_array_equal(dst2.read_all(), a.T)
+
+
+def test_flash_memcpy_square_mixed_order_is_logical(ctx, rng):
+    """Square equal-shape mixed-order copies must be LOGICAL (square
+    shapes are both equal and reversed-equal; the byte-reinterpret branch
+    would silently transpose)."""
+    from bof_tpu import mem_array
+    a = rng.standard_normal((8, 8)).astype(np.float32)
+    src = mem_array((8, 8), np.float32, order="R", data=a, ctx=ctx)
+    dst = mem_array((8, 8), np.float32, order="C",
+                    data=np.zeros((8, 8), np.float32), ctx=ctx)
+    flash_memcpy(dst, src)
+    np.testing.assert_array_equal(dst.read_all(), a)
