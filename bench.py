@@ -23,7 +23,7 @@ BOF_BENCH_CACHE, BOF_BENCH_CSRMM=0 (skip sparse).
 
 BOF_BENCH_KERNEL selects standalone modes covering every
 BASELINE.json.configs entry (each prints its own one-JSON-line result):
-  sgemm (default) | csrmm | kmeans | csrcsc_sort
+  sgemm (default) | csrmm | csrgemv | kmeans | csrcsc_sort
 """
 from __future__ import annotations
 
@@ -225,6 +225,62 @@ def run_csrmm(ctx) -> dict:
     }
 
 
+def run_csrgemv(ctx) -> dict:
+    """Out-of-core csrgemv GB/s, 'N' and 'T' (BASELINE rebuild target:
+    csrmm/csrgemv throughput in GB/s; reference: drivers/csrgemv.cpp with
+    the in_mem_csrgemv twin).  A streams from flash; x/y live in DRAM."""
+    from bof_tpu.sparse import CsrFlashMatrix, csrgemv
+
+    m = int(os.environ.get("BOF_BENCH_SP_M", 1 << 16))
+    k = int(os.environ.get("BOF_BENCH_SP_K", 1 << 14))
+    row_nnz = int(os.environ.get("BOF_BENCH_SP_NNZ", 128))
+    prefix, _ = ensure_csr_operands(m, k, row_nnz, 1)
+    A = CsrFlashMatrix.map_files(prefix, (m, k), ctx=ctx)
+    rng = np.random.default_rng(9)
+    x_n = rng.standard_normal(k).astype(np.float32)
+    x_t = rng.standard_normal(m).astype(np.float32)
+
+    # warm-up on a row slice compiles the bucketed ELL kernels ('N' path)
+    import bof_tpu as bt
+    wr = min(1024, m)
+    Aw_ia = bt.FlashArray(A.ia.store, (wr + 1,), np.int64, ctx=ctx)
+    Aw = CsrFlashMatrix(Aw_ia, A.ja, A.vals, (wr, k))
+    csrgemv(Aw, x_n, "N", ctx=ctx)
+
+    nnz = A.nnz
+    bytes_a = (m + 1) * 8 + nnz * (8 + 4)  # ia + ja + vals streamed
+
+    sp = A.to_scipy()
+    sp @ x_n  # warm
+    t0 = time.perf_counter()
+    want_n = sp @ x_n
+    t_in_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    want_t = sp.T @ x_t
+    t_in_t = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    y_n = csrgemv(A, x_n, "N", ctx=ctx)
+    dt_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    y_t = csrgemv(A, x_t, "T", ctx=ctx)
+    dt_t = time.perf_counter() - t0
+
+    def rel(got, want):
+        return float(np.abs(got - want).max() / (np.abs(want).max() or 1.0))
+
+    ok = rel(y_n, want_n) < 1e-3 and rel(y_t, want_t) < 1e-3
+    return {
+        "csrgemv_n_gbps": round(bytes_a / dt_n / 1e9, 4),
+        "csrgemv_t_gbps": round(bytes_a / dt_t / 1e9, 4),
+        "csrgemv_seconds": [round(dt_n, 2), round(dt_t, 2)],
+        "csrgemv_nnz": int(nnz), "csrgemv_shape": [m, k],
+        "csrgemv_n_vs_inmem": round(t_in_n / dt_n, 4),
+        "csrgemv_t_vs_inmem": round(t_in_t / dt_t, 4),
+        "csrgemv_verified": ok,
+    }
+
+
 def run_kmeans(ctx) -> dict:
     """Out-of-core k-means streaming rate (BASELINE.json.configs[4]): GB/s
     of point data streamed per Lloyd pass, vs a device-resident twin."""
@@ -383,11 +439,11 @@ def main():
     from bof_tpu.utils import METRICS
 
     kernel = os.environ.get("BOF_BENCH_KERNEL", "sgemm")
-    if kernel not in ("sgemm", "csrmm", "kmeans", "csrcsc_sort"):
+    if kernel not in ("sgemm", "csrmm", "csrgemv", "kmeans", "csrcsc_sort"):
         print(json.dumps({"metric": "error", "value": 0, "unit": "",
                           "vs_baseline": 0,
                           "error": f"unknown BOF_BENCH_KERNEL={kernel!r}; "
-                          "use sgemm|csrmm|kmeans|csrcsc_sort"}))
+                          "use sgemm|csrmm|csrgemv|kmeans|csrcsc_sort"}))
         return 2
     budget_s = float(os.environ.get("BOF_BENCH_BUDGET_S", "240"))
     prec_name = os.environ.get("BOF_BENCH_PREC", "highest")
@@ -418,6 +474,16 @@ def main():
         result = {"metric": "ooc_csrmm_gbps", "value": r.pop("csrmm_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("csrmm_vs_inmem"),
                   "h2d_gbps": round(h2d_1, 4), **r, "verified": ok}
+        print(json.dumps(result))
+        return 0 if ok else 1
+    if kernel == "csrgemv":  # sparse matrix-vector mode
+        r = run_csrgemv(ctx)
+        ctx.destroy()
+        ok = r.pop("csrgemv_verified")
+        result = {"metric": "ooc_csrgemv_gbps",
+                  "value": r.pop("csrgemv_n_gbps"),
+                  "unit": "GB/s", "vs_baseline": r.pop("csrgemv_n_vs_inmem"),
+                  **r, "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
     if kernel == "kmeans":  # streaming Lloyd mode
