@@ -1,0 +1,63 @@
+"""bench.py mode smoke tests.
+
+The driver runs `python bench.py` at round end as the recorded perf
+artifact; a regression in any BOF_BENCH_KERNEL mode would otherwise only
+surface there.  Each mode runs here at toy size on the CPU backend and
+must print exactly one JSON line with the metric/value/unit/vs_baseline
+keys and verified=true.  All modes run concurrently (distinct operand
+shapes, uuid scratch files) so the wall cost is one bench, not five.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MODES = {
+    "sgemm": {"BOF_BENCH_N": "1024", "BOF_BENCH_BLK": "512",
+              "BOF_BENCH_CSRMM": "0"},
+    "csrmm": {"BOF_BENCH_SP_M": "4096", "BOF_BENCH_SP_K": "1024",
+              "BOF_BENCH_SP_NNZ": "16", "BOF_BENCH_SP_N": "64"},
+    "csrgemv": {"BOF_BENCH_SP_M": "5000", "BOF_BENCH_SP_K": "1000",
+                "BOF_BENCH_SP_NNZ": "12"},
+    "kmeans": {"BOF_BENCH_KM_N": "16384", "BOF_BENCH_KM_D": "8",
+               "BOF_BENCH_KM_K": "8"},
+    "csrcsc_sort": {"BOF_BENCH_SP_M": "3000", "BOF_BENCH_SP_K": "500",
+                    "BOF_BENCH_SP_NNZ": "8", "BOF_BENCH_SORT_N": "65536"},
+}
+
+
+@pytest.fixture(scope="module")
+def bench_results(tmp_path_factory):
+    home = tmp_path_factory.mktemp("bench_home")
+    procs = {}
+    for mode, extra in MODES.items():
+        env = dict(os.environ)
+        env["HOME"] = str(home)  # isolates ~/.cache/bof_tpu/bench
+        env["BOF_BENCH_KERNEL"] = mode
+        env.update(extra)
+        procs[mode] = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+    out = {}
+    for mode, p in procs.items():
+        stdout, stderr = p.communicate(timeout=900)
+        out[mode] = (p.returncode, stdout, stderr)
+    return out
+
+
+@pytest.mark.parametrize("mode", list(MODES))
+def test_bench_mode(bench_results, mode):
+    rc, stdout, stderr = bench_results[mode]
+    assert rc == 0, f"{mode} rc={rc}\n{stdout}\n{stderr[-2000:]}"
+    lines = [ln for ln in stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"{mode}: expected ONE JSON line, got {lines!r}"
+    r = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in r, f"{mode}: missing {key} in {r}"
+    assert r["verified"] is True
+    assert r["value"] > 0
