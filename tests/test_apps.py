@@ -201,3 +201,50 @@ def test_topic_model_sampled_clustering(ctx, rng):
         # looser mass threshold than the full-fit test's 0.85
         assert max(tw[t, s * vocab_per:(s + 1) * vocab_per].sum()
                    for s in range(n_topics)) > 0.8
+
+
+def _check_topk(got_s, got_l, want_dense_scores, k):
+    """Order/tie-robust top-k check: scores must match the golden top-k
+    (sorted desc) and each reported label's true score must equal the
+    reported score (ties may legitimately swap labels)."""
+    want_sorted = -np.sort(-want_dense_scores, axis=1)[:, :k]
+    np.testing.assert_allclose(got_s, want_sorted, rtol=2e-4, atol=1e-4)
+    rows = np.arange(got_l.shape[0])[:, None]
+    np.testing.assert_allclose(want_dense_scores[rows, got_l], got_s,
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_xml_rank_matches_dense_topk(ctx, rng):
+    """xml_rank streamed over many label AND doc blocks equals dense
+    top-k (paper Table 6 workload shape: sparse docs x linear label
+    model)."""
+    from bof_tpu.apps import xml_rank
+    from bof_tpu.core.flash_array import flash_empty
+    docs, vocab, n_labels, k = 257, 96, 83, 7
+    a_sp = sps.random(docs, vocab, density=0.1, format="csr",
+                      dtype=np.float32, random_state=np.random.RandomState(5))
+    w_np = rng.standard_normal((n_labels, vocab)).astype(np.float32)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    W = flash_empty((n_labels, vocab), np.float32, ctx=ctx)
+    W.write_all(w_np)
+    ctx.config.max_nnzs = 512  # many sparse row blocks inside csrmm
+    s, l = xml_rank(A, W, k, label_blk=19, doc_blk=41, ctx=ctx)
+    want = (a_sp @ w_np.T).astype(np.float32)
+    _check_topk(s.read_all(), l.read_all(), want, k)
+
+
+def test_xml_rank_colmajor_w_and_wide_k(ctx, rng):
+    """W as (vocab x labels) column-major (same bytes, other metadata) and
+    k wider than the first label block (exercises the -inf pad path)."""
+    from bof_tpu.apps import xml_rank
+    from bof_tpu.core.flash_array import flash_empty
+    docs, vocab, n_labels, k = 64, 40, 30, 9
+    a_sp = sps.random(docs, vocab, density=0.15, format="csr",
+                      dtype=np.float32, random_state=np.random.RandomState(6))
+    w_np = rng.standard_normal((n_labels, vocab)).astype(np.float32)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    W = flash_empty((vocab, n_labels), np.float32, order="C", ctx=ctx)
+    W.write_all(w_np.T)  # label-major lines, like the row-major case
+    s, l = xml_rank(A, W, k, label_blk=4, ctx=ctx)  # 4 < k=9
+    want = (a_sp @ w_np.T).astype(np.float32)
+    _check_topk(s.read_all(), l.read_all(), want, k)

@@ -232,3 +232,31 @@ def test_sharded_driver_flags(tmp_path, rng):
     kmeans_drv.main([str(tmp_path / "P.bin"), "240", "4", "3",
                      "--iters", "6", "--sharded",
                      "--scratch", str(tmp_path / "s3")])
+
+
+def test_xml_rank_driver(tmp_path, scratch):
+    docs, vocab, n_labels, k = 120, 64, 20, 5
+    prefix = str(tmp_path / "A")
+    w = str(tmp_path / "W")
+    run_driver("sparse_create", prefix, docs, vocab, 4.0)
+    run_driver("dense_create", w, n_labels, vocab, "--fill", "random")
+    s_path, l_path = str(tmp_path / "S"), str(tmp_path / "L")
+    r = run_driver("xml_rank", prefix, docs, vocab, w, n_labels, k,
+                   "--scores", s_path, "--labels", l_path,
+                   "--scratch", scratch)
+    assert "checksum" in r.stdout
+    # differential check vs dense numpy top-k
+    import scipy.sparse as sps
+    ia = np.fromfile(prefix + ".off", np.int64)
+    ja = np.fromfile(prefix + ".col", np.int64)
+    va = np.fromfile(prefix + ".csr", np.float32)
+    a_sp = sps.csr_matrix((va, ja, ia), shape=(docs, vocab))
+    w_np = np.fromfile(w, np.float32).reshape(n_labels, vocab)
+    want = (a_sp @ w_np.T).astype(np.float32)
+    got_s = np.fromfile(s_path, np.float32).reshape(docs, k)
+    got_l = np.fromfile(l_path, np.int32).reshape(docs, k)
+    np.testing.assert_allclose(got_s, -np.sort(-want, axis=1)[:, :k],
+                               rtol=2e-4, atol=1e-4)
+    rows = np.arange(docs)[:, None]
+    np.testing.assert_allclose(want[rows, got_l], got_s,
+                               rtol=2e-4, atol=1e-4)
