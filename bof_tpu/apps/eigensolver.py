@@ -97,7 +97,7 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
                       max_kdim: Optional[int] = None,
                       n_restarts: int = 8, tol: float = 1e-6,
                       seed: int = 0, state_path: Optional[str] = None,
-                      ctx=None) -> Tuple[np.ndarray, np.ndarray]:
+                      mesh=None, ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     """Top `n_vals` singular values / right singular vectors of A by block
     Lanczos with thick restart on B = A^T A (the paper's block
     Krylov-Schur solver role, Table 4).
@@ -115,9 +115,15 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     kernel-boundary durability (SURVEY §5 checkpoint/resume) to this
     hours-long solver's host state.  The file is removed on convergence.
 
+    With `mesh`, both csrmm passes of every operator application run
+    row-sharded over the device mesh (parallel/csrmm_sp.py); the small
+    host-side Krylov algebra is unchanged.
+
     Returns (sigma (L,) descending, V (k, L))."""
     import os
     ctx = ctx or a.ctx or get_context()
+    if n_restarts < 1:
+        raise ValueError("n_restarts must be >= 1")
     m, k = a.shape
     L = n_vals
     b = int(block_size or min(max(L, 2), max(2, k // 4)))
@@ -128,6 +134,15 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     at = csrcsc_scratch(a, ctx=ctx)  # A^T, materialized once
     W = flash_empty((m, b), np.float32, ctx=ctx)
 
+    if mesh is not None:
+        from ..parallel import csrmm_sharded
+
+        def _spmm(mat, x, out):
+            csrmm_sharded(mat, x, out, mesh=mesh, ctx=ctx)
+    else:
+        def _spmm(mat, x, out):
+            csrmm(mat, x, out, ctx=ctx)
+
     def apply_op(v_np: np.ndarray) -> np.ndarray:
         """B v = A^T (A v), (k, w) -> (k, w) float64, w <= b."""
         w = v_np.shape[1]
@@ -137,8 +152,8 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
               else flash_empty((m, w), np.float32, ctx=ctx))
         Up = mem_array((k, w), np.float32, ctx=ctx)
         try:
-            csrmm(a, Vp, Wp, ctx=ctx)
-            csrmm(at, Wp, Up, ctx=ctx)
+            _spmm(a, Vp, Wp)
+            _spmm(at, Wp, Up)
         finally:
             if Wp is not W:
                 flash_free(Wp)

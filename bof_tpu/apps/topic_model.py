@@ -31,11 +31,13 @@ from ..utils import LOG, Timer
 
 def topic_model(a: CsrFlashMatrix, n_topics: int, proj_dim: int = 64,
                 n_iters: int = 8, seed: int = 0, sample_rate: float = 1.0,
-                ctx=None) -> Tuple[np.ndarray, np.ndarray]:
+                mesh=None, ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (topic_word (n_topics, vocab) row-normalized,
     doc_labels (docs,) int32).  sample_rate < 1 clusters on a uniform doc
     sample and assigns the full corpus in one streaming pass — the
-    paper's ISLE runs use sample rate 0.1 (Table 5)."""
+    paper's ISLE runs use sample rate 0.1 (Table 5).  With `mesh`, the
+    projection csrmm runs row-sharded and the Lloyd steps data-parallel
+    over the device mesh."""
     ctx = ctx or a.ctx or get_context()
     docs, vocab = a.shape
     rng = np.random.default_rng(seed)
@@ -47,12 +49,12 @@ def topic_model(a: CsrFlashMatrix, n_topics: int, proj_dim: int = 64,
             / np.sqrt(proj_dim)).astype(np.float32)
     return topic_model_with_basis(a, r_np, n_topics, n_iters=n_iters,
                                   seed=seed, sample_rate=sample_rate,
-                                  ctx=ctx)
+                                  mesh=mesh, ctx=ctx)
 
 
 def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
                            n_topics: int, n_iters: int = 8, seed: int = 0,
-                           sample_rate: float = 1.0,
+                           sample_rate: float = 1.0, mesh=None,
                            ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     ctx = ctx or a.ctx or get_context()
     docs, vocab = a.shape
@@ -63,7 +65,11 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
     P = flash_empty((docs, proj_dim), np.float32, ctx=ctx)
     labels = flash_empty((docs,), np.int32, ctx=ctx)
     try:
-        csrmm(a, R, P, ctx=ctx)                      # project docs
+        if mesh is not None:                         # project docs
+            from ..parallel import csrmm_sharded
+            csrmm_sharded(a, R, P, mesh=mesh, ctx=ctx)
+        else:
+            csrmm(a, R, P, ctx=ctx)
         LOG.debug("topic_model: projected in %.0f ms", timer.elapsed_ms())
         if sample_rate < 1.0:
             # ISLE-style: fit centers on a doc sample (n_iters streaming
@@ -78,8 +84,18 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
                            ctx=ctx)
             centers, _ = kmeans_fit(Ps, n_topics, n_iters=n_iters,
                                     seed=seed, n_init=3, ctx=ctx)
-            _, inertia, _ = lloyds_iter(P, centers, labels_out=labels,
-                                        ctx=ctx)
+            if mesh is not None:
+                from ..parallel import lloyds_iter_ooc_sharded
+                _, inertia, _ = lloyds_iter_ooc_sharded(
+                    P, centers, labels_out=labels, mesh=mesh, ctx=ctx)
+            else:
+                _, inertia, _ = lloyds_iter(P, centers, labels_out=labels,
+                                            ctx=ctx)
+        elif mesh is not None:
+            from ..parallel import kmeans_fit_sharded
+            _, inertia = kmeans_fit_sharded(P, n_topics, n_iters=n_iters,
+                                            seed=seed, labels_out=labels,
+                                            mesh=mesh, ctx=ctx)
         else:
             _, inertia = kmeans_fit(P, n_topics, n_iters=n_iters,
                                     seed=seed, n_init=3,

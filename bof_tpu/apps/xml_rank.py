@@ -65,11 +65,13 @@ def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,
              labels_out: Optional[FlashArray] = None,
              label_blk: Optional[int] = None,
              doc_blk: Optional[int] = None,
-             ctx=None) -> Tuple[FlashArray, FlashArray]:
+             mesh=None, ctx=None) -> Tuple[FlashArray, FlashArray]:
     """Top-k labels per document: returns (scores (docs, k) float32
     descending per row, labels (docs, k) int32).  Output panels live on
     flash (caller-provided or scratch).  `label_blk` bounds the streamed
-    W panel; `doc_blk` bounds host merge memory."""
+    W panel; `doc_blk` bounds host merge memory.  With `mesh`, the
+    scoring pass runs row-sharded over the device mesh
+    (parallel/csrmm_sp.py); the top-k merge stays on the host."""
     ctx = ctx or a.ctx or w.ctx or get_context()
     cfg = ctx.config
     docs, vocab = a.shape
@@ -100,7 +102,11 @@ def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,
             s_view = (s_blk if lb == lb_max else
                       FlashArray(s_blk.store, (docs, lb), np.float32, "R",
                                  ld=lb_max, ctx=ctx))
-            csrmm(a, wt, s_view, ctx=ctx)  # S_b = A @ W_b^T, out-of-core
+            if mesh is not None:  # S_b = A @ W_b^T, row-sharded
+                from ..parallel import csrmm_sharded
+                csrmm_sharded(a, wt, s_view, mesh=mesh, ctx=ctx)
+            else:  # single-chip out-of-core pass
+                csrmm(a, wt, s_view, ctx=ctx)
 
             first = b0 == 0
             for r0 in range(0, docs, db):

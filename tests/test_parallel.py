@@ -197,3 +197,74 @@ def test_gemm_sharded_pin_failure_raises_not_hangs(ctx, rng):
             gemm_sharded(A, B, C, blk=64, mesh=make_mesh(8), ctx=small)
     finally:
         small.destroy()
+
+
+def test_xml_rank_sharded_matches_single_chip(ctx, rng):
+    """xml_rank(mesh=...) — the scoring pass row-sharded over the mesh —
+    must equal the dense golden top-k."""
+    import scipy.sparse as sps
+    from bof_tpu.apps import xml_rank
+    from bof_tpu.core.flash_array import flash_empty
+    from bof_tpu.parallel import make_mesh
+    from bof_tpu.sparse import CsrFlashMatrix
+    docs, vocab, n_labels, k = 96, 48, 25, 4
+    a_sp = sps.random(docs, vocab, density=0.12, format="csr",
+                      dtype=np.float32, random_state=np.random.RandomState(8))
+    w_np = rng.standard_normal((n_labels, vocab)).astype(np.float32)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    W = flash_empty((n_labels, vocab), np.float32, ctx=ctx)
+    W.write_all(w_np)
+    s, l = xml_rank(A, W, k, label_blk=9, mesh=make_mesh(8), ctx=ctx)
+    want = (a_sp @ w_np.T).astype(np.float32)
+    want_sorted = -np.sort(-want, axis=1)[:, :k]
+    np.testing.assert_allclose(s.read_all(), want_sorted,
+                               rtol=2e-4, atol=1e-4)
+    rows = np.arange(docs)[:, None]
+    np.testing.assert_allclose(want[rows, l.read_all()], s.read_all(),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_lanczos_sharded_matches_scipy(ctx, rng):
+    """block_lanczos_svd(mesh=...): every operator application sharded."""
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spla
+    from bof_tpu.apps import block_lanczos_svd
+    from bof_tpu.parallel import make_mesh
+    from bof_tpu.sparse import CsrFlashMatrix
+    ctx.config.max_nnzs = 2048
+    m, k, L = 200, 90, 4
+    a_sp = sps.random(m, k, density=0.06, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(4))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    sigma, v = block_lanczos_svd(A, L, tol=1e-9, mesh=make_mesh(8), ctx=ctx)
+    want = np.sort(spla.svds(a_sp.astype(np.float64), k=L,
+                             return_singular_vectors=False))[::-1]
+    np.testing.assert_allclose(sigma, want, rtol=1e-3)
+
+
+def test_topic_model_sharded_recovers_topics(ctx):
+    """topic_model(mesh=...): projection + Lloyd steps over the mesh."""
+    import scipy.sparse as sps
+    from bof_tpu.apps import topic_model
+    from bof_tpu.parallel import make_mesh
+    from bof_tpu.sparse import CsrFlashMatrix
+    n_topics, docs_per, vocab_per = 3, 80, 30
+    docs, vocab = n_topics * docs_per, n_topics * vocab_per
+    rows, cols = [], []
+    rs = np.random.RandomState(2)
+    for t in range(n_topics):
+        for d in range(docs_per):
+            for w in t * vocab_per + rs.randint(0, vocab_per, 12):
+                rows.append(t * docs_per + d)
+                cols.append(w)
+    A_sp = sps.csr_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                          shape=(docs, vocab))
+    A_sp.sum_duplicates()
+    ctx.config.max_nnzs = 2048
+    A = CsrFlashMatrix.from_scipy(A_sp, ctx=ctx)
+    tw, labels = topic_model(A, n_topics, proj_dim=16, n_iters=8,
+                             mesh=make_mesh(8), ctx=ctx)
+    purity = sum(np.bincount(labels[t * docs_per:(t + 1) * docs_per],
+                             minlength=n_topics).max()
+                 for t in range(n_topics))
+    assert purity / docs > 0.9
