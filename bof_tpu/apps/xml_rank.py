@@ -11,18 +11,20 @@ top-k labels per document:
     topk(S, k)         per-document label ranking.
 
 Neither S (docs x labels — at Table 6 scale hundreds of GB) nor W fits
-DRAM, so both stream:
+DRAM, so both stream.  Two execution paths:
 
-  per label block W_b (lb rows of W):
-    1. S_b = A @ W_b^T   one out-of-core csrmm pass (W_b^T is a zero-copy
-                         column-major FlashArray view of W's bytes);
-                         S_b lands on flash scratch, like the reference
-                         kmeans kernel writing its distance matrix to
-                         flash before the argmin pass
-                         (drivers/kmeans.cpp:94-99);
-    2. running top-k     stream S_b and the (docs x k) running score/label
-                         panels in doc row blocks; merge on the host
-                         (argpartition, memory-bound).
+- **Fused device path (default on a device backend).** Per label block,
+  sparse row blocks stream through the pinned tile cache; the device
+  computes the ELL block product AND `lax.top_k` in one jitted step, so
+  only (rows x k) scores+ids cross the link instead of (rows x lb) —
+  an lb/k reduction in D2H — and the (docs x lb) score panel never
+  exists anywhere.  The distance-matrix-free fused Lloyd of
+  ops/kmeans.py, applied to ranking.
+- **csrmm-composition path** (host sparse compute, or `mesh=`): per
+  label block, S_b = A @ W_b^T lands on flash scratch via one csrmm
+  pass (like the reference kmeans kernel writing its distance matrix
+  to flash before the argmin pass, drivers/kmeans.cpp:94-99), then the
+  running (docs x k) top-k panels merge per doc block on the host.
 
 Peak DRAM is O(doc block x (lb + k)); every heavy pass is a library
 kernel.  The reference repo ships no XML code (the paper linked the
@@ -31,6 +33,7 @@ composition, not a tree-ensemble port.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -39,6 +42,26 @@ from ..context import get_context
 from ..core.flash_array import FlashArray, flash_empty, flash_free
 from ..sparse import CsrFlashMatrix, csrmm
 from ..utils import LOG, Timer
+
+
+@functools.lru_cache(maxsize=None)
+def _topk_step(k: int):
+    """jitted (b_panel (vocab, lbmax), ja_ell, va_ell, label_mask) ->
+    (top-k scores, top-k label offsets): the ELL block product and the
+    per-row top-k fused in one device step — the (rows x lb) score panel
+    never leaves the device.  label_mask is 0 for real labels, -inf for
+    the padded tail (zero-padded W columns would otherwise score 0 and
+    beat real negative scores)."""
+    import jax
+
+    from ..sparse.spmm_device import spmm_ell_block
+
+    @jax.jit
+    def step(b_panel, ja_ell, va_ell, label_mask):
+        s = spmm_ell_block(b_panel, ja_ell, va_ell) + label_mask[None, :]
+        return jax.lax.top_k(s, k)
+
+    return step
 
 
 def _label_axis(w: FlashArray) -> Tuple[int, int]:
@@ -60,18 +83,123 @@ def _wt_view(w: FlashArray, b0: int, lb: int, vocab: int) -> FlashArray:
                       ld=w.ld, ctx=w.ctx)
 
 
+def _merge_topk(scores: FlashArray, labels: FlashArray, r0: int,
+                s_new: np.ndarray, l_new: np.ndarray, k: int, first: bool):
+    """Merge (bn, w) candidate scores/labels into the running flash-
+    resident (docs, k) top-k panels at doc rows [r0, r0+bn)."""
+    bn = s_new.shape[0]
+    if first:
+        cand_s, cand_l = s_new, l_new
+    else:
+        cand_s = np.concatenate([scores.read_block(r0, bn, 0, k), s_new],
+                                axis=1)
+        cand_l = np.concatenate([labels.read_block(r0, bn, 0, k), l_new],
+                                axis=1)
+    if cand_s.shape[1] > k:
+        part = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
+    else:  # first candidates narrower than k: pad to full width
+        pad = k - cand_s.shape[1]
+        cand_s = np.concatenate(
+            [cand_s, np.full((bn, pad), -np.inf, np.float32)], axis=1)
+        cand_l = np.concatenate(
+            [cand_l, np.full((bn, pad), -1, np.int32)], axis=1)
+        part = np.broadcast_to(np.arange(k), (bn, k))
+    rows = np.arange(bn)[:, None]
+    top_s = cand_s[rows, part]
+    top_l = cand_l[rows, part]
+    order = np.argsort(-top_s, axis=1, kind="stable")
+    scores.write_block(r0, top_s[rows, order].astype(np.float32), 0)
+    labels.write_block(r0, top_l[rows, order].astype(np.int32), 0)
+
+
+def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
+                    scores: FlashArray, labels: FlashArray,
+                    lb_max: int, ctx) -> None:
+    """Fused device path: ELL block product + lax.top_k in one jitted
+    step per sparse row range — only (rows x k) crosses the link and no
+    score panel is ever materialized (host, flash, or HBM)."""
+    import jax.numpy as jnp
+
+    from ..core.pipeline import PrefetchSeq
+    from ..sparse import spmm_device as sdev
+    from ..sparse.csr import fill_row_blocks
+
+    cfg = ctx.config
+    docs, vocab = a.shape
+    n_labels, _ = _label_axis(w)
+    lb_max = max(lb_max, k)  # lax.top_k needs k <= the label axis
+    ia_np = a.read_ia()
+    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
+    entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // max(lb_max * 4, 1)))
+    cache = ctx.pin_cache()
+    idt, vdt = a.ja.dtype, a.vals.dtype
+    step = _topk_step(k)
+
+    accesses = []
+    for r, e in blocks:
+        i0, i1 = int(ia_np[r]), int(ia_np[e])
+        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
+        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
+
+    for b0 in range(0, n_labels, lb_max):
+        lb = min(lb_max, n_labels - b0)
+        # (lb, vocab) contiguous label rows for either W layout
+        wt_st = _wt_view(w, b0, lb, vocab).read_block_storage(0, vocab,
+                                                              0, lb)
+        if lb < lb_max:
+            wt_pad = np.zeros((lb_max, vocab), np.float32)
+            wt_pad[:lb] = wt_st
+        else:
+            wt_pad = wt_st
+        b_panel = jnp.asarray(wt_pad).T  # (vocab, lb_max), device transpose
+        mask = np.zeros(lb_max, np.float32)
+        mask[lb:] = -np.inf  # padded labels must never win the top-k
+        mask_dev = jnp.asarray(mask)
+        first = b0 == 0
+
+        pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
+        try:
+            for bi, (r, e) in enumerate(blocks):
+                i0 = int(ia_np[r])
+                ja_blk = pf.get(2 * bi).view(idt)
+                va_blk = pf.get(2 * bi + 1).view(vdt)
+                blk_ia = ia_np[r:e + 1] - i0
+                counts = np.diff(blk_ia)
+                for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                    sub_ia = blk_ia[s0:s1 + 1]
+                    lo, hi = int(sub_ia[0]), int(sub_ia[-1])
+                    ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
+                                                 va_blk[lo:hi])
+                    vals, idx = step(b_panel, jnp.asarray(ja_ell),
+                                     jnp.asarray(va_ell), mask_dev)
+                    rows_n = s1 - s0
+                    s_new = np.asarray(vals)[:rows_n]
+                    l_new = (np.asarray(idx)[:rows_n] + b0).astype(np.int32)
+                    _merge_topk(scores, labels, r + s0, s_new, l_new, k,
+                                first)
+                pf.done(2 * bi)
+                pf.done(2 * bi + 1)
+        finally:
+            pf.close()
+
+
 def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,
              scores_out: Optional[FlashArray] = None,
              labels_out: Optional[FlashArray] = None,
              label_blk: Optional[int] = None,
              doc_blk: Optional[int] = None,
+             fused: Optional[bool] = None,
              mesh=None, ctx=None) -> Tuple[FlashArray, FlashArray]:
     """Top-k labels per document: returns (scores (docs, k) float32
     descending per row, labels (docs, k) int32).  Output panels live on
     flash (caller-provided or scratch).  `label_blk` bounds the streamed
     W panel; `doc_blk` bounds host merge memory.  With `mesh`, the
     scoring pass runs row-sharded over the device mesh
-    (parallel/csrmm_sp.py); the top-k merge stays on the host."""
+    (parallel/csrmm_sp.py); the top-k merge stays on the host.
+
+    `fused` selects the single-device fused product+top_k path (default:
+    on, unless a mesh is given or the link/problem heuristic picks host
+    sparse compute — the same placement logic as csrmm)."""
     ctx = ctx or a.ctx or w.ctx or get_context()
     cfg = ctx.config
     docs, vocab = a.shape
@@ -94,6 +222,19 @@ def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,
         raise ValueError("output panels must be (docs, k)")
 
     timer = Timer()
+    if fused is None:
+        from ..sparse.csrmm import _resolve_sparse_compute
+        fused = (mesh is None
+                 and _resolve_sparse_compute(cfg, docs, vocab, lb_max,
+                                             a.nnz) != "host")
+    if fused and mesh is None:
+        _xml_rank_fused(a, w, k, scores, labels, lb_max, ctx)
+        scores.store.flush()
+        labels.store.flush()
+        LOG.debug("xml_rank[fused]: %d docs x %d labels top-%d in %.0f ms",
+                  docs, n_labels, k, timer.elapsed_ms())
+        return scores, labels
+
     s_blk = flash_empty((docs, lb_max), np.float32, ctx=ctx)
     try:
         for b0 in range(0, n_labels, lb_max):
@@ -109,39 +250,12 @@ def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,
                 csrmm(a, wt, s_view, ctx=ctx)
 
             first = b0 == 0
+            lab_ids = np.arange(b0, b0 + lb, dtype=np.int32)
             for r0 in range(0, docs, db):
                 bn = min(db, docs - r0)
                 s_new = s_view.read_block(r0, bn, 0, lb)
-                if first:
-                    cand_s = s_new
-                    cand_l = np.broadcast_to(
-                        np.arange(b0, b0 + lb, dtype=np.int32), (bn, lb))
-                else:
-                    cur_s = scores.read_block(r0, bn, 0, k)
-                    cur_l = labels.read_block(r0, bn, 0, k)
-                    cand_s = np.concatenate([cur_s, s_new], axis=1)
-                    cand_l = np.concatenate(
-                        [cur_l, np.broadcast_to(
-                            np.arange(b0, b0 + lb, dtype=np.int32),
-                            (bn, lb))], axis=1)
-                if cand_s.shape[1] > k:
-                    part = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
-                else:  # first block narrower than k: pad to full width
-                    pad = k - cand_s.shape[1]
-                    cand_s = np.concatenate(
-                        [cand_s, np.full((bn, pad), -np.inf, np.float32)],
-                        axis=1)
-                    cand_l = np.concatenate(
-                        [cand_l, np.full((bn, pad), -1, np.int32)], axis=1)
-                    part = np.broadcast_to(np.arange(k), (bn, k))
-                rows = np.arange(bn)[:, None]
-                top_s = cand_s[rows, part]
-                top_l = cand_l[rows, part]
-                order = np.argsort(-top_s, axis=1, kind="stable")
-                scores.write_block(r0, top_s[rows, order]
-                                   .astype(np.float32), 0)
-                labels.write_block(r0, top_l[rows, order]
-                                   .astype(np.int32), 0)
+                _merge_topk(scores, labels, r0, s_new,
+                            np.broadcast_to(lab_ids, (bn, lb)), k, first)
         scores.store.flush()
         labels.store.flush()
         LOG.debug("xml_rank: %d docs x %d labels top-%d in %.0f ms "

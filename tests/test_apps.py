@@ -214,10 +214,12 @@ def _check_topk(got_s, got_l, want_dense_scores, k):
                                rtol=2e-4, atol=1e-4)
 
 
-def test_xml_rank_matches_dense_topk(ctx, rng):
+@pytest.mark.parametrize("fused", [True, False])
+def test_xml_rank_matches_dense_topk(ctx, rng, fused):
     """xml_rank streamed over many label AND doc blocks equals dense
     top-k (paper Table 6 workload shape: sparse docs x linear label
-    model)."""
+    model), on both the fused device-top_k path and the
+    csrmm-composition path."""
     from bof_tpu.apps import xml_rank
     from bof_tpu.core.flash_array import flash_empty
     docs, vocab, n_labels, k = 257, 96, 83, 7
@@ -228,14 +230,17 @@ def test_xml_rank_matches_dense_topk(ctx, rng):
     W = flash_empty((n_labels, vocab), np.float32, ctx=ctx)
     W.write_all(w_np)
     ctx.config.max_nnzs = 512  # many sparse row blocks inside csrmm
-    s, l = xml_rank(A, W, k, label_blk=19, doc_blk=41, ctx=ctx)
+    s, l = xml_rank(A, W, k, label_blk=19, doc_blk=41, fused=fused,
+                    ctx=ctx)
     want = (a_sp @ w_np.T).astype(np.float32)
     _check_topk(s.read_all(), l.read_all(), want, k)
 
 
-def test_xml_rank_colmajor_w_and_wide_k(ctx, rng):
+@pytest.mark.parametrize("fused", [True, False])
+def test_xml_rank_colmajor_w_and_wide_k(ctx, rng, fused):
     """W as (vocab x labels) column-major (same bytes, other metadata) and
-    k wider than the first label block (exercises the -inf pad path)."""
+    k wider than the first label block (exercises the -inf pad path on
+    the composition path and the lb_max>=k clamp on the fused path)."""
     from bof_tpu.apps import xml_rank
     from bof_tpu.core.flash_array import flash_empty
     docs, vocab, n_labels, k = 64, 40, 30, 9
@@ -245,6 +250,6 @@ def test_xml_rank_colmajor_w_and_wide_k(ctx, rng):
     A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
     W = flash_empty((vocab, n_labels), np.float32, order="C", ctx=ctx)
     W.write_all(w_np.T)  # label-major lines, like the row-major case
-    s, l = xml_rank(A, W, k, label_blk=4, ctx=ctx)  # 4 < k=9
+    s, l = xml_rank(A, W, k, label_blk=4, fused=fused, ctx=ctx)  # 4 < k=9
     want = (a_sp @ w_np.T).astype(np.float32)
     _check_topk(s.read_all(), l.read_all(), want, k)
