@@ -35,13 +35,65 @@ from ..sparse import CsrFlashMatrix, csrcsc_scratch, csrmm
 from ..utils import LOG, METRICS, Timer
 
 
+def _apply_ata_one_pass(a: CsrFlashMatrix, v_np: np.ndarray,
+                        ctx) -> np.ndarray:
+    """U = A^T (A V) in ONE streaming pass over A's row blocks: per
+    nnz-budgeted block, W_rb = A_rb V and U += A_rb^T W_rb, both host
+    block products on the pinned tile (the reference's MKL-on-host
+    execution model, csrmm_task.h).  A's bytes cross the disk exactly
+    once per operator application; the (m x b) intermediate panel and
+    the materialized transpose never exist anywhere — strictly less I/O
+    than the two-csrmm composition (which reads A, writes+reads W, and
+    reads the csrcsc'd A^T)."""
+    import scipy.sparse as sps
+
+    from ..core.pipeline import PrefetchSeq
+    from ..sparse.csr import fill_row_blocks
+
+    cfg = ctx.config
+    m, k = a.shape
+    ia_np = a.read_ia()
+    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
+    cache = ctx.pin_cache()
+    idt, vdt = a.ja.dtype, a.vals.dtype
+    accesses = []
+    for r, e in blocks:
+        i0, i1 = int(ia_np[r]), int(ia_np[e])
+        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
+        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
+    v32 = np.ascontiguousarray(v_np, np.float32)
+    U = np.zeros((k, v32.shape[1]), np.float64)
+    pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
+    try:
+        for bi, (r, e) in enumerate(blocks):
+            i0, i1 = int(ia_np[r]), int(ia_np[e])
+            ja_blk = pf.get(2 * bi).view(idt)
+            va_blk = pf.get(2 * bi + 1).view(vdt)
+            blk = sps.csr_matrix(
+                (va_blk, ja_blk.astype(np.int64),
+                 (ia_np[r:e + 1] - i0).astype(np.int64)),
+                shape=(e - r, k))
+            w_rb = blk @ v32                     # (rows, b)
+            U += blk.T @ w_rb                    # (k, b) accumulate
+            pf.done(2 * bi)
+            pf.done(2 * bi + 1)
+    finally:
+        pf.close()
+    METRICS.add("eig.op_applies")
+    return U
+
+
 def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
-                    seed: int = 0, tol: float = 1e-6, ctx=None
+                    seed: int = 0, tol: float = 1e-6,
+                    one_pass: Optional[bool] = None, ctx=None
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Top `n_vals` singular values and right singular vectors of A.
 
-    Returns (sigma (L,) descending, V (k, L)).  V/W panels live on flash;
-    only (k x L) and (L x L) host matrices are resident.
+    Returns (sigma (L,) descending, V (k, L)).  Only (k x L) and (L x L)
+    host matrices are resident.  `one_pass` (default on) applies A^T A
+    in one streaming pass over A; one_pass=False materializes A^T via
+    csrcsc and composes two csrmm passes (the reference's 'T' dispatch
+    structure, csrmm.cpp:364-420).
     """
     ctx = ctx or a.ctx or get_context()
     m, k = a.shape
@@ -49,23 +101,29 @@ def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
     rng = np.random.default_rng(seed)
     timer = Timer()
 
-    at = csrcsc_scratch(a, ctx=ctx)  # A^T, materialized once
+    at = W = None
+    if one_pass is None or one_pass:
+        def half_step(v_np):
+            return _apply_ata_one_pass(a, v_np, ctx)
+    else:
+        at = csrcsc_scratch(a, ctx=ctx)  # A^T, materialized once
+        W = flash_empty((m, L), np.float32, ctx=ctx)
+        V = mem_array((k, L), np.float32, ctx=ctx)
+        U = mem_array((k, L), np.float32, ctx=ctx)
+
+        def half_step(v_np):
+            """U = (A^T A) V via two flash csrmm passes."""
+            V.write_all(v_np.astype(np.float32))
+            csrmm(a, V, W, ctx=ctx)
+            csrmm(at, W, U, ctx=ctx)
+            METRICS.add("eig.op_applies")
+            return U.read_all().astype(np.float64)
+
     v_np, _ = np.linalg.qr(rng.standard_normal((k, L)))
-    V = mem_array((k, L), np.float32, data=v_np.astype(np.float32), ctx=ctx)
-    W = flash_empty((m, L), np.float32, ctx=ctx)
-    U = mem_array((k, L), np.float32, ctx=ctx)
-
-    def half_step():
-        """U = (A^T A) V via two flash csrmm passes."""
-        csrmm(a, V, W, ctx=ctx)
-        csrmm(at, W, U, ctx=ctx)
-        METRICS.add("eig.op_applies")
-        return U.read_all().astype(np.float64)
-
     try:
         sigma = np.zeros(L)
         for it in range(n_iters):
-            u_np = half_step()
+            u_np = half_step(v_np)
             g = v_np.T @ u_np                     # Rayleigh quotient
             evals = np.linalg.eigvalsh((g + g.T) / 2)[::-1][:L]
             new_sigma = np.sqrt(np.maximum(evals, 0.0))
@@ -73,13 +131,12 @@ def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
                           / (np.abs(new_sigma).max() or 1.0))
             sigma = new_sigma
             v_np, _ = np.linalg.qr(u_np)          # power step
-            V.write_all(v_np.astype(np.float32))
             LOG.debug("svd iter %d: sigma_max %.6g delta %.2e (%.0f ms)",
                       it, sigma[0] if L else 0.0, delta, timer.elapsed_ms())
             if it > 0 and delta < tol:
                 break
         # final Rayleigh-Ritz rotation on the converged subspace
-        u_np = half_step()
+        u_np = half_step(v_np)
         g = v_np.T @ u_np
         evals, evecs = np.linalg.eigh((g + g.T) / 2)
         order = np.argsort(evals)[::-1][:L]
@@ -87,9 +144,11 @@ def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
         v_out = (v_np @ evecs[:, order]).astype(np.float32)
         return sigma, v_out
     finally:
-        flash_free(W)
-        for arr in (at.ia, at.ja, at.vals):
-            flash_free(arr)
+        if W is not None:
+            flash_free(W)
+        if at is not None:
+            for arr in (at.ia, at.ja, at.vals):
+                flash_free(arr)
 
 
 def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
@@ -97,6 +156,7 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
                       max_kdim: Optional[int] = None,
                       n_restarts: int = 8, tol: float = 1e-6,
                       seed: int = 0, state_path: Optional[str] = None,
+                      one_pass: Optional[bool] = None,
                       mesh=None, ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     """Top `n_vals` singular values / right singular vectors of A by block
     Lanczos with thick restart on B = A^T A (the paper's block
@@ -117,7 +177,10 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
 
     With `mesh`, both csrmm passes of every operator application run
     row-sharded over the device mesh (parallel/csrmm_sp.py); the small
-    host-side Krylov algebra is unchanged.
+    host-side Krylov algebra is unchanged.  `one_pass` (default on when
+    no mesh is given) applies the operator in a single streaming pass
+    over A (_apply_ata_one_pass) instead of materializing A^T + the W
+    panel — strictly less I/O per application.
 
     Returns (sigma (L,) descending, V (k, L))."""
     import os
@@ -131,34 +194,42 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     rng = np.random.default_rng(seed)
     timer = Timer()
 
-    at = csrcsc_scratch(a, ctx=ctx)  # A^T, materialized once
-    W = flash_empty((m, b), np.float32, ctx=ctx)
-
-    if mesh is not None:
-        from ..parallel import csrmm_sharded
-
-        def _spmm(mat, x, out):
-            csrmm_sharded(mat, x, out, mesh=mesh, ctx=ctx)
+    if one_pass is None:
+        one_pass = mesh is None
+    at = W = None
+    if one_pass and mesh is None:
+        def apply_op(v_np: np.ndarray) -> np.ndarray:
+            """B v = A^T (A v) in one streaming pass over A."""
+            return _apply_ata_one_pass(a, v_np, ctx)
     else:
-        def _spmm(mat, x, out):
-            csrmm(mat, x, out, ctx=ctx)
+        at = csrcsc_scratch(a, ctx=ctx)  # A^T, materialized once
+        W = flash_empty((m, b), np.float32, ctx=ctx)
 
-    def apply_op(v_np: np.ndarray) -> np.ndarray:
-        """B v = A^T (A v), (k, w) -> (k, w) float64, w <= b."""
-        w = v_np.shape[1]
-        Vp = mem_array((k, w), np.float32,
-                       data=v_np.astype(np.float32), ctx=ctx)
-        Wp = (W if w == b
-              else flash_empty((m, w), np.float32, ctx=ctx))
-        Up = mem_array((k, w), np.float32, ctx=ctx)
-        try:
-            _spmm(a, Vp, Wp)
-            _spmm(at, Wp, Up)
-        finally:
-            if Wp is not W:
-                flash_free(Wp)
-        METRICS.add("eig.op_applies")
-        return Up.read_all().astype(np.float64)
+        if mesh is not None:
+            from ..parallel import csrmm_sharded
+
+            def _spmm(mat, x, out):
+                csrmm_sharded(mat, x, out, mesh=mesh, ctx=ctx)
+        else:
+            def _spmm(mat, x, out):
+                csrmm(mat, x, out, ctx=ctx)
+
+        def apply_op(v_np: np.ndarray) -> np.ndarray:
+            """B v = A^T (A v), (k, w) -> (k, w) float64, w <= b."""
+            w = v_np.shape[1]
+            Vp = mem_array((k, w), np.float32,
+                           data=v_np.astype(np.float32), ctx=ctx)
+            Wp = (W if w == b
+                  else flash_empty((m, w), np.float32, ctx=ctx))
+            Up = mem_array((k, w), np.float32, ctx=ctx)
+            try:
+                _spmm(a, Vp, Wp)
+                _spmm(at, Wp, Up)
+            finally:
+                if Wp is not W:
+                    flash_free(Wp)
+            METRICS.add("eig.op_applies")
+            return Up.read_all().astype(np.float64)
 
     def orthonormalize(R: np.ndarray, basis: Optional[np.ndarray]):
         """Two-pass block Gram-Schmidt against `basis`, then QR; random
@@ -249,6 +320,8 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
         sigma = np.sqrt(ritz_theta)
         return sigma, ritz_Y.astype(np.float32)
     finally:
-        flash_free(W)
-        for arr in (at.ia, at.ja, at.vals):
-            flash_free(arr)
+        if W is not None:
+            flash_free(W)
+        if at is not None:
+            for arr in (at.ia, at.ja, at.vals):
+                flash_free(arr)

@@ -26,18 +26,24 @@ def main(argv=None):
     p.add_argument("--state", default=None,
                    help="lanczos checkpoint file: interrupted runs resume "
                         "from the last completed restart cycle")
+    p.add_argument("--two-pass", action="store_true",
+                   help="apply A^T A as csrcsc + two csrmm passes (the "
+                        "reference's 'T' dispatch structure) instead of "
+                        "the default single streaming pass over A")
     args = p.parse_args(argv)
     ctx = make_context(args)
     A = CsrFlashMatrix.map_files(args.a_prefix, (args.m, args.k), ctx=ctx)
     with Timed("eigensolver",
                flops=4.0 * A.nnz * args.n_vals * args.iters):
+        one_pass = not args.two_pass
         if args.solver == "lanczos":
             sigma, _v = block_lanczos_svd(A, args.n_vals,
                                           n_restarts=args.iters,
-                                          state_path=args.state, ctx=ctx)
+                                          state_path=args.state,
+                                          one_pass=one_pass, ctx=ctx)
         else:
             sigma, _v = block_power_svd(A, args.n_vals, n_iters=args.iters,
-                                        ctx=ctx)
+                                        one_pass=one_pass, ctx=ctx)
     print("singular values:", " ".join(f"{s:.6g}" for s in sigma))
     ctx.destroy()
 

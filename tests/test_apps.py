@@ -10,13 +10,15 @@ from bof_tpu.apps import block_power_svd
 from bof_tpu.sparse import CsrFlashMatrix
 
 
-def test_block_power_svd_matches_scipy(ctx, rng):
+@pytest.mark.parametrize("one_pass", [True, False])
+def test_block_power_svd_matches_scipy(ctx, rng, one_pass):
     ctx.config.max_nnzs = 2048
     m, k, L = 300, 120, 5
     a_sp = sps.random(m, k, density=0.05, format="csr", dtype=np.float32,
                       random_state=np.random.RandomState(3))
     A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
-    sigma, v = block_power_svd(A, L, n_iters=40, tol=1e-9, ctx=ctx)
+    sigma, v = block_power_svd(A, L, n_iters=40, tol=1e-9,
+                               one_pass=one_pass, ctx=ctx)
     want = np.sort(spla.svds(a_sp.astype(np.float64), k=L,
                              return_singular_vectors=False))[::-1]
     np.testing.assert_allclose(sigma, want, rtol=1e-3)
@@ -94,7 +96,8 @@ def test_lift_topics_streams_and_matches_dense_onehot(ctx, rng):
     np.testing.assert_allclose(T2, want, rtol=1e-5, atol=1e-5)
 
 
-def test_block_lanczos_svd_matches_scipy(ctx, rng):
+@pytest.mark.parametrize("one_pass", [True, False])
+def test_block_lanczos_svd_matches_scipy(ctx, rng, one_pass):
     ctx.config.max_nnzs = 2048
     m, k, L = 300, 120, 5
     a_sp = sps.random(m, k, density=0.05, format="csr", dtype=np.float32,
@@ -102,7 +105,7 @@ def test_block_lanczos_svd_matches_scipy(ctx, rng):
     from bof_tpu.apps import block_lanczos_svd
     sigma, v = block_lanczos_svd(A := CsrFlashMatrix.from_scipy(a_sp,
                                                                 ctx=ctx),
-                                 L, tol=1e-9, ctx=ctx)
+                                 L, tol=1e-9, one_pass=one_pass, ctx=ctx)
     want = np.sort(spla.svds(a_sp.astype(np.float64), k=L,
                              return_singular_vectors=False))[::-1]
     np.testing.assert_allclose(sigma, want, rtol=1e-3)
