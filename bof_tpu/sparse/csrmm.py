@@ -70,6 +70,15 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
     """
     ctx = ctx or b.ctx or get_context()
     if transa.upper() == "T":
+        # fast path: when the (k, n) output fits the host budget, stream
+        # A's row blocks ONCE and accumulate C += A_rb^T B_rb in DRAM —
+        # no transpose materialization, no extra passes (measured 11x on
+        # the eigensolver's identical operator, docs/PERFORMANCE.md).
+        # Larger C falls back to the reference's structure: materialize
+        # A^T via csrcsc and recurse as 'N' (csrmm.cpp:364-420).
+        if (c.nbytes + b.nbytes) * 2 <= ctx.config.program_budget:
+            _csrmm_trans_streaming(a, b, c, alpha, beta, ctx)
+            return
         from .csrcsc import csrcsc_scratch
         at = csrcsc_scratch(a, ctx=ctx)
         try:
@@ -140,6 +149,67 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
     METRICS.add("csrmm.ms", timer.elapsed_ms())
     LOG.debug("csrmm %dx%dx%d nnz=%d done in %.1f ms (%d k-ranges)",
               m, k, n, a.nnz, timer.elapsed_ms(), len(k_ranges))
+
+
+def _csrmm_trans_streaming(a, b, c, alpha, beta, ctx):
+    """C = alpha * A^T B + beta * C in one streaming pass over A's row
+    blocks, accumulating the DRAM-resident (k, n) output per block:
+    C += A_rb^T B_rb (host products — TPU scatter would serialize).
+    Preconditions checked by the dispatcher: C and the B rows fit the
+    host budget."""
+    import scipy.sparse as sps
+
+    from .csr import fill_row_blocks
+
+    cfg = ctx.config
+    m, k = a.shape
+    n = b.shape[1]
+    if b.shape[0] != m:
+        raise ValueError(f"B rows {b.shape[0]} != op(A) cols {m}")
+    if c.shape != (k, n):
+        raise ValueError(f"C shape {c.shape} != ({k}, {n})")
+    if not (b.dtype == c.dtype == a.vals.dtype):
+        raise ValueError(
+            f"mixed dtypes not supported: vals {a.vals.dtype}, "
+            f"B {b.dtype}, C {c.dtype}")
+
+    timer = Timer()
+    ia_np = a.read_ia()
+    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
+    cache = ctx.pin_cache()
+    idt, vdt = a.ja.dtype, a.vals.dtype
+    accesses = []
+    for r, e in blocks:
+        i0, i1 = int(ia_np[r]), int(ia_np[e])
+        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
+        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
+    pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
+    acc = np.zeros((k, n), np.float64)
+    try:
+        for bi, (r, e) in enumerate(blocks):
+            i0, i1 = int(ia_np[r]), int(ia_np[e])
+            ja_blk = pf.get(2 * bi).view(idt)
+            va_blk = pf.get(2 * bi + 1).view(vdt)
+            if cfg.debug_checks:
+                from .csr import verify_csr_block
+                verify_csr_block(ia_np[r:e + 1], ja_blk, k, i1 - i0)
+            blk = sps.csr_matrix(
+                (va_blk, ja_blk.astype(np.int64),
+                 (ia_np[r:e + 1] - i0).astype(np.int64)),
+                shape=(e - r, k))
+            acc += blk.T @ b.read_block(r, e - r, 0, n)
+            pf.done(2 * bi)
+            pf.done(2 * bi + 1)
+    finally:
+        pf.close()
+    out = alpha * acc
+    if beta != 0.0:
+        out += beta * c.read_block(0, k, 0, n).astype(np.float64)
+    c.write_block(0, out.astype(vdt))
+    c.store.flush()
+    METRICS.add("csrmm.ms", timer.elapsed_ms())
+    LOG.debug("csrmm 'T' streaming %dx%dx%d nnz=%d done in %.1f ms",
+              m, k, n, a.nnz, timer.elapsed_ms())
 
 
 def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,

@@ -68,19 +68,27 @@ def test_csrmm_c_order_output(ctx, rng):
                                atol=1e-4)
 
 
-def test_csrmm_transposed(ctx, rng):
-    """'T' path: transposes A via csrcsc scratch then recurses
-    (reference: csrmm.cpp:364-420)."""
+@pytest.mark.parametrize("path", ["streaming", "csrcsc"])
+def test_csrmm_transposed(ctx, rng, path):
+    """'T' dispatch, both structures: the one-pass streaming accumulate
+    (C fits DRAM) and the csrcsc-materialize + recurse fallback
+    (reference: csrmm.cpp:364-420), with alpha/beta."""
     small_cfg(ctx)
+    if path == "csrcsc":
+        # shrink the budget below 2*(|B|+|C|) so dispatch falls back
+        ctx.config.program_budget = 16 << 10
+        ctx.config.max_nnzs = 1 << 20
     m, k, n = 180, 90, 30
     a_sp = rand_csr(rng, m, k, 0.04)
     A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
     b_np = rng.standard_normal((m, n)).astype(np.float32)
+    c0_np = rng.standard_normal((k, n)).astype(np.float32)
     B = mem_array((m, n), np.float32, "R", data=b_np, ctx=ctx)
-    C = mem_array((k, n), np.float32, "R", ctx=ctx)
-    csrmm(A, B, C, transa="T", ctx=ctx)
-    np.testing.assert_allclose(C.read_all(), a_sp.T @ b_np, rtol=1e-4,
-                               atol=1e-4)
+    C = mem_array((k, n), np.float32, "R", data=c0_np, ctx=ctx)
+    csrmm(A, B, C, alpha=0.5, beta=2.0, transa="T", ctx=ctx)
+    np.testing.assert_allclose(C.read_all(),
+                               0.5 * (a_sp.T @ b_np) + 2.0 * c0_np,
+                               rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("trans", ["N", "T"])
