@@ -224,7 +224,11 @@ def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,
     timer = Timer()
     if fused is None:
         from ..sparse.csrmm import _resolve_sparse_compute
+        # the fused step holds the whole (vocab x lb) W panel in HBM;
+        # at huge vocab fall back to the composition path, whose csrmm
+        # K-splits oversized panels
         fused = (mesh is None
+                 and vocab * max(lb_max, k) * 4 <= cfg.hbm_budget // 3
                  and _resolve_sparse_compute(cfg, docs, vocab, lb_max,
                                              a.nnz) != "host")
     if fused and mesh is None:
