@@ -127,6 +127,69 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     return new_centers.astype(np.float32), inertia, counts_np
 
 
+def _device_points(points: FlashArray, ctx):
+    """Upload the whole point panel to HBM once (used by kmeans_fit when
+    it fits the HBM budget: multi-iteration fits then cost ONE link
+    crossing total instead of one full stream per Lloyd pass).  Returns
+    (p_dev (n, d) float32 device-resident, sum |p|^2 as float64)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d = points.shape
+    host = points.read_block(0, n, 0, d).astype(np.float32, copy=False)
+    p_norm2 = float((host.astype(np.float64) ** 2).sum())
+    p_dev = jax.device_put(host)
+    float(np.asarray(jnp.sum(p_dev[:1, :1])))  # force the upload now
+    return p_dev, p_norm2
+
+
+def _lloyds_iter_device(p_dev, p_norm2: float, centers: np.ndarray,
+                        labels_out: Optional[FlashArray] = None,
+                        ctx=None) -> Tuple[np.ndarray, float, np.ndarray]:
+    """One Lloyd iteration over HBM-resident points: the same fused
+    block step as lloyds_iter, sliced from the resident panel instead of
+    streamed from flash."""
+    import jax.numpy as jnp
+
+    ctx = ctx or get_context()
+    cfg = ctx.config
+    n, d = p_dev.shape
+    k = centers.shape[0]
+    prec = getattr(cfg, "matmul_precision", "highest")
+    lloyd_block = _jit_steps()
+    # chunk so the (chunk, k) one-hot intermediate stays modest; one tail
+    # shape at most per fit
+    chunk = max(1024, min(n, int(cfg.hbm_budget // 8 // max(4 * k, 1))))
+
+    centers = np.ascontiguousarray(centers, dtype=np.float32)
+    c_dev = jnp.asarray(centers)
+    c_norms = jnp.sum(c_dev * c_dev, axis=1)
+    sums = jnp.zeros((k, d), jnp.float32)
+    counts = jnp.zeros((k,), jnp.float32)
+    inertia = p_norm2
+    write_tickets = []
+    for r0 in range(0, n, chunk):
+        bn = min(chunk, n - r0)
+        labels, mind, sums, counts = lloyd_block(
+            p_dev[r0:r0 + bn], c_dev, c_norms, sums, counts,
+            n_centers=k, prec=prec)
+        inertia += float(np.asarray(mind, np.float64).sum())
+        if labels_out is not None:
+            lab_np = np.asarray(labels, dtype=np.int32)
+            off, sinfo = labels_out.block_access(r0, bn)
+            write_tickets.append(labels_out.store.write(
+                off, sinfo, lab_np.view(np.uint8).ravel()))
+    for t in write_tickets:
+        t.wait()
+    if labels_out is not None:
+        labels_out.store.flush()
+    counts_np = np.asarray(counts)
+    sums_np = np.asarray(sums)
+    safe = np.maximum(counts_np, 1.0)[:, None]
+    new_centers = np.where(counts_np[:, None] > 0, sums_np / safe, centers)
+    return new_centers.astype(np.float32), inertia, counts_np
+
+
 def _sample_indices(n: int, s: int, rng) -> np.ndarray:
     """s distinct sorted indices from [0, n) in O(s) memory
     (rng.choice(replace=False) permutes the whole population — O(n) host
@@ -189,9 +252,33 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
     init='kmeans++' seeds on a point sample; init='random' picks random
     distinct points (the reference's seeding).  n_init > 1 runs multiple
     restarts and keeps the lowest-inertia fit (each restart is a full set
-    of streaming passes — budget accordingly for out-of-core data)."""
+    of streaming passes — budget accordingly for out-of-core data).
+
+    HBM tier: when the whole point panel fits the HBM budget it uploads
+    ONCE and every iteration/restart slices the resident panel — a
+    multi-pass fit then costs one host->device crossing total (the same
+    residency policy as gemm's HBM tile LRU)."""
+    ctx = ctx or points.ctx or get_context()
+    cfg = ctx.config
     n, d = points.shape
     timer = Timer()
+    p_dev = None
+    p_norm2 = 0.0
+    if (points.order == "R" and n_iters > 1
+            and 3 * n * d * 4 <= getattr(cfg, "hbm_budget", 12 << 30)):
+        try:
+            p_dev, p_norm2 = _device_points(points, ctx)
+        except Exception as e:  # broken/absent accelerator: stream instead
+            LOG.debug("kmeans: HBM residency unavailable (%s); streaming",
+                      type(e).__name__)
+            p_dev = None
+
+    def one_iter(centers, labels_out=None):
+        if p_dev is not None:
+            return _lloyds_iter_device(p_dev, p_norm2, centers,
+                                       labels_out=labels_out, ctx=ctx)
+        return lloyds_iter(points, centers, labels_out=labels_out, ctx=ctx)
+
     best: Tuple[float, np.ndarray] = (np.inf, None)
     for attempt in range(max(1, n_init)):
         rng = np.random.default_rng(seed + attempt)
@@ -203,7 +290,7 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
                                 for i in idx])
         inertia = np.inf
         for it in range(n_iters):
-            centers_new, inertia, _ = lloyds_iter(points, centers, ctx=ctx)
+            centers_new, inertia, _ = one_iter(centers)
             shift = float(((centers_new - centers) ** 2).sum())
             centers = centers_new
             LOG.debug("kmeans[%d] iter %d: inertia %.6g shift %.3g "
@@ -218,8 +305,7 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
         # final assignment pass against the winning centers (also covers
         # early convergence — a previous version skipped the scheduled
         # write on early break, leaving labels_out zeroed)
-        _, inertia, _ = lloyds_iter(points, centers, ctx=ctx,
-                                    labels_out=labels_out)
+        _, inertia, _ = one_iter(centers, labels_out=labels_out)
     return centers, inertia
 
 

@@ -75,3 +75,27 @@ def test_empty_cluster_keeps_center(ctx, rng):
     centers, _, counts = lloyds_iter(P, c0, ctx=ctx)
     assert counts[2] == 0
     np.testing.assert_array_equal(centers[2], far[0])
+
+
+def test_kmeans_fit_hbm_resident_matches_streaming(ctx, rng):
+    """The HBM-resident fit (panel uploaded once) must produce identical
+    centers/labels to the per-pass streaming fit."""
+    n, d, k = 3000, 6, 5
+    pts, _ = blobs(rng, n, d, k, spread=0.05)
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    lab_a = mem_array((n,), np.int32, ctx=ctx)
+    lab_b = mem_array((n,), np.int32, ctx=ctx)
+    # resident path (default budget admits the panel)
+    c_a, i_a = kmeans_fit(P, k, n_iters=5, seed=7, labels_out=lab_a,
+                          ctx=ctx)
+    # force streaming by denying HBM residency
+    old = ctx.config.hbm_budget
+    ctx.config.hbm_budget = 1 << 10
+    try:
+        c_b, i_b = kmeans_fit(P, k, n_iters=5, seed=7, labels_out=lab_b,
+                              ctx=ctx)
+    finally:
+        ctx.config.hbm_budget = old
+    np.testing.assert_allclose(c_a, c_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(i_a, i_b, rtol=1e-5)
+    np.testing.assert_array_equal(lab_a.read_all(), lab_b.read_all())
