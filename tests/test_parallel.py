@@ -268,3 +268,25 @@ def test_topic_model_sharded_recovers_topics(ctx):
                              minlength=n_topics).max()
                  for t in range(n_topics))
     assert purity / docs > 0.9
+
+
+def test_gemm_sharded_b_tile_hbm_reuse(ctx, rng):
+    """With j-outer/i-middle/l-inner step order, the B superblock (l, j)
+    must be uploaded once per j and served from the device LRU for the
+    remaining i sweeps — (mB-1)*kB hits on an mB x nB x kB grid."""
+    from bof_tpu import mem_array
+    from bof_tpu.parallel import gemm_sharded, make_mesh
+    from bof_tpu.utils import METRICS
+    n = 96  # 3x3x3 superblock grid at blk=32
+    a_np = rng.standard_normal((n, n)).astype(np.float32)
+    b_np = rng.standard_normal((n, n)).astype(np.float32)
+    A = mem_array((n, n), np.float32, data=a_np, ctx=ctx)
+    B = mem_array((n, n), np.float32, data=b_np, ctx=ctx)
+    C = mem_array((n, n), np.float32, ctx=ctx)
+    before = METRICS.get("gemm_sharded.b_hbm_hits")
+    gemm_sharded(A, B, C, blk=32, mesh=make_mesh(8), ctx=ctx)
+    hits = METRICS.get("gemm_sharded.b_hbm_hits") - before
+    assert hits == (3 - 1) * 3 * 3, hits  # (mB-1) * kB * nB
+    np.testing.assert_allclose(
+        C.read_all(), a_np.astype(np.float64) @ b_np.astype(np.float64),
+        rtol=2e-4, atol=1e-3)
