@@ -47,38 +47,21 @@ def _apply_ata_one_pass(a: CsrFlashMatrix, v_np: np.ndarray,
     reads the csrcsc'd A^T)."""
     import scipy.sparse as sps
 
-    from ..core.pipeline import PrefetchSeq
-    from ..sparse.csr import fill_row_blocks
+    from ..sparse.csr import fill_row_blocks, stream_row_blocks
 
     cfg = ctx.config
     m, k = a.shape
     ia_np = a.read_ia()
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
-    cache = ctx.pin_cache()
-    idt, vdt = a.ja.dtype, a.vals.dtype
-    accesses = []
-    for r, e in blocks:
-        i0, i1 = int(ia_np[r]), int(ia_np[e])
-        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
-        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
     v32 = np.ascontiguousarray(v_np, np.float32)
     U = np.zeros((k, v32.shape[1]), np.float64)
-    pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
-    try:
-        for bi, (r, e) in enumerate(blocks):
-            i0, i1 = int(ia_np[r]), int(ia_np[e])
-            ja_blk = pf.get(2 * bi).view(idt)
-            va_blk = pf.get(2 * bi + 1).view(vdt)
-            blk = sps.csr_matrix(
-                (va_blk, ja_blk.astype(np.int64),
-                 (ia_np[r:e + 1] - i0).astype(np.int64)),
-                shape=(e - r, k))
-            w_rb = blk @ v32                     # (rows, b)
-            U += blk.T @ w_rb                    # (k, b) accumulate
-            pf.done(2 * bi)
-            pf.done(2 * bi + 1)
-    finally:
-        pf.close()
+    for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
+        blk = sps.csr_matrix(
+            (va_blk, ja_blk.astype(np.int64),
+             (ia_np[r:e + 1] - int(ia_np[r])).astype(np.int64)),
+            shape=(e - r, k))
+        w_rb = blk @ v32                     # (rows, b)
+        U += blk.T @ w_rb                    # (k, b) accumulate
     METRICS.add("eig.op_applies")
     return U
 
@@ -194,6 +177,10 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     rng = np.random.default_rng(seed)
     timer = Timer()
 
+    if one_pass and mesh is not None:
+        raise ValueError("one_pass=True is single-device; it cannot be "
+                         "combined with mesh= (the sharded operator uses "
+                         "the csrmm composition)")
     if one_pass is None:
         one_pass = mesh is None
     at = W = None

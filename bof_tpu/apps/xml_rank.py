@@ -120,9 +120,8 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
     score panel is ever materialized (host, flash, or HBM)."""
     import jax.numpy as jnp
 
-    from ..core.pipeline import PrefetchSeq
     from ..sparse import spmm_device as sdev
-    from ..sparse.csr import fill_row_blocks
+    from ..sparse.csr import fill_row_blocks, stream_row_blocks
 
     cfg = ctx.config
     docs, vocab = a.shape
@@ -131,15 +130,7 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
     ia_np = a.read_ia()
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
     entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // max(lb_max * 4, 1)))
-    cache = ctx.pin_cache()
-    idt, vdt = a.ja.dtype, a.vals.dtype
     step = _topk_step(k)
-
-    accesses = []
-    for r, e in blocks:
-        i0, i1 = int(ia_np[r]), int(ia_np[e])
-        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
-        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
 
     for b0 in range(0, n_labels, lb_max):
         lb = min(lb_max, n_labels - b0)
@@ -157,30 +148,22 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
         mask_dev = jnp.asarray(mask)
         first = b0 == 0
 
-        pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
-        try:
-            for bi, (r, e) in enumerate(blocks):
-                i0 = int(ia_np[r])
-                ja_blk = pf.get(2 * bi).view(idt)
-                va_blk = pf.get(2 * bi + 1).view(vdt)
-                blk_ia = ia_np[r:e + 1] - i0
-                counts = np.diff(blk_ia)
-                for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                    sub_ia = blk_ia[s0:s1 + 1]
-                    lo, hi = int(sub_ia[0]), int(sub_ia[-1])
-                    ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
-                                                 va_blk[lo:hi])
-                    vals, idx = step(b_panel, jnp.asarray(ja_ell),
-                                     jnp.asarray(va_ell), mask_dev)
-                    rows_n = s1 - s0
-                    s_new = np.asarray(vals)[:rows_n]
-                    l_new = (np.asarray(idx)[:rows_n] + b0).astype(np.int32)
-                    _merge_topk(scores, labels, r + s0, s_new, l_new, k,
-                                first)
-                pf.done(2 * bi)
-                pf.done(2 * bi + 1)
-        finally:
-            pf.close()
+        for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks,
+                                                      ctx):
+            blk_ia = ia_np[r:e + 1] - int(ia_np[r])
+            counts = np.diff(blk_ia)
+            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                sub_ia = blk_ia[s0:s1 + 1]
+                lo, hi = int(sub_ia[0]), int(sub_ia[-1])
+                ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
+                                             va_blk[lo:hi])
+                vals, idx = step(b_panel, jnp.asarray(ja_ell),
+                                 jnp.asarray(va_ell), mask_dev)
+                rows_n = s1 - s0
+                s_new = np.asarray(vals)[:rows_n]
+                l_new = (np.asarray(idx)[:rows_n] + b0).astype(np.int32)
+                _merge_topk(scores, labels, r + s0, s_new, l_new, k,
+                            first)
 
 
 def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,

@@ -77,7 +77,7 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     if points.order != "R":
         raise ValueError("points must be row-major (one point per row)")
     prec = getattr(cfg, "matmul_precision", "highest")
-    blk = blk_rows or max(1, min(n, (64 << 20) // max(4 * d, 1)))
+    blk = blk_rows or _lloyd_blk_rows(n, d, k, cfg.hbm_budget)
     lloyd_block = _jit_steps()
 
     centers = np.ascontiguousarray(centers, dtype=np.float32)
@@ -127,17 +127,33 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     return new_centers.astype(np.float32), inertia, counts_np
 
 
+def _lloyd_blk_rows(n: int, d: int, k: int, hbm_budget: int) -> int:
+    """Power-of-two row block shared by the streaming and HBM-resident
+    Lloyd paths (CLAUDE.md: device shapes must be bucketed — each new
+    shape is a ~30s remote compile), bounded by the 64 MB host tile and
+    the (blk, k) one-hot intermediate."""
+    cap = max(1024, min((64 << 20) // max(4 * d, 1),
+                        int(hbm_budget // 8 // max(4 * k, 1))))
+    return max(1, min(1 << (cap.bit_length() - 1), n))
+
+
 def _device_points(points: FlashArray, ctx):
     """Upload the whole point panel to HBM once (used by kmeans_fit when
     it fits the HBM budget: multi-iteration fits then cost ONE link
     crossing total instead of one full stream per Lloyd pass).  Returns
-    (p_dev (n, d) float32 device-resident, sum |p|^2 as float64)."""
+    (p_dev (n, d) float32 device-resident, sum |p|^2 as float64).  Host
+    peak is the one float32 panel — the norm accumulates per chunk via
+    einsum (no full float64 temporaries)."""
     import jax
     import jax.numpy as jnp
 
     n, d = points.shape
     host = points.read_block(0, n, 0, d).astype(np.float32, copy=False)
-    p_norm2 = float((host.astype(np.float64) ** 2).sum())
+    p_norm2 = 0.0
+    step = max(1, (64 << 20) // max(4 * d, 1))
+    for r0 in range(0, n, step):
+        ch = host[r0:r0 + step]
+        p_norm2 += float(np.einsum("ij,ij->", ch, ch, dtype=np.float64))
     p_dev = jax.device_put(host)
     float(np.asarray(jnp.sum(p_dev[:1, :1])))  # force the upload now
     return p_dev, p_norm2
@@ -157,9 +173,9 @@ def _lloyds_iter_device(p_dev, p_norm2: float, centers: np.ndarray,
     k = centers.shape[0]
     prec = getattr(cfg, "matmul_precision", "highest")
     lloyd_block = _jit_steps()
-    # chunk so the (chunk, k) one-hot intermediate stays modest; one tail
-    # shape at most per fit
-    chunk = max(1024, min(n, int(cfg.hbm_budget // 8 // max(4 * k, 1))))
+    # the same bucketed block size as the streaming path, so both paths
+    # share compiled lloyd_block shapes (one tail shape at most per n)
+    chunk = _lloyd_blk_rows(n, d, k, cfg.hbm_budget)
 
     centers = np.ascontiguousarray(centers, dtype=np.float32)
     c_dev = jnp.asarray(centers)
@@ -265,7 +281,9 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
     p_dev = None
     p_norm2 = 0.0
     if (points.order == "R" and n_iters > 1
-            and 3 * n * d * 4 <= getattr(cfg, "hbm_budget", 12 << 30)):
+            and 3 * n * d * 4 <= getattr(cfg, "hbm_budget", 12 << 30)
+            # the upload stages one full float32 panel in host DRAM
+            and n * d * 4 <= cfg.program_budget):
         try:
             p_dev, p_norm2 = _device_points(points, ctx)
         except Exception as e:  # broken/absent accelerator: stream instead

@@ -195,8 +195,9 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     # B tiles resident in HBM (the multi-chip analog of the single-chip
     # gemm's HBM tile LRU) so only the first i-sweep pays the H2D.
     from ..io.store import store_uid
-    n_dev = px * py
-    per_dev_tile = sb * sb * 4 // max(n_dev, 1)
+    # sh_b shards B over the 'y' axis ONLY (replicated across 'x'), so
+    # per-device footprint divides by py, not px*py
+    per_dev_tile = sb * sb * 4 // max(py, 1)
     b_cap = max(1, min(kB, int(cfg.hbm_budget // 3 // max(per_dev_tile, 1))))
 
     def producer():

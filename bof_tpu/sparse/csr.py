@@ -127,6 +127,43 @@ def verify_csr_block(ia_blk: np.ndarray, ja_blk: np.ndarray, n_cols: int,
         raise ValueError("csr column index out of range")
 
 
+def stream_row_blocks(a: "CsrFlashMatrix", ia_np: np.ndarray,
+                      blocks: List[Tuple[int, int]], ctx,
+                      depth: Optional[int] = None):
+    """Generator yielding (r, e, ja_blk, va_blk) for nnz-budgeted CSR row
+    blocks, prefetched through the pinned tile cache — the shared
+    stream-A skeleton of every sparse planner (csrmm 'T' streaming, the
+    eigensolvers' one-pass operator, xml_rank's fused pass).  Each block's
+    buffers are pin-cache views valid only until the next iteration.
+    Honors FlashConfig.debug_checks (verify_csr_block, the reference's
+    DEBUG validation).  Closing the generator (break / exception in the
+    consumer) releases all pins."""
+    from ..core.pipeline import PrefetchSeq
+
+    cfg = ctx.config
+    idt, vdt = a.ja.dtype, a.vals.dtype
+    accesses = []
+    for r, e in blocks:
+        i0, i1 = int(ia_np[r]), int(ia_np[e])
+        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
+        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
+    pf = PrefetchSeq(cache=ctx.pin_cache(), accesses=accesses,
+                     depth=depth or 2 * cfg.pipeline_depth)
+    try:
+        for bi, (r, e) in enumerate(blocks):
+            i0, i1 = int(ia_np[r]), int(ia_np[e])
+            ja_blk = pf.get(2 * bi).view(idt)
+            va_blk = pf.get(2 * bi + 1).view(vdt)
+            if cfg.debug_checks:
+                verify_csr_block(ia_np[r:e + 1], ja_blk, a.shape[1],
+                                 i1 - i0)
+            yield r, e, ja_blk, va_blk
+            pf.done(2 * bi)
+            pf.done(2 * bi + 1)
+    finally:
+        pf.close()
+
+
 def fill_row_blocks(ia_np: np.ndarray, max_nnzs: int) -> List[Tuple[int, int]]:
     """Adaptive row blocks each holding <= max_nnzs nonzeros (>=1 row)
     (reference: fill_blocks, blas_utils.h:84-97)."""

@@ -70,13 +70,20 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
     """
     ctx = ctx or b.ctx or get_context()
     if transa.upper() == "T":
-        # fast path: when the (k, n) output fits the host budget, stream
-        # A's row blocks ONCE and accumulate C += A_rb^T B_rb in DRAM —
-        # no transpose materialization, no extra passes (measured 11x on
-        # the eigensolver's identical operator, docs/PERFORMANCE.md).
-        # Larger C falls back to the reference's structure: materialize
-        # A^T via csrcsc and recurse as 'N' (csrmm.cpp:364-420).
-        if (c.nbytes + b.nbytes) * 2 <= ctx.config.program_budget:
+        # fast path: when host compute is the resolved placement and the
+        # (k, n) output fits the host budget (float64 accumulator = 2x,
+        # plus one B block), stream A's row blocks ONCE and accumulate
+        # C += A_rb^T B_rb in DRAM — no transpose materialization, no
+        # extra passes (measured 11x on the eigensolver's identical
+        # operator, docs/PERFORMANCE.md).  Device placement or larger C
+        # falls back to the reference's structure: materialize A^T via
+        # csrcsc and recurse as 'N' (csrmm.cpp:364-420), whose block
+        # products then run on the accelerator.
+        n_cols = b.shape[1]
+        mode = _resolve_sparse_compute(ctx.config, a.shape[1], a.shape[0],
+                                       n_cols, a.nnz)
+        if (mode == "host"
+                and 3 * c.nbytes + b.nbytes <= ctx.config.program_budget):
             _csrmm_trans_streaming(a, b, c, alpha, beta, ctx)
             return
         from .csrcsc import csrcsc_scratch
@@ -153,13 +160,15 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
 
 def _csrmm_trans_streaming(a, b, c, alpha, beta, ctx):
     """C = alpha * A^T B + beta * C in one streaming pass over A's row
-    blocks, accumulating the DRAM-resident (k, n) output per block:
-    C += A_rb^T B_rb (host products — TPU scatter would serialize).
-    Preconditions checked by the dispatcher: C and the B rows fit the
-    host budget."""
+    blocks, accumulating the DRAM-resident (k, n) float64 output per
+    block: C += A_rb^T B_rb (host products — TPU scatter would
+    serialize).  Preconditions checked by the dispatcher: host placement
+    resolved, and 2x|C| (the accumulator) + |C| chunking headroom + one
+    B block fit the host budget.  alpha/beta/write-back run in place /
+    in row chunks so peak memory stays at the accumulator."""
     import scipy.sparse as sps
 
-    from .csr import fill_row_blocks
+    from .csr import fill_row_blocks, stream_row_blocks
 
     cfg = ctx.config
     m, k = a.shape
@@ -174,38 +183,23 @@ def _csrmm_trans_streaming(a, b, c, alpha, beta, ctx):
             f"B {b.dtype}, C {c.dtype}")
 
     timer = Timer()
+    vdt = a.vals.dtype
     ia_np = a.read_ia()
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
-    cache = ctx.pin_cache()
-    idt, vdt = a.ja.dtype, a.vals.dtype
-    accesses = []
-    for r, e in blocks:
-        i0, i1 = int(ia_np[r]), int(ia_np[e])
-        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
-        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
-    pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
     acc = np.zeros((k, n), np.float64)
-    try:
-        for bi, (r, e) in enumerate(blocks):
-            i0, i1 = int(ia_np[r]), int(ia_np[e])
-            ja_blk = pf.get(2 * bi).view(idt)
-            va_blk = pf.get(2 * bi + 1).view(vdt)
-            if cfg.debug_checks:
-                from .csr import verify_csr_block
-                verify_csr_block(ia_np[r:e + 1], ja_blk, k, i1 - i0)
-            blk = sps.csr_matrix(
-                (va_blk, ja_blk.astype(np.int64),
-                 (ia_np[r:e + 1] - i0).astype(np.int64)),
-                shape=(e - r, k))
-            acc += blk.T @ b.read_block(r, e - r, 0, n)
-            pf.done(2 * bi)
-            pf.done(2 * bi + 1)
-    finally:
-        pf.close()
-    out = alpha * acc
-    if beta != 0.0:
-        out += beta * c.read_block(0, k, 0, n).astype(np.float64)
-    c.write_block(0, out.astype(vdt))
+    for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
+        blk = sps.csr_matrix(
+            (va_blk, ja_blk.astype(np.int64),
+             (ia_np[r:e + 1] - int(ia_np[r])).astype(np.int64)),
+            shape=(e - r, k))
+        acc += blk.T @ b.read_block(r, e - r, 0, n)
+    acc *= alpha
+    chunk = max(1, min(k, (64 << 20) // max(8 * n, 1)))
+    for r0 in range(0, k, chunk):
+        rn = min(chunk, k - r0)
+        if beta != 0.0:
+            acc[r0:r0 + rn] += beta * c.read_block(r0, rn, 0, n)
+        c.write_block(r0, acc[r0:r0 + rn].astype(vdt), 0)
     c.store.flush()
     METRICS.add("csrmm.ms", timer.elapsed_ms())
     LOG.debug("csrmm 'T' streaming %dx%dx%d nnz=%d done in %.1f ms",

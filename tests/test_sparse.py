@@ -71,13 +71,13 @@ def test_csrmm_c_order_output(ctx, rng):
 @pytest.mark.parametrize("path", ["streaming", "csrcsc"])
 def test_csrmm_transposed(ctx, rng, path):
     """'T' dispatch, both structures: the one-pass streaming accumulate
-    (C fits DRAM) and the csrcsc-materialize + recurse fallback
-    (reference: csrmm.cpp:364-420), with alpha/beta."""
+    (host placement + C fits DRAM) and the csrcsc-materialize + recurse
+    fallback (reference: csrmm.cpp:364-420), with alpha/beta."""
     small_cfg(ctx)
-    if path == "csrcsc":
-        # shrink the budget below 2*(|B|+|C|) so dispatch falls back
-        ctx.config.program_budget = 16 << 10
-        ctx.config.max_nnzs = 1 << 20
+    if path == "streaming":
+        ctx.config.sparse_compute = "host"  # streaming requires host mode
+    else:
+        ctx.config.sparse_compute = "device"  # forces csrcsc + recurse
     m, k, n = 180, 90, 30
     a_sp = rand_csr(rng, m, k, 0.04)
     A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
