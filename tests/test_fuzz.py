@@ -77,8 +77,11 @@ def test_csrmm_fuzz(case, ctx):
     beta = float(rng.choice([0.0, rng.uniform(-1, 1)]))
     transa = "T" if rng.integers(2) else "N"
     order_b = ("R", "C")[rng.integers(2)]
+    order_c = ("R", "C")[rng.integers(2)]
     ctx.config.max_nnzs = int(rng.choice([256, 1024, 1 << 20]))
     ctx.config.csrmm_cblk_size = int(rng.choice([16, 64, 4096]))
+    # placement now picks the 'T' structure (streaming vs csrcsc+recurse)
+    ctx.config.sparse_compute = str(rng.choice(["host", "device", "auto"]))
 
     a_sp = sps.random(m, k, density=density, format="csr",
                       dtype=np.float32,
@@ -90,7 +93,8 @@ def test_csrmm_fuzz(case, ctx):
     c_np = rng.standard_normal((out_rows, n)).astype(np.float32)
     B = mem_array((b_rows, n), np.float32, order=order_b, data=b_np,
                   ctx=ctx)
-    C = mem_array((out_rows, n), np.float32, data=c_np, ctx=ctx)
+    C = mem_array((out_rows, n), np.float32, order=order_c, data=c_np,
+                  ctx=ctx)
     csrmm(A, B, C, alpha=alpha, beta=beta, transa=transa, ctx=ctx)
     opa = a_sp.T if transa == "T" else a_sp
     want = alpha * (opa.astype(np.float64) @ b_np.astype(np.float64)) \
@@ -100,3 +104,48 @@ def test_csrmm_fuzz(case, ctx):
     assert float(np.abs(got - want).max()) / denom < 5e-4, (
         f"case {case}: m{m} k{k} n{n} d{density:.3f} ta{transa} "
         f"ob{order_b} a{alpha:.3f} b{beta:.3f}")
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_xml_rank_fuzz(case, ctx):
+    """Random shapes/k/label blocks on both xml_rank paths vs the dense
+    golden top-k (order/tie-robust: scores must match the sorted golden
+    top-k and each reported label's true score must equal its reported
+    score)."""
+    import scipy.sparse as sps
+
+    from bof_tpu.apps import xml_rank
+    from bof_tpu.core.flash_array import flash_empty
+
+    rng = np.random.default_rng(3000 + case)
+    docs = int(rng.integers(10, 300))
+    vocab = int(rng.integers(8, 120))
+    n_labels = int(rng.integers(3, 80))
+    k = int(rng.integers(1, n_labels + 1))
+    fused = bool(rng.integers(2))
+    w_order = ("R", "C")[rng.integers(2)]
+    label_blk = int(rng.integers(1, n_labels + 1))
+    ctx.config.max_nnzs = int(rng.choice([128, 1024, 1 << 20]))
+
+    a_sp = sps.random(docs, vocab, density=float(rng.uniform(0.01, 0.2)),
+                      format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(case))
+    w_np = rng.standard_normal((n_labels, vocab)).astype(np.float32)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    if w_order == "R":
+        W = flash_empty((n_labels, vocab), np.float32, ctx=ctx)
+        W.write_all(w_np)
+    else:
+        W = flash_empty((vocab, n_labels), np.float32, order="C", ctx=ctx)
+        W.write_all(w_np.T)
+    s, l = xml_rank(A, W, k, label_blk=label_blk, fused=fused, ctx=ctx)
+    want = (a_sp @ w_np.T).astype(np.float32)
+    got_s, got_l = s.read_all(), l.read_all()
+    want_sorted = -np.sort(-want, axis=1)[:, :k]
+    tag = (f"case {case}: docs{docs} vocab{vocab} L{n_labels} k{k} "
+           f"fused{fused} {w_order} lb{label_blk}")
+    np.testing.assert_allclose(got_s, want_sorted, rtol=2e-4, atol=1e-4,
+                               err_msg=tag)
+    rows = np.arange(docs)[:, None]
+    np.testing.assert_allclose(want[rows, got_l], got_s, rtol=2e-4,
+                               atol=1e-4, err_msg=tag)
