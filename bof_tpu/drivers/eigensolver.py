@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--state", default=None,
                    help="lanczos checkpoint file: interrupted runs resume "
                         "from the last completed restart cycle")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard every operator application over all local "
+                        "devices (uses the csrmm composition)")
     p.add_argument("--two-pass", action="store_true",
                    help="apply A^T A as csrcsc + two csrmm passes (the "
                         "reference's 'T' dispatch structure) instead of "
@@ -35,12 +38,17 @@ def main(argv=None):
     A = CsrFlashMatrix.map_files(args.a_prefix, (args.m, args.k), ctx=ctx)
     with Timed("eigensolver",
                flops=4.0 * A.nnz * args.n_vals * args.iters):
-        one_pass = not args.two_pass
+        mesh = None
+        if args.sharded:
+            from ..parallel import make_mesh
+            mesh = make_mesh()
+        one_pass = False if args.sharded else (not args.two_pass)
         if args.solver == "lanczos":
             sigma, _v = block_lanczos_svd(A, args.n_vals,
                                           n_restarts=args.iters,
                                           state_path=args.state,
-                                          one_pass=one_pass, ctx=ctx)
+                                          one_pass=one_pass, mesh=mesh,
+                                          ctx=ctx)
         else:
             sigma, _v = block_power_svd(A, args.n_vals, n_iters=args.iters,
                                         one_pass=one_pass, ctx=ctx)

@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--sample-rate", type=float, default=1.0,
                    help="cluster on a doc sample, assign the full corpus "
                         "in one pass (the paper's ISLE runs use 0.1)")
+    p.add_argument("--sharded", action="store_true",
+                   help="projection + Lloyd steps over all local devices")
     p.add_argument("--out", default=None,
                    help="write (n_topics x vocab) fp32 topic-word matrix")
     args = p.parse_args(argv)
@@ -31,9 +33,14 @@ def main(argv=None):
                                  ctx=ctx)
     with Timed("topic_model", flops=2.0 * A.nnz * args.proj_dim
                * (args.iters + 2)):
+        mesh = None
+        if args.sharded:
+            from ..parallel import make_mesh
+            mesh = make_mesh()
         tw, labels = topic_model(A, args.n_topics, proj_dim=args.proj_dim,
                                  n_iters=args.iters,
-                                 sample_rate=args.sample_rate, ctx=ctx)
+                                 sample_rate=args.sample_rate, mesh=mesh,
+                                 ctx=ctx)
     print(f"topics {tw.shape} label-histogram "
           f"{np.bincount(labels, minlength=args.n_topics).tolist()}")
     if args.out:

@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--labels", default=None,
                    help="write (docs x k) int32 top-k label ids")
     p.add_argument("--label-blk", type=int, default=None)
+    p.add_argument("--sharded", action="store_true",
+                   help="row-shard the scoring pass over all local devices")
     p.add_argument("--fused", choices=["auto", "on", "off"], default="auto",
                    help="fused device product+top_k path (auto: same "
                         "placement heuristic as csrmm)")
@@ -42,9 +44,15 @@ def main(argv=None):
     l_out = (map_array(args.labels, (args.docs, args.k), np.int32, "R",
                        create=True, ctx=ctx) if args.labels else None)
     fused = {"auto": None, "on": True, "off": False}[args.fused]
+    mesh = None
+    if args.sharded:
+        from ..parallel import make_mesh
+        mesh = make_mesh()
+        fused = False
     with Timed("xml_rank", flops=2.0 * A.nnz * args.n_labels):
         s, l = xml_rank(A, W, args.k, scores_out=s_out, labels_out=l_out,
-                        label_blk=args.label_blk, fused=fused, ctx=ctx)
+                        label_blk=args.label_blk, fused=fused, mesh=mesh,
+                        ctx=ctx)
     head = min(4, args.docs)
     print(f"top-{args.k} of {args.n_labels} labels for {args.docs} docs; "
           f"doc0..{head - 1} labels: "
