@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--in-mem", action="store_true")
     p.add_argument("--sharded", action="store_true",
                    help="data-parallel Lloyd over all local devices")
+    p.add_argument("--state", default=None,
+                   help="checkpoint file: interrupted fits resume from "
+                        "the last completed iteration")
     args = p.parse_args(argv)
     n, d, k = args.n, args.d, args.k
     if args.in_mem:
@@ -50,7 +53,8 @@ def main(argv=None):
         else:
             centers, inertia = kmeans_fit(P, k, n_iters=args.iters,
                                           seed=args.seed,
-                                          labels_out=labels, ctx=ctx)
+                                          labels_out=labels,
+                                          state_path=args.state, ctx=ctx)
     print(f"inertia {inertia}")
     ctx.destroy()
 

@@ -263,6 +263,7 @@ def _kmeanspp_sample(points: FlashArray, n_centers: int, rng,
 def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
                seed: int = 0, tol: float = 0.0, init: str = "kmeans++",
                n_init: int = 1, labels_out: Optional[FlashArray] = None,
+               state_path: Optional[str] = None,
                ctx=None) -> Tuple[np.ndarray, float]:
     """Full Lloyd's loop (reference: drivers/kmeans.cpp main loop).
     init='kmeans++' seeds on a point sample; init='random' picks random
@@ -273,7 +274,14 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
     HBM tier: when the whole point panel fits the HBM budget it uploads
     ONCE and every iteration/restart slices the resident panel — a
     multi-pass fit then costs one host->device crossing total (the same
-    residency policy as gemm's HBM tile LRU)."""
+    residency policy as gemm's HBM tile LRU).
+
+    `state_path` makes the fit checkpointable (the same kernel-boundary
+    durability extension as block_lanczos_svd's restart state): each
+    completed iteration atomically saves (attempt, iter, centers, best);
+    a rerun resumes mid-attempt from the last finished iteration.  The
+    file is removed on completion."""
+    import os
     ctx = ctx or points.ctx or get_context()
     cfg = ctx.config
     n, d = points.shape
@@ -297,25 +305,54 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
                                        labels_out=labels_out, ctx=ctx)
         return lloyds_iter(points, centers, labels_out=labels_out, ctx=ctx)
 
+    def save_state(attempt, it, centers, best):
+        tmp = state_path + ".tmp.npz"  # .npz suffix: savez won't rename it
+        np.savez(tmp, attempt=attempt, it=it, centers=centers,
+                 best_inertia=best[0],
+                 best_centers=(best[1] if best[1] is not None
+                               else np.zeros((0, 0))))
+        os.replace(tmp, state_path)
+
     best: Tuple[float, np.ndarray] = (np.inf, None)
-    for attempt in range(max(1, n_init)):
+    start_attempt, start_it = 0, 0
+    resume_centers = None
+    if state_path and os.path.exists(state_path):
+        with np.load(state_path) as st:
+            start_attempt = int(st["attempt"])
+            start_it = int(st["it"]) + 1
+            resume_centers = st["centers"].astype(np.float32)
+            if st["best_centers"].size:
+                best = (float(st["best_inertia"]),
+                        st["best_centers"].astype(np.float32))
+        LOG.info("kmeans_fit: resuming from %s at attempt %d iter %d",
+                 state_path, start_attempt, start_it)
+    for attempt in range(start_attempt, max(1, n_init)):
         rng = np.random.default_rng(seed + attempt)
-        if init == "kmeans++":
+        if attempt == start_attempt and resume_centers is not None:
+            centers = resume_centers
+        elif init == "kmeans++":
             centers = _kmeanspp_sample(points, n_centers, rng)
         else:
             idx = _sample_indices(n, n_centers, rng)
             centers = np.stack([points.read_block(int(i), 1, 0, d)[0]
                                 for i in idx])
         inertia = np.inf
-        for it in range(n_iters):
+        it0 = start_it if attempt == start_attempt else 0
+        for it in range(it0, n_iters):
             centers_new, inertia, _ = one_iter(centers)
             shift = float(((centers_new - centers) ** 2).sum())
             centers = centers_new
             LOG.debug("kmeans[%d] iter %d: inertia %.6g shift %.3g "
                       "(%.0f ms)", attempt, it, inertia, shift,
                       timer.elapsed_ms())
+            if state_path:
+                save_state(attempt, it, centers, best)
             if shift <= tol:
                 break
+        if not np.isfinite(inertia):
+            # resumed past this attempt's last iteration (or n_iters=0):
+            # one evaluation pass so the attempt still scores into `best`
+            _, inertia, _ = one_iter(centers)
         if inertia < best[0]:
             best = (inertia, centers)
     inertia, centers = best
@@ -324,6 +361,8 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
         # early convergence — a previous version skipped the scheduled
         # write on early break, leaving labels_out zeroed)
         _, inertia, _ = one_iter(centers, labels_out=labels_out)
+    if state_path and os.path.exists(state_path):
+        os.unlink(state_path)  # state consumed on completion
     return centers, inertia
 
 

@@ -102,3 +102,32 @@ def test_kmeans_fit_hbm_resident_matches_streaming(ctx, rng):
     # accumulation-order drift, not a semantic difference
     np.testing.assert_allclose(i_a, i_b, rtol=1e-3)
     np.testing.assert_array_equal(lab_a.read_all(), lab_b.read_all())
+
+
+def test_kmeans_fit_checkpoint_resume(ctx, rng, tmp_path):
+    """A fit interrupted between iterations resumes from its state file
+    and matches an uninterrupted run exactly (same seed, same path)."""
+    import os
+    n, d, k = 2000, 6, 4
+    pts, _ = blobs(rng, n, d, k, spread=0.05)
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    state = str(tmp_path / "km_state.npz")
+
+    want_c, want_i = kmeans_fit(P, k, n_iters=6, seed=5, tol=-1.0, ctx=ctx)
+
+    # a completed checkpointed run consumes its state file
+    kmeans_fit(P, k, n_iters=3, seed=5, tol=-1.0, state_path=state, ctx=ctx)
+    assert not os.path.exists(state)
+
+    # simulate a crash after iteration 2: seed the state file exactly as
+    # save_state would have left it mid-run
+    c3, _ = kmeans_fit(P, k, n_iters=3, seed=5, tol=-1.0, ctx=ctx)
+    np.savez(state + ".tmp.npz", attempt=0, it=2, centers=c3,
+             best_inertia=np.inf, best_centers=np.zeros((0, 0)))
+    os.replace(state + ".tmp.npz", state)
+
+    # resume at iter 3 and finish 6 — must equal the straight run
+    got_c, got_i = kmeans_fit(P, k, n_iters=6, seed=5, tol=-1.0,
+                              state_path=state, ctx=ctx)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-5)
+    assert not os.path.exists(state)
