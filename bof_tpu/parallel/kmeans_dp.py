@@ -175,22 +175,81 @@ def kmeans_fit_sharded(points, n_centers: int, n_iters: int = 10,
     """Full out-of-core Lloyd's over the mesh (the multi-chip analog of
     ops/kmeans.kmeans_fit; the reference's driver loop is
     drivers/kmeans.cpp:103-189).  Seeds with sampled k-means++ like the
-    single-chip fit.  Returns (centers, inertia)."""
-    rng = np.random.default_rng(seed)
+    single-chip fit.  Returns (centers, inertia).
+
+    HBM tier (mirrors the single-chip fit): when the point panel fits the
+    mesh's aggregate HBM budget, it is sharded onto the devices ONCE and
+    every iteration runs over the resident shards — a multi-pass fit
+    costs one host->device crossing total."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..context import get_context
     from ..ops.kmeans import _kmeanspp_sample
+    from .mesh import make_mesh
+
+    ctx = ctx or getattr(points, "ctx", None) or get_context()
+    cfg = ctx.config
+    mesh = mesh or make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    n, d = points.shape
+    k = n_centers
+    rng = np.random.default_rng(seed)
     centers = _kmeanspp_sample(points, n_centers, rng)
+
+    resident = None
+    if (points.order == "R" and n_iters > 1
+            # sharded panel + one-hot per device, against aggregate HBM
+            and 3 * n * (d + k) * 4 <= cfg.hbm_budget * n_dev
+            # the upload stages one full float32 panel in host DRAM
+            and n * d * 4 <= cfg.program_budget):
+        try:
+            host = points.read_block(0, n, 0, d).astype(np.float32,
+                                                        copy=False)
+            pad = (-n) % n_dev
+            w_np = np.ones(n + pad, np.float32)
+            if pad:
+                host = np.concatenate(
+                    [host, np.zeros((pad, d), np.float32)])
+                w_np[n:] = 0.0
+            sh = NamedSharding(mesh, P(mesh.axis_names))
+            resident = (jax.device_put(host, sh),
+                        jax.device_put(w_np, sh))
+        except Exception:
+            resident = None  # stream instead
+
+    prec = getattr(cfg, "matmul_precision", "highest")
+    step = dp_lloyd_step(mesh, prec)
+    rep = NamedSharding(mesh, P())
+
+    def one_iter(c_np, want_labels):
+        if resident is None:
+            return lloyds_iter_ooc_sharded(
+                points, c_np, labels_out=labels_out if want_labels
+                else None, mesh=mesh, ctx=ctx)
+        p_sh, w_sh = resident
+        c_dev = jax.device_put(np.ascontiguousarray(c_np, np.float32), rep)
+        sums, counts, inertia, labels = step(p_sh, w_sh, c_dev)
+        sums, counts = np.asarray(sums), np.asarray(counts)
+        if want_labels and labels_out is not None:
+            lab_np = np.asarray(labels, np.int32)[:n]
+            off, sinfo = labels_out.block_access(0, n)
+            labels_out.store.write(off, sinfo,
+                                   lab_np.view(np.uint8).ravel()).wait()
+            labels_out.store.flush()
+        safe = np.maximum(counts, 1.0)[:, None]
+        new_c = np.where(counts[:, None] > 0, sums / safe, c_np)
+        return (new_c.astype(np.float32),
+                float(np.asarray(inertia).sum()), counts)
+
     prev = None
     inertia = 0.0
     for it in range(n_iters):
         last = it == n_iters - 1
-        centers, inertia, _ = lloyds_iter_ooc_sharded(
-            points, centers, labels_out=labels_out if last else None,
-            mesh=mesh, ctx=ctx)
+        centers, inertia, _ = one_iter(centers, want_labels=last)
         if prev is not None and abs(prev - inertia) <= tol * max(prev, 1.0):
             if labels_out is not None and not last:
-                _, inertia, _ = lloyds_iter_ooc_sharded(
-                    points, centers, labels_out=labels_out, mesh=mesh,
-                    ctx=ctx)
+                _, inertia, _ = one_iter(centers, want_labels=True)
             break
         prev = inertia
     return centers, inertia

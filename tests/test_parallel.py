@@ -290,3 +290,29 @@ def test_gemm_sharded_b_tile_hbm_reuse(ctx, rng):
     np.testing.assert_allclose(
         C.read_all(), a_np.astype(np.float64) @ b_np.astype(np.float64),
         rtol=2e-4, atol=1e-3)
+
+
+def test_kmeans_fit_sharded_resident_matches_streaming(ctx, rng):
+    """The mesh fit's HBM-resident path (panel sharded onto devices once)
+    must match the per-pass streaming path."""
+    from bof_tpu import mem_array
+    from bof_tpu.parallel import kmeans_fit_sharded, make_mesh
+    n, d, k = 4003, 6, 4  # non-multiple of 8 exercises shard padding
+    pts = (rng.standard_normal((n, d)) * 0.05
+           + rng.integers(0, k, n)[:, None]).astype(np.float32)
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    lab_a = mem_array((n,), np.int32, ctx=ctx)
+    lab_b = mem_array((n,), np.int32, ctx=ctx)
+    mesh = make_mesh(8)
+    c_a, i_a = kmeans_fit_sharded(P, k, n_iters=4, seed=2, tol=-1.0,
+                                  labels_out=lab_a, mesh=mesh, ctx=ctx)
+    old = ctx.config.hbm_budget
+    ctx.config.hbm_budget = 1 << 6  # deny residency -> streaming
+    try:
+        c_b, i_b = kmeans_fit_sharded(P, k, n_iters=4, seed=2, tol=-1.0,
+                                      labels_out=lab_b, mesh=mesh, ctx=ctx)
+    finally:
+        ctx.config.hbm_budget = old
+    np.testing.assert_allclose(c_a, c_b, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(i_a, i_b, rtol=1e-3)
+    np.testing.assert_array_equal(lab_a.read_all(), lab_b.read_all())
