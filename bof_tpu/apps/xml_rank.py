@@ -64,6 +64,34 @@ def _topk_step(k: int):
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _topk_step_sharded(mesh, k: int):
+    """The fused product+top_k step row-sharded over every mesh axis:
+    rows are independent, so each device top_k's its own row shard (the
+    same layout as parallel/csrmm_sp.py) and only (rows x k) crosses
+    ICI/host."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = mesh.axis_names
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(axes, None), P(axes, None), P()),
+        out_specs=(P(axes, None), P(axes, None)))
+    def step(b_panel, ja_ell, va_ell, label_mask):
+        g = jnp.take(b_panel, ja_ell.reshape(-1), axis=0)
+        g = g.reshape(ja_ell.shape + (b_panel.shape[1],))
+        s = jnp.sum(va_ell[:, :, None] * g, axis=1) + label_mask[None, :]
+        vals, idx = jax.lax.top_k(s, k)
+        return vals, idx  # explicit tuple: top_k yields a list, which
+        # would mismatch the tuple out_specs pytree
+
+    return jax.jit(step)
+
+
 def _label_axis(w: FlashArray) -> Tuple[int, int]:
     """(n_labels, vocab) for a label-weight matrix stored with one label's
     weight vector per storage line: (labels x vocab) row-major or
@@ -114,10 +142,12 @@ def _merge_topk(scores: FlashArray, labels: FlashArray, r0: int,
 
 def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
                     scores: FlashArray, labels: FlashArray,
-                    lb_max: int, ctx) -> None:
+                    lb_max: int, ctx, mesh=None) -> None:
     """Fused device path: ELL block product + lax.top_k in one jitted
     step per sparse row range — only (rows x k) crosses the link and no
-    score panel is ever materialized (host, flash, or HBM)."""
+    score panel is ever materialized (host, flash, or HBM).  With
+    `mesh`, rows shard over the devices and each top_k's its shard."""
+    import jax
     import jax.numpy as jnp
 
     from ..sparse import spmm_device as sdev
@@ -130,7 +160,23 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
     ia_np = a.read_ia()
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
     entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // max(lb_max * 4, 1)))
-    step = _topk_step(k)
+    if mesh is None:
+        step = _topk_step(k)
+        n_dev = 1
+        put_rows = jnp.asarray
+        put_rep = jnp.asarray
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        step = _topk_step_sharded(mesh, k)
+        n_dev = int(np.prod(mesh.devices.shape))
+        sh_rows = NamedSharding(mesh, P(mesh.axis_names, None))
+        sh_rep = NamedSharding(mesh, P())
+
+        def put_rows(x):
+            return jax.device_put(x, sh_rows)
+
+        def put_rep(x):
+            return jax.device_put(x, sh_rep)
 
     for b0 in range(0, n_labels, lb_max):
         lb = min(lb_max, n_labels - b0)
@@ -142,10 +188,13 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
             wt_pad[:lb] = wt_st
         else:
             wt_pad = wt_st
-        b_panel = jnp.asarray(wt_pad).T  # (vocab, lb_max), device transpose
+        if mesh is None:
+            b_panel = jnp.asarray(wt_pad).T  # (vocab, lb_max), on device
+        else:
+            b_panel = put_rep(np.ascontiguousarray(wt_pad.T))
         mask = np.zeros(lb_max, np.float32)
         mask[lb:] = -np.inf  # padded labels must never win the top-k
-        mask_dev = jnp.asarray(mask)
+        mask_dev = put_rep(mask)
         first = b0 == 0
 
         for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks,
@@ -156,9 +205,10 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
                 sub_ia = blk_ia[s0:s1 + 1]
                 lo, hi = int(sub_ia[0]), int(sub_ia[-1])
                 ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
-                                             va_blk[lo:hi])
-                vals, idx = step(b_panel, jnp.asarray(ja_ell),
-                                 jnp.asarray(va_ell), mask_dev)
+                                             va_blk[lo:hi],
+                                             min_rows=max(8, n_dev))
+                vals, idx = step(b_panel, put_rows(ja_ell),
+                                 put_rows(va_ell), mask_dev)
                 rows_n = s1 - s0
                 s_new = np.asarray(vals)[:rows_n]
                 l_new = (np.asarray(idx)[:rows_n] + b0).astype(np.int32)
@@ -207,18 +257,19 @@ def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,
     timer = Timer()
     if fused is None:
         from ..sparse.csrmm import _resolve_sparse_compute
-        # the fused step holds the whole (vocab x lb) W panel in HBM;
-        # at huge vocab fall back to the composition path, whose csrmm
-        # K-splits oversized panels
-        fused = (mesh is None
-                 and vocab * max(lb_max, k) * 4 <= cfg.hbm_budget // 3
-                 and _resolve_sparse_compute(cfg, docs, vocab, lb_max,
-                                             a.nnz) != "host")
-    if fused and mesh is None:
-        _xml_rank_fused(a, w, k, scores, labels, lb_max, ctx)
+        # the fused step holds the whole (vocab x lb) W panel in HBM
+        # (replicated per device under a mesh); at huge vocab fall back
+        # to the composition path, whose csrmm K-splits oversized panels
+        fused = (vocab * max(lb_max, k) * 4 <= cfg.hbm_budget // 3
+                 and (mesh is not None
+                      or _resolve_sparse_compute(cfg, docs, vocab, lb_max,
+                                                 a.nnz) != "host"))
+    if fused:
+        _xml_rank_fused(a, w, k, scores, labels, lb_max, ctx, mesh=mesh)
         scores.store.flush()
         labels.store.flush()
-        LOG.debug("xml_rank[fused]: %d docs x %d labels top-%d in %.0f ms",
+        LOG.debug("xml_rank[fused%s]: %d docs x %d labels top-%d in "
+                  "%.0f ms", "+mesh" if mesh is not None else "",
                   docs, n_labels, k, timer.elapsed_ms())
         return scores, labels
 

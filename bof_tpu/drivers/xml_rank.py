@@ -48,7 +48,6 @@ def main(argv=None):
     if args.sharded:
         from ..parallel import make_mesh
         mesh = make_mesh()
-        fused = False
     with Timed("xml_rank", flops=2.0 * A.nnz * args.n_labels):
         s, l = xml_rank(A, W, args.k, scores_out=s_out, labels_out=l_out,
                         label_blk=args.label_blk, fused=fused, mesh=mesh,

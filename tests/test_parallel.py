@@ -199,9 +199,11 @@ def test_gemm_sharded_pin_failure_raises_not_hangs(ctx, rng):
         small.destroy()
 
 
-def test_xml_rank_sharded_matches_single_chip(ctx, rng):
-    """xml_rank(mesh=...) — the scoring pass row-sharded over the mesh —
-    must equal the dense golden top-k."""
+@pytest.mark.parametrize("fused", [True, False])
+def test_xml_rank_sharded_matches_single_chip(ctx, rng, fused):
+    """xml_rank(mesh=...) — the scoring pass row-sharded over the mesh,
+    on both the fused sharded top_k step and the csrmm_sharded
+    composition — must equal the dense golden top-k."""
     import scipy.sparse as sps
     from bof_tpu.apps import xml_rank
     from bof_tpu.core.flash_array import flash_empty
@@ -214,7 +216,8 @@ def test_xml_rank_sharded_matches_single_chip(ctx, rng):
     A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
     W = flash_empty((n_labels, vocab), np.float32, ctx=ctx)
     W.write_all(w_np)
-    s, l = xml_rank(A, W, k, label_blk=9, mesh=make_mesh(8), ctx=ctx)
+    s, l = xml_rank(A, W, k, label_blk=9, fused=fused, mesh=make_mesh(8),
+                    ctx=ctx)
     want = (a_sp @ w_np.T).astype(np.float32)
     want_sorted = -np.sort(-want, axis=1)[:, :k]
     np.testing.assert_allclose(s.read_all(), want_sorted,
