@@ -31,13 +31,16 @@ from ..utils import LOG, Timer
 
 def topic_model(a: CsrFlashMatrix, n_topics: int, proj_dim: int = 64,
                 n_iters: int = 8, seed: int = 0, sample_rate: float = 1.0,
+                state_path: Optional[str] = None,
                 mesh=None, ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (topic_word (n_topics, vocab) row-normalized,
     doc_labels (docs,) int32).  sample_rate < 1 clusters on a uniform doc
     sample and assigns the full corpus in one streaming pass — the
     paper's ISLE runs use sample rate 0.1 (Table 5).  With `mesh`, the
     projection csrmm runs row-sharded and the Lloyd steps data-parallel
-    over the device mesh."""
+    over the device mesh.  `state_path` checkpoints the clustering stage
+    (kmeans_fit's iteration state), so an interrupted hours-long run
+    resumes mid-fit."""
     ctx = ctx or a.ctx or get_context()
     docs, vocab = a.shape
     rng = np.random.default_rng(seed)
@@ -49,12 +52,14 @@ def topic_model(a: CsrFlashMatrix, n_topics: int, proj_dim: int = 64,
             / np.sqrt(proj_dim)).astype(np.float32)
     return topic_model_with_basis(a, r_np, n_topics, n_iters=n_iters,
                                   seed=seed, sample_rate=sample_rate,
-                                  mesh=mesh, ctx=ctx)
+                                  state_path=state_path, mesh=mesh,
+                                  ctx=ctx)
 
 
 def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
                            n_topics: int, n_iters: int = 8, seed: int = 0,
-                           sample_rate: float = 1.0, mesh=None,
+                           sample_rate: float = 1.0,
+                           state_path: Optional[str] = None, mesh=None,
                            ctx=None) -> Tuple[np.ndarray, np.ndarray]:
     ctx = ctx or a.ctx or get_context()
     docs, vocab = a.shape
@@ -83,7 +88,8 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
             Ps = mem_array((len(idx), proj_dim), np.float32, data=samp,
                            ctx=ctx)
             centers, _ = kmeans_fit(Ps, n_topics, n_iters=n_iters,
-                                    seed=seed, n_init=3, ctx=ctx)
+                                    seed=seed, n_init=3,
+                                    state_path=state_path, ctx=ctx)
             if mesh is not None:
                 from ..parallel import lloyds_iter_ooc_sharded
                 _, inertia, _ = lloyds_iter_ooc_sharded(
@@ -99,7 +105,8 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
         else:
             _, inertia = kmeans_fit(P, n_topics, n_iters=n_iters,
                                     seed=seed, n_init=3,
-                                    labels_out=labels, ctx=ctx)
+                                    labels_out=labels,
+                                    state_path=state_path, ctx=ctx)
         lab_np = labels.read_all()
 
         # 3. lift: topic-word T = A^T one_hot(labels), normalized — but the

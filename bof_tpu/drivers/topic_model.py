@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--sample-rate", type=float, default=1.0,
                    help="cluster on a doc sample, assign the full corpus "
                         "in one pass (the paper's ISLE runs use 0.1)")
+    p.add_argument("--state", default=None,
+                   help="checkpoint file for the clustering stage")
     p.add_argument("--sharded", action="store_true",
                    help="projection + Lloyd steps over all local devices")
     p.add_argument("--out", default=None,
@@ -39,7 +41,8 @@ def main(argv=None):
             mesh = make_mesh()
         tw, labels = topic_model(A, args.n_topics, proj_dim=args.proj_dim,
                                  n_iters=args.iters,
-                                 sample_rate=args.sample_rate, mesh=mesh,
+                                 sample_rate=args.sample_rate,
+                                 state_path=args.state, mesh=mesh,
                                  ctx=ctx)
     print(f"topics {tw.shape} label-histogram "
           f"{np.bincount(labels, minlength=args.n_topics).tolist()}")
