@@ -66,6 +66,12 @@ class FlashContext:
                 path, create=create, truncate_to=truncate_to, o_direct=od,
                 n_threads=self.config.n_io_threads,
                 max_chunk_bytes=self.config.max_chunk_bytes)
+        if od:
+            from .utils import LOG
+            LOG.warning("use_o_direct requested but the python io backend "
+                        "is active: %s opens page-cache-buffered (measured "
+                        "throughput will NOT reflect O_DIRECT + kernel "
+                        "AIO)", path)
         return PyFileStore(path, self.py_pool(), create=create,
                            truncate_to=truncate_to,
                            max_chunk_bytes=self.config.max_chunk_bytes)
@@ -107,6 +113,12 @@ class FlashContext:
                 from .io.native_cache import NativeTileCache, PinRouter
                 backend = getattr(self.config, "tile_cache_backend", "auto")
                 native = None
+                if backend == "native" and self._backend != "native":
+                    # consistent with io_backend='native': an explicit
+                    # request must fail loudly, not silently degrade
+                    raise RuntimeError(
+                        "tile_cache_backend='native' requires the native "
+                        f"io backend (resolved: {self._backend})")
                 if backend != "python" and self._backend == "native":
                     try:
                         native = NativeTileCache(self.config.program_budget)

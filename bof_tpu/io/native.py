@@ -31,10 +31,31 @@ _engine_started = False
 
 
 def _build() -> str:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           _SRC, "-o", _SO]
-    LOG.info("building native io engine: %s", " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    # build to a temp name and atomically publish: a concurrent process
+    # must never dlopen a half-written ELF.  flock serializes concurrent
+    # builders (parallel pytest workers, bench + tests).
+    import fcntl
+    lock_path = _SO + ".lock"
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            # another process may have finished the build while we waited
+            src_mtime = max(os.path.getmtime(_SRC),
+                            os.path.getmtime(_INC)
+                            if os.path.exists(_INC) else 0.0)
+            if (os.path.exists(_SO)
+                    and os.path.getmtime(_SO) >= src_mtime):
+                return _SO
+            cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                   "-pthread", _SRC, "-o", tmp]
+            LOG.info("building native io engine: %s", " ".join(cmd))
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, _SO)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            fcntl.flock(lk, fcntl.LOCK_UN)
     return _SO
 
 
@@ -88,7 +109,12 @@ def apply_engine_config(cfg):
     if lib is None:
         return
     simul = int(getattr(cfg, "max_simul_reqs", 64))
-    lib.bof_set_aio_depth(simul, max(256, 2 * simul))
+    if simul > 128:
+        LOG.warning("max_simul_reqs=%d clamped to 128 (engine slot "
+                    "ceiling; io_setup beyond fs.aio-max-nr would "
+                    "silently disable kernel AIO)", simul)
+        simul = 128
+    lib.bof_set_aio_depth(max(1, simul), max(256, 2 * simul))
     lib.bof_set_verify_writes(1 if getattr(cfg, "debug_checks", False) else 0)
 
 

@@ -137,6 +137,11 @@ def _check_access(sinfo: StrideInfo, buf: np.ndarray):
     per-file sector interval locks, bof_io.cpp.)"""
     if buf.dtype != np.uint8 or buf.ndim != 1:
         raise ValueError("store buffers must be 1-D uint8 views")
+    if not buf.flags["C_CONTIGUOUS"]:
+        # the native engine DMAs a contiguous span through ctypes.data; a
+        # strided/reversed view would be silently corrupted (and a
+        # negative stride would write past the allocation)
+        raise ValueError("store buffers must be C-contiguous")
     if buf.nbytes < sinfo.nbytes:
         raise ValueError(f"buffer too small: {buf.nbytes} < {sinfo.nbytes}")
     if sinfo.len_per_stride > sinfo.stride and sinfo.n_strides > 1:

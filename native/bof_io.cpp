@@ -424,10 +424,6 @@ struct TlAio {
 };
 thread_local TlAio tl_aio;
 
-struct Op;  // fwd
-static bool aio_eligible(const Op& op);
-static int aio_execute(aio_context_t ctx, const Op& op, int max_slots);
-
 // O_DIRECT read with bounce for unaligned offset/len/pointer
 // (reference: flash_file_handle.cpp:247-312).
 static int direct_read(int fd, char* buf, int64_t len, int64_t off) {

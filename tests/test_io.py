@@ -413,3 +413,19 @@ def test_pystore_zero_length_ticket_completes(tmp_path):
                   np.zeros(0, np.uint8))
     assert t2.done()
     st.close()
+
+
+def test_non_contiguous_buffer_rejected(tmp_path):
+    """The native engine DMAs a contiguous span through ctypes.data —
+    strided/reversed views must be rejected up front on every backend."""
+    import pytest
+
+    from bof_tpu.io.store import MemStore
+    from bof_tpu.io.stride import StrideInfo
+    st = MemStore(4096)
+    base = np.zeros(1024, np.uint8)
+    for bad in (base[::2], base[::-1]):
+        with pytest.raises(ValueError, match="contiguous"):
+            st.read(0, StrideInfo.contiguous(256), bad)
+        with pytest.raises(ValueError, match="contiguous"):
+            st.write(0, StrideInfo.contiguous(256), bad)

@@ -106,3 +106,19 @@ def test_router_mixed_stores(store, tmp_path):
                                   np.arange(256, dtype=np.uint32))
     router.unpin(k_nat)
     router.unpin(k_py)
+
+
+def test_explicit_native_tile_cache_requires_native_io(tmp_path):
+    """tile_cache_backend='native' on the python io backend must raise
+    (consistent with io_backend='native'), not silently degrade."""
+    import pytest
+
+    from bof_tpu import FlashConfig, FlashContext
+    ctx = FlashContext(FlashConfig(scratch_dir=str(tmp_path / "s"),
+                                   io_backend="python",
+                                   tile_cache_backend="native"))
+    try:
+        with pytest.raises(RuntimeError, match="native"):
+            ctx.pin_cache()
+    finally:
+        ctx.destroy()
