@@ -196,10 +196,16 @@ def run_csrmm(ctx) -> dict:
         return rel < 1e-3
 
     # TPU device path (ELL gather + MXU reduction, explicit)
+    from bof_tpu.utils import METRICS
     scrub()
+    m_before = METRICS.snapshot()
     t0 = time.perf_counter()
     csrmm(A, B, C, ctx=ctx)
     dt = time.perf_counter() - t0
+    m_after = METRICS.snapshot()
+    stall = {k: round(m_after.get(f"csrmm.{k}", 0.0)
+                      - m_before.get(f"csrmm.{k}", 0.0), 2)
+             for k in ("disk_wait_s", "dispatch_s", "d2h_s")}
     dev_ok = check()
 
     # out-of-core HOST path (scipy block products — the reference's own
@@ -217,6 +223,10 @@ def run_csrmm(ctx) -> dict:
         "csrmm_seconds": round(dt, 2),
         "csrmm_nnz": int(nnz), "csrmm_shape": [m, k, n],
         "csrmm_vs_inmem": round(t_inmem / dt, 4),
+        # producer/writer stage breakdown (disk wait vs ELL prep +
+        # H2D/dispatch vs D2H) — pinpoints which stage binds, like the
+        # gemm stall telemetry
+        "csrmm_stall_s": stall,
         # flash-host vs in-mem-host = the reference's own headline ratio
         # (paper Fig. 6: ~0.5 of in-memory at bag-of-words sparsity)
         "csrmm_host_gbps": round(bytes_total / dt_host / 1e9, 4),
@@ -642,6 +652,9 @@ def main():
         if lib is not None:
             lib.bof_aio_ops.restype = ctypes.c_longlong
             result["kernel_aio_runs"] = int(lib.bof_aio_ops())
+        nat = getattr(ctx.pin_cache(), "_nat", None)
+        if nat is not None:
+            result["tile_cache"] = nat.stats()
     except Exception:
         pass
     try:  # persist the measured sustained rate for next-run sizing

@@ -240,12 +240,16 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
         errors: list = []
 
         def producer():
+            import time as _time
             try:
                 for bi, (r, e) in enumerate(blocks):
                     i0, i1 = int(ia_np[r]), int(ia_np[e])
                     nnz_b, rows_b = i1 - i0, e - r
+                    t0 = _time.perf_counter()
                     ja_blk = pf.get(2 * bi).view(idt)
                     va_blk = pf.get(2 * bi + 1).view(vdt)
+                    t1 = _time.perf_counter()
+                    METRICS.add("csrmm.disk_wait_s", t1 - t0)
                     if cfg.debug_checks:
                         from .csr import verify_csr_block
                         verify_csr_block(ia_np[r:e + 1], ja_blk,
@@ -286,6 +290,8 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                             outs.append((s0, s1, out))
                     pf.done(2 * bi)
                     pf.done(2 * bi + 1)
+                    METRICS.add("csrmm.dispatch_s",
+                                _time.perf_counter() - t1)
                     while not errors:  # timeout-put: dead writer can't hang us
                         try:
                             out_q.put((r, rows_b, outs), timeout=1.0)
@@ -309,6 +315,7 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                     pass
 
         def writer():
+            import time as _time
             try:
                 while True:
                     try:  # timeout-get: a dead producer can't hang us
@@ -321,8 +328,10 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                         break
                     r, rows_b, outs = item
                     c_np = np.empty((rows_b, bc), vdt)
+                    t0 = _time.perf_counter()
                     for s0, s1, out in outs:
                         c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                    METRICS.add("csrmm.d2h_s", _time.perf_counter() - t0)
                     c_np *= alpha
                     if beta != 0.0:
                         c_np += beta * c.read_block(r, rows_b, c0, bc)
