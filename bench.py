@@ -515,6 +515,7 @@ def main():
         print(json.dumps(result))
         return 0 if ok else 1
 
+    t_bench_start = time.perf_counter()
     inmem_tflops = measure_inmem_tflops(min(sb, 8192), prec)
     h2d_probe_before = measure_h2d_gbps()
 
@@ -540,12 +541,15 @@ def main():
             pass
         sv = os.statvfs(os.path.dirname(CACHE_DIR))
         free = sv.f_frsize * sv.f_bavail
+        # 0.55 (not 0.75): warm-up, probes, verify and the csrmm secondary
+        # share the same wall budget, and the tunnel can degrade 2x
+        # MID-run — the recorded JSON line must finish inside the budget
         n = sb
         while True:
             cand = n + sb
             t_xfer = 3 * cand * cand * 4 / (sustained * 1e9)
             t_comp = 2 * cand**3 / (inmem_tflops * 1e12)
-            if max(t_xfer, t_comp) > 0.75 * budget_s:
+            if max(t_xfer, t_comp) > 0.55 * budget_s:
                 break
             if 3 * cand * cand * 4 > 0.5 * free:
                 break
@@ -590,8 +594,10 @@ def main():
     d2h_bytes, d2h_s = md("gemm.d2h_bytes"), md("gemm.d2h_s")
 
     # honest in-memory twin: the SAME problem size fully device-resident,
-    # when it fits HBM; else keep the extrapolated small-matmul rate
-    if 3 * n * n * 4 <= 12 << 30:
+    # when it fits HBM AND the wall budget has headroom (a fresh N is a
+    # 30-170s remote compile; the recorded line must not time out on it)
+    elapsed = time.perf_counter() - t_bench_start
+    if 3 * n * n * 4 <= 12 << 30 and elapsed < 0.6 * budget_s:
         try:
             inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
         except Exception:
@@ -662,7 +668,14 @@ def main():
             json.dump({"sustained_gbps": result["combined_link_gbps"]}, f)
     except OSError:
         pass
-    if os.environ.get("BOF_BENCH_CSRMM", "1") != "0":
+    elapsed = time.perf_counter() - t_bench_start
+    if os.environ.get("BOF_BENCH_CSRMM", "1") == "0":
+        pass
+    elif elapsed > 1.1 * budget_s:
+        # budget spent (tunnel degraded mid-run): record the headline
+        # rather than risk the whole line timing out on the secondary
+        result["csrmm_skipped"] = f"wall budget spent ({elapsed:.0f}s)"
+    else:
         try:
             result.update(run_csrmm(ctx))
             ok = ok and result.get("csrmm_verified", True)
