@@ -100,7 +100,10 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     try:
         for bi, (r0, bn) in enumerate(spans):
             p_host = pf.get(bi).view(points.dtype).reshape(bn, d)
-            p_norm2 = float((p_host.astype(np.float64) ** 2).sum())
+            # einsum accumulates in f64 without materializing a full
+            # f64 copy + squared temporary of the 64 MB block
+            p_norm2 = float(np.einsum("ij,ij->", p_host, p_host,
+                                      dtype=np.float64))
             p_blk = jnp.asarray(p_host.astype(np.float32, copy=False))
             labels, mind, sums, counts = lloyd_block(
                 p_blk, c_dev, c_norms, sums, counts, n_centers=k, prec=prec)

@@ -42,6 +42,9 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     ctx = ctx or src.ctx or get_context()
     if src.shape != dst.shape or len(src.shape) != 1:
         raise ValueError("sort needs equal-shape 1-D arrays")
+    if src.dtype != dst.dtype:
+        raise ValueError(f"sort needs matching dtypes: src {src.dtype} "
+                         f"!= dst {dst.dtype}")
     n = src.shape[0]
     if n == 0:  # empty input: sorted output is empty (n_blks==0 would
         return  # otherwise hit np.concatenate([]) in the pivot phase)
@@ -66,7 +69,6 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
             x[:] = x[np.argsort(key(x), kind="stable")]
         elif device_sort:
             import jax.numpy as jnp
-            from ..utils.alignment import round_up
             # pad to the next power of two so data-dependent bucket sizes
             # (phase 3) don't each compile a fresh device sort shape
             m = len(x)

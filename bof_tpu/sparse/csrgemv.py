@@ -3,10 +3,11 @@
 Re-design of the reference's flash::csrgemv (reference:
 src/blas/csrgemv.cpp:14-97 + include/tasks/csrgemv_task.h): the vectors
 live in DRAM (reference keeps x/y in memory, only A streams), row blocks
-are nnz-budgeted, and each block is one gather/segment-sum device step.
-'T' accumulates a device-resident output vector across row blocks —
-replacing the reference's mutex-guarded OpenMP accumulation
-(csrgemv_task.h:169-176) with XLA dataflow over a donated accumulator.
+are nnz-budgeted, and each 'N' block is one ELL gather device step.
+'T' is a scatter over columns, which serializes on TPU, so it
+accumulates on the HOST via float64 bincount per block — the same role
+as the reference's mutex-guarded OpenMP accumulation
+(csrgemv_task.h:169-176), at C speed and memory-bound.
 """
 from __future__ import annotations
 
@@ -16,9 +17,8 @@ import numpy as np
 
 from ..context import get_context
 from ..core.flash_array import FlashArray
-from ..core.pipeline import PrefetchSeq
 from . import spmm_device as sdev
-from .csr import CsrFlashMatrix, fill_row_blocks
+from .csr import CsrFlashMatrix, fill_row_blocks, stream_row_blocks
 
 
 def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
@@ -39,56 +39,40 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
 
     ia_np = a.read_ia()
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
-    cache = ctx.pin_cache()
-    idt, vdt = a.ja.dtype, a.vals.dtype
+    vdt = a.vals.dtype
     entry_cap = 1 << 22  # rows_pad * rmax ELL budget for the vector case
 
-    accesses = []
-    for r, e in blocks:
-        i0, i1 = int(ia_np[r]), int(ia_np[e])
-        accesses.append((a.ja.store,) + a.ja.block_access(i0, i1 - i0))
-        accesses.append((a.vals.store,) + a.vals.block_access(i0, i1 - i0))
-    pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
+    # stream_row_blocks prefetches through the pin cache and honors
+    # debug_checks (verify_csr_block) — the shared sparse-planner skeleton
+    if not t:
+        y = np.empty(m, dtype=vdt)
+        x_dev = jnp.asarray(x)
+        for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks,
+                                                      ctx):
+            i0 = int(ia_np[r])
+            counts = np.diff(ia_np[r:e + 1])
+            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                sub_ia = ia_np[r + s0:r + s1 + 1]
+                lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
+                ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
+                                             va_blk[lo:hi])
+                out = sdev.spmv_ell_block(x_dev, jnp.asarray(ja_ell),
+                                          jnp.asarray(va_ell))
+                y[r + s0:r + s1] = np.asarray(out)[:s1 - s0]
+        return y
 
-    try:
-        if not t:
-            y = np.empty(m, dtype=vdt)
-            x_dev = jnp.asarray(x)
-            for bi, (r, e) in enumerate(blocks):
-                i0 = int(ia_np[r])
-                ja_blk = pf.get(2 * bi).view(idt)
-                va_blk = pf.get(2 * bi + 1).view(vdt)
-                counts = np.diff(ia_np[r:e + 1])
-                for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                    sub_ia = ia_np[r + s0:r + s1 + 1]
-                    lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
-                    ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
-                                                 va_blk[lo:hi])
-                    out = sdev.spmv_ell_block(x_dev, jnp.asarray(ja_ell),
-                                              jnp.asarray(va_ell))
-                    y[r + s0:r + s1] = np.asarray(out)[:s1 - s0]
-                pf.done(2 * bi)
-                pf.done(2 * bi + 1)
-            return y
-
-        # trans: y[k] += A_blk^T x_blk — a scatter over columns.  TPU
-        # scatter serializes, so the accumulation runs on host via
-        # bincount (C speed, memory-bound — same role as the reference's
-        # mutexed OpenMP accumulate, csrgemv_task.h:169-176).
-        y = np.zeros(k, dtype=np.float64)
-        for bi, (r, e) in enumerate(blocks):
-            ja_blk = pf.get(2 * bi).view(idt)
-            va_blk = pf.get(2 * bi + 1).view(vdt)
-            row_ids = sdev.expand_row_ids(ia_np[r:e + 1])
-            w = va_blk.astype(np.float64) \
-                * x[r:e].astype(np.float64)[row_ids]
-            y += np.bincount(ja_blk.astype(np.int64), weights=w,
-                             minlength=k)
-            pf.done(2 * bi)
-            pf.done(2 * bi + 1)
-        return y.astype(vdt)
-    finally:
-        pf.close()  # an exception mid-stream must not leak pinned tiles
+    # trans: y[k] += A_blk^T x_blk — a scatter over columns.  TPU
+    # scatter serializes, so the accumulation runs on host via
+    # bincount (C speed, memory-bound — same role as the reference's
+    # mutexed OpenMP accumulate, csrgemv_task.h:169-176).
+    y = np.zeros(k, dtype=np.float64)
+    for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
+        row_ids = sdev.expand_row_ids(ia_np[r:e + 1])
+        w = va_blk.astype(np.float64) \
+            * x[r:e].astype(np.float64)[row_ids]
+        y += np.bincount(ja_blk.astype(np.int64), weights=w,
+                         minlength=k)
+    return y.astype(vdt)
 
 
 def csrgemv_in_mem(a_sp, x: np.ndarray, trans: str = "N") -> np.ndarray:
