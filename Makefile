@@ -4,11 +4,11 @@
 CXX ?= g++
 CXXFLAGS ?= -O3 -std=c++17 -shared -fPIC -pthread
 
-native/libbof_io.so: native/bof_io.cpp
+bof_tpu/native/libbof_io.so: bof_tpu/native/bof_io.cpp
 	$(CXX) $(CXXFLAGS) $< -o $@
 
 .PHONY: native test bench clean
-native: native/libbof_io.so
+native: bof_tpu/native/libbof_io.so
 
 test: native
 	python -m pytest tests/ -x -q
@@ -17,5 +17,5 @@ bench: native
 	python bench.py
 
 clean:
-	rm -f native/libbof_io.so
+	rm -f bof_tpu/native/libbof_io.so
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
