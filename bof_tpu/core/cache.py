@@ -119,6 +119,22 @@ class TileCache:
             self.real_size -= e.nbytes if e.buf is not None else 0
             METRICS.add("cache.evict_clean")
 
+    def _drop_locked(self, key: tuple, e: "_Entry"):
+        """Remove a zero-ref entry WITHOUT write-back (poisoned /
+        single-use-discard / rollback), orphaning any in-flight read the
+        way _evict_locked does: the ticket keeps the buffer alive until
+        the engine finishes, and a later re-pin of the same key gets a
+        fresh entry instead of being marked complete by the stale
+        ticket's reap."""
+        self._entries.pop(key, None)
+        self._zero_ref.pop(key, None)
+        self.commit_size -= e.nbytes
+        tkt = self._inflight_reads.pop(key, None)
+        if tkt is not None:
+            self._orphan_tickets.append(tkt)
+        if e.buf is not None:
+            self.real_size -= e.nbytes
+
     def _reap_locked(self):
         # Every completion path records I/O errors instead of raising out
         # of the reap loop — an exception here once wedged the cache with
@@ -177,49 +193,75 @@ class TileCache:
                 if self.commit_size + needed > self.max_size:
                     METRICS.add("cache.alloc_fail")
                     return False
-            for k, info in keys.items():
-                e = self._entries.get(k)
-                if e is not None:
-                    e.refs += 1
-                    self._zero_ref.pop(k, None)
-                    if info["write"]:
-                        # dirty is only set in release() after the task's
-                        # execute() succeeds — a failed task must never
-                        # write back its (possibly garbage) buffer
-                        e.alloc_only = False
-                    METRICS.add("cache.hit")
-                    continue
-                if k in self._inflight_writes:
-                    # resurrect an evicted-dirty tile.  The in-flight
-                    # write-back must COMPLETE first: handing the buffer
-                    # to a writer while the engine is still pwriting from
-                    # it tears the on-disk bytes, and the new owner's own
-                    # eventual write-back would race this one unordered
-                    # (the reference spin-waits its flush for the same
-                    # reason, cache.cpp:45-70).  Bounded: one tile write.
-                    tkt, nb, buf = self._inflight_writes.pop(k)
-                    try:
-                        tkt.wait()
-                    except IOError as ex:
-                        self.write_errors.append(ex)
-                    # real_size: stays counted — the buffer lives on in
-                    # the resurrected entry (reap no longer sees this
-                    # ticket, so it won't double-decrement)
+            applied: List[tuple] = []  # ("ref" | "new", key) for rollback
+            try:
+                for k, info in keys.items():
+                    e = self._entries.get(k)
+                    if e is not None:
+                        e.refs += 1
+                        applied.append(("ref", k))
+                        self._zero_ref.pop(k, None)
+                        if info["write"]:
+                            # dirty is only set in release() after the
+                            # task's execute() succeeds — a failed task
+                            # must never write back its garbage buffer
+                            e.alloc_only = False
+                        METRICS.add("cache.hit")
+                        continue
+                    if k in self._inflight_writes:
+                        # resurrect an evicted-dirty tile.  The in-flight
+                        # write-back must COMPLETE first: handing the
+                        # buffer to a writer while the engine is still
+                        # pwriting from it tears the on-disk bytes, and
+                        # the new owner's own eventual write-back would
+                        # race this one unordered (the reference
+                        # spin-waits its flush for the same reason,
+                        # cache.cpp:45-70).  Bounded: one tile write.
+                        tkt, nb, buf = self._inflight_writes.pop(k)
+                        try:
+                            tkt.wait()
+                        except Exception as ex:  # any store error: record
+                            self.write_errors.append(
+                                ex if isinstance(ex, IOError)
+                                else IOError(str(ex)))
+                        # real_size: stays counted — the buffer lives on
+                        # in the resurrected entry (reap no longer sees
+                        # this ticket, so it won't double-decrement)
+                        e = _Entry(info["store"], info["offset"],
+                                   info["sinfo"], alloc_only=False)
+                        e.buf = buf
+                        e.complete = True  # contents valid (write done)
+                        self._entries[k] = e
+                        self.commit_size += nb
+                        applied.append(("new", k))
+                        METRICS.add("cache.resurrect")
+                        continue
+                    alloc_only = info["write"] and not info["read"]
                     e = _Entry(info["store"], info["offset"], info["sinfo"],
-                               alloc_only=False)
-                    e.buf = buf
-                    e.complete = True  # contents valid (write finished)
+                               alloc_only=alloc_only)
                     self._entries[k] = e
-                    self.commit_size += nb
-                    METRICS.add("cache.resurrect")
-                    continue
-                alloc_only = info["write"] and not info["read"]
-                e = _Entry(info["store"], info["offset"], info["sinfo"],
-                           alloc_only=alloc_only)
-                self._entries[k] = e
-                self.commit_size += e.nbytes
-                self._backlog.append(k)
-                METRICS.add("cache.miss")
+                    self.commit_size += e.nbytes
+                    self._backlog.append(k)
+                    applied.append(("new", k))
+                    METRICS.add("cache.miss")
+            except BaseException:
+                # exception-atomicity: an error escaping mid-loop must not
+                # leave refs taken / entries created for a task the
+                # scheduler will complete WITHOUT cache.release() — those
+                # tiles would be pinned and their commit bytes leaked
+                # until process death
+                for kind, k in reversed(applied):
+                    e = self._entries.get(k)
+                    if e is None:
+                        continue
+                    if kind == "ref":
+                        e.refs -= 1
+                        if e.refs == 0:
+                            self._zero_ref[k] = None
+                            self._zero_ref.move_to_end(k)
+                    else:
+                        self._drop_locked(k, e)
+                raise
             task.set_status(TaskStatus.ALLOC)
             return True
 
@@ -231,7 +273,13 @@ class TileCache:
             while self._backlog:
                 k = self._backlog[0]
                 e = self._entries.get(k)
-                if e is None:  # cancelled
+                if (e is None or e.buf is not None or e.complete
+                        or k in self._inflight_reads):
+                    # cancelled, or a DUPLICATE backlog key: an
+                    # evict-then-repin cycle can queue the same key twice,
+                    # and servicing it twice would double-count real_size,
+                    # orphan the first read ticket un-waited, and replace
+                    # a possibly-filled buffer with uninitialized memory
                     self._backlog.popleft()
                     continue
                 if self.real_size + e.nbytes > self.max_size:
@@ -326,14 +374,10 @@ class TileCache:
                                       "failed task (offset %d, %d B): "
                                       "earlier result NOT persisted",
                                       e.offset, e.nbytes)
-                        self._entries.pop(k)
-                        self.commit_size -= e.nbytes
-                        self.real_size -= e.nbytes if e.buf is not None else 0
+                        self._drop_locked(k, e)
                         METRICS.add("cache.drop_poisoned")
                     elif self.single_use_discard and not e.dirty:
-                        self._entries.pop(k)
-                        self.commit_size -= e.nbytes
-                        self.real_size -= e.nbytes if e.buf is not None else 0
+                        self._drop_locked(k, e)
                     else:
                         self._zero_ref[k] = None
                         self._zero_ref.move_to_end(k)
@@ -420,11 +464,9 @@ class TileCache:
             if e.refs == 0:
                 if ((e.poisoned or e.error is not None)
                         or (self.single_use_discard and not e.dirty)):
-                    # poisoned/errored entries drop so a retry re-fetches
-                    self._entries.pop(key)
-                    self.commit_size -= e.nbytes
-                    if e.buf is not None:
-                        self.real_size -= e.nbytes
+                    # poisoned/errored entries drop so a retry re-fetches;
+                    # an aborted stream's still-in-flight read is orphaned
+                    self._drop_locked(key, e)
                 else:
                     self._zero_ref[key] = None
                     self._zero_ref.move_to_end(key)

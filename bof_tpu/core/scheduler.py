@@ -158,14 +158,24 @@ class Scheduler:
             self._max_in_mem = self._in_mem_factor * n
 
     def shutdown(self):
+        import time
         with self._lock:
             self._shutdown = True
         self._wake.set()
         for _ in self._compute_threads:
             self._compute_q.put(None)
         self._sched_thread.join(timeout=10)
+        # generous join: a task inside execute() may be in a 30s+ cold
+        # remote JAX compile (CLAUDE.md); draining before it finishes
+        # would silently skip its release + write-back
+        deadline = time.monotonic() + 60
         for t in self._compute_threads:
-            t.join(timeout=10)
+            t.join(timeout=max(0.0, deadline - time.monotonic()))
+        laggards = [t for t in self._compute_threads if t.is_alive()]
+        if laggards:
+            LOG.error("shutdown: %d compute thread(s) still running after "
+                      "60 s — their tasks' results will NOT be persisted "
+                      "by this flush", len(laggards))
         # drain completions the exited sched thread never saw, so their
         # cache refs drop and flush() can write their dirty tiles back
         while True:
