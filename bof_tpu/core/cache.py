@@ -241,8 +241,8 @@ class TileCache:
                                alloc_only=alloc_only)
                     self._entries[k] = e
                     self.commit_size += e.nbytes
+                    applied.append(("new", k))  # BEFORE any later raise
                     self._backlog.append(k)
-                    applied.append(("new", k))
                     METRICS.add("cache.miss")
             except BaseException:
                 # exception-atomicity: an error escaping mid-loop must not
