@@ -110,6 +110,67 @@ def sharding_for(mesh, spec):
     return NamedSharding(mesh, spec)
 
 
+def device_put_sharded(host_np, sharding):
+    """Host->mesh transfer that works under multi-host SPMD: every
+    process uploads ONLY the shards its local devices own and the global
+    array is assembled from them (jax.make_array_from_single_device_
+    arrays) — the multi-host data plane the scale-out design note
+    describes (each host's tile pipeline feeds its addressable shards).
+    Single-process, plain device_put is equivalent and cheaper."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(host_np, sharding)
+    return _put_addressable(host_np, sharding)
+
+
+def _put_addressable(host_np, sharding):
+    import jax
+
+    shards = [
+        jax.device_put(host_np[idx], d)
+        for d, idx in sharding.addressable_devices_indices_map(
+            host_np.shape).items()
+    ]
+    return jax.make_array_from_single_device_arrays(
+        host_np.shape, sharding, shards)
+
+
+def _writeback_shards(c_dev, c, i0: int, j0: int, bi: int, bj: int,
+                      sb: int):
+    """Write THIS process's addressable shards of a (sb, sb)
+    storage-major C superblock back to the store — the multi-host
+    write-back (each host persists only the rows/cols its devices own;
+    with a shared filesystem the union covers the tile).  Returns the
+    write tickets.  c_dev's storage-major axes map to logical (row, col)
+    directly for row-major C and swapped for column-major."""
+    import jax  # noqa: F401  (shard.data materializes lazily)
+
+    tickets = []
+    for shard in c_dev.addressable_shards:
+        (s0, s1) = (shard.index[0].start or 0,
+                    shard.index[0].stop or sb)
+        (t0, t1) = (shard.index[1].start or 0,
+                    shard.index[1].stop or sb)
+        if c.order == "R":
+            r0, r1 = i0 + s0, min(i0 + s1, i0 + bi)
+            c0_, c1 = j0 + t0, min(j0 + t1, j0 + bj)
+            nr, nc = r1 - r0, c1 - c0_
+            if nr <= 0 or nc <= 0:
+                continue
+            data = np.asarray(shard.data)[:nr, :nc]
+        else:  # storage rows = logical cols for column-major C
+            r0, r1 = i0 + t0, min(i0 + t1, i0 + bi)
+            c0_, c1 = j0 + s0, min(j0 + s1, j0 + bj)
+            nr, nc = r1 - r0, c1 - c0_
+            if nr <= 0 or nc <= 0:
+                continue
+            data = np.asarray(shard.data)[:c1 - c0_, :r1 - r0]
+        tickets.append(c.write_block_storage_async(
+            r0, c0_, nr, nc, np.ascontiguousarray(data)))
+    return tickets
+
+
 def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                  transa: str = "N", transb: str = "N",
                  blk: Optional[int] = None, mesh=None, ctx=None) -> None:
@@ -214,7 +275,7 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 c_init = None
                 if l == 0 and beta != 0.0:
                     c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
-                    c_init = jax.device_put(
+                    c_init = device_put_sharded(
                         beta_s * pad(c_host, (sb, sb)), sh_c)
                 t0 = _time.perf_counter()
                 a_host = seq_a.get(idx).view(a.dtype).reshape(
@@ -229,9 +290,9 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     b_host = None
                     METRICS.add("gemm_sharded.b_hbm_hits")
                 t1 = _time.perf_counter()
-                a_dev = jax.device_put(pad(a_host, (sb, sb)), sh_a)
+                a_dev = device_put_sharded(pad(a_host, (sb, sb)), sh_a)
                 if b_dev is None:
-                    b_dev = jax.device_put(pad(b_host, (sb, sb)), sh_b)
+                    b_dev = device_put_sharded(pad(b_host, (sb, sb)), sh_b)
                 b_lru[b_key] = b_dev
                 while len(b_lru) > b_cap:
                     b_lru.pop(next(iter(b_lru)))
@@ -265,19 +326,27 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
 
     def writer():
         try:
+            import jax as _jax
+            multihost = _jax.process_count() > 1
             tickets = []
             while True:
                 item = write_q.get()
                 if item is None:
                     break
                 i, j, bi, bj, c_dev = item
-                ci = _storage_shape(c, (bi, bj))
                 t0 = _time.perf_counter()
-                c_host = np.asarray(c_dev)[:ci[0], :ci[1]]
+                if multihost:
+                    # each process persists only its addressable shards
+                    # (np.asarray of a multi-host global array would fail)
+                    tickets.extend(_writeback_shards(
+                        c_dev, c, i * sb, j * sb, bi, bj, sb))
+                else:
+                    ci = _storage_shape(c, (bi, bj))
+                    c_host = np.asarray(c_dev)[:ci[0], :ci[1]]
+                    tickets.append(c.write_block_storage_async(
+                        i * sb, j * sb, bi, bj, c_host))
                 METRICS.add("gemm_sharded.d2h_s",
                             _time.perf_counter() - t0)
-                tickets.append(c.write_block_storage_async(
-                    i * sb, j * sb, bi, bj, c_host))
             for t in tickets:
                 t.wait()
         except BaseException as e:  # pragma: no cover
@@ -306,7 +375,8 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         bi, bj, bl = tile_dims(i, j, l)
         if l == 0:
             c_dev = (c_init if c_init is not None
-                     else jax.device_put(np.zeros((sb, sb), c.dtype), sh_c))
+                     else device_put_sharded(np.zeros((sb, sb), c.dtype),
+                                             sh_c))
         c_dev = step(c_dev, a_dev, b_dev, alpha_s)
         if l == kB - 1:
             while not errors:

@@ -319,3 +319,41 @@ def test_kmeans_fit_sharded_resident_matches_streaming(ctx, rng):
     np.testing.assert_allclose(c_a, c_b, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(i_a, i_b, rtol=1e-3)
     np.testing.assert_array_equal(lab_a.read_all(), lab_b.read_all())
+
+
+def test_multihost_helpers_match_device_put(ctx, rng):
+    """The multi-host data-plane helpers (addressable-shard assembly and
+    per-shard write-back) must be byte-identical to the single-host
+    device_put / full-block write they replace — validated on the
+    8-device mesh where addressable == all devices."""
+    import jax
+
+    from bof_tpu import mem_array
+    from bof_tpu.parallel import make_mesh
+    from bof_tpu.parallel.mesh import (_put_addressable, _writeback_shards,
+                                       sharding_for)
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh(8)
+    sb = 32
+    x = rng.standard_normal((sb, sb)).astype(np.float32)
+    for spec in (P("x", "y"), P("y", None), P(None, "y"), P()):
+        sh = sharding_for(mesh, spec)
+        a = _put_addressable(x, sh)
+        b = jax.device_put(x, sh)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.sharding.is_equivalent_to(b.sharding, 2)
+
+    # per-shard write-back reassembles the exact tile, both C orders,
+    # including ragged tails (bi/bj < sb)
+    for order in ("R", "C"):
+        C = mem_array((70, 50), np.float32, order=order, ctx=ctx)
+        sh_c = sharding_for(mesh, P("x", "y") if order == "R"
+                            else P("y", "x"))
+        tile = rng.standard_normal((sb, sb)).astype(np.float32)
+        c_dev = jax.device_put(tile, sh_c)
+        i0, j0, bi, bj = 16, 16, 30, 20  # ragged: clipped on both axes
+        for t in _writeback_shards(c_dev, C, i0, j0, bi, bj, sb):
+            t.wait()
+        got = C.read_block(i0, bi, j0, bj)
+        want = tile[:bi, :bj] if order == "R" else tile[:bj, :bi].T
+        np.testing.assert_array_equal(got, want)
