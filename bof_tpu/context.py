@@ -88,6 +88,11 @@ class FlashContext:
     def free_scratch(self, store: BaseStore):
         """Unlink a scratch store (reference: flash_free, lib_funcs.h:122-128)."""
         path = getattr(store, "path", None)
+        with self._lock:
+            sched = self._scheduler
+        if sched is not None:
+            from .io.store import store_uid
+            sched.cache.forget_store(store_uid(store))
         store.close()
         if path and path in self._scratch_files:
             self._scratch_files.discard(path)

@@ -517,6 +517,12 @@ class TileCache:
                 f"{len(errs)} write-back(s) failed; data NOT fully "
                 f"persisted: {errs[0]}") from errs[0]
 
+    def forget_store(self, uid: int):
+        """Drop a store from the dirty-fsync map (called by free_scratch:
+        a concurrent flush must not fsync a store being closed)."""
+        with self._lock:
+            self._dirty_stores.pop(uid, None)
+
     @property
     def active_count(self) -> int:
         with self._lock:

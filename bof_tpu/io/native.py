@@ -199,16 +199,25 @@ class NativeFileStore(BaseStore):
         self._max_chunk = max_chunk_bytes
 
     def size(self) -> int:
-        return self._lib.bof_file_size(self._fd)
+        fd = self._fd
+        if fd is None:
+            raise IOError(f"store is closed: {self.path}")
+        return self._lib.bof_file_size(fd)
 
     def truncate(self, nbytes: int):
-        self._lib.bof_truncate(self._fd, nbytes)
+        fd = self._fd
+        if fd is None:
+            raise IOError(f"store is closed: {self.path}")
+        self._lib.bof_truncate(fd, nbytes)
 
     def _submit(self, offset: int, sinfo: StrideInfo, buf: np.ndarray,
                 is_write: bool) -> Ticket:
         _check_access(sinfo, buf)
+        fd = self._fd
+        if fd is None:  # a None fd would raise ctypes.ArgumentError
+            raise IOError(f"store is closed: {self.path}")
         tid = self._lib.bof_submit(
-            self._fd, offset, sinfo.stride, sinfo.n_strides,
+            fd, offset, sinfo.stride, sinfo.n_strides,
             sinfo.len_per_stride, buf.ctypes.data, 1 if is_write else 0,
             self._max_chunk)
         if tid < 0:
@@ -222,7 +231,11 @@ class NativeFileStore(BaseStore):
         return self._submit(offset, sinfo, src, is_write=True)
 
     def flush(self):
-        self._lib.bof_fsync(self._fd)
+        fd = self._fd
+        if fd is None:
+            return  # freed/closed concurrently (e.g. another pipeline's
+            # cache.flush saw this scratch store before free_scratch)
+        self._lib.bof_fsync(fd)
 
     def close(self):
         if self._fd is not None and self._fd >= 0:

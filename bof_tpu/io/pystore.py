@@ -161,7 +161,10 @@ class PyFileStore(BaseStore):
         return self._submit(offset, sinfo, src, is_write=True)
 
     def flush(self):
-        os.fsync(self._fd)
+        fd = self._fd
+        if fd is None:
+            return  # closed concurrently (freed scratch): nothing to sync
+        os.fsync(fd)
 
     def close(self):
         if self._fd is not None:

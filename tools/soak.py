@@ -86,6 +86,77 @@ def op_map_reduce(ctx, rng):
     assert abs(s - np.sqrt(x.astype(np.float64)).sum()) < 1e-2 * max(s, 1)
 
 
+def op_csrgemv(ctx, rng):
+    import scipy.sparse as sps
+
+    from bof_tpu.sparse import CsrFlashMatrix, csrgemv
+    m = int(rng.integers(32, 300))
+    k = int(rng.integers(16, 150))
+    a_sp = sps.random(m, k, density=0.06, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(
+                          int(rng.integers(1 << 30))))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    trans = "T" if rng.integers(2) else "N"
+    x = rng.standard_normal(m if trans == "T" else k).astype(np.float32)
+    got = csrgemv(A, x, trans=trans, ctx=ctx)
+    want = (a_sp.T @ x) if trans == "T" else (a_sp @ x)
+    assert np.allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def op_csrcsc(ctx, rng):
+    import scipy.sparse as sps
+
+    from bof_tpu.sparse import CsrFlashMatrix, csrcsc_scratch
+    from bof_tpu.core.flash_array import flash_free
+    m = int(rng.integers(32, 250))
+    k = int(rng.integers(16, 150))
+    a_sp = sps.random(m, k, density=0.06, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(
+                          int(rng.integers(1 << 30))))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    at = csrcsc_scratch(A, ctx=ctx)
+    try:
+        want = a_sp.T.tocsr()
+        want.sort_indices()
+        assert np.array_equal(at.read_ia(), want.indptr)
+        assert np.array_equal(at.ja.read_all(), want.indices)
+        assert np.allclose(at.vals.read_all(), want.data)
+    finally:
+        for arr in (at.ia, at.ja, at.vals):
+            flash_free(arr)
+
+
+def op_xml_rank(ctx, rng):
+    import scipy.sparse as sps
+
+    from bof_tpu.apps import xml_rank
+    from bof_tpu.core.flash_array import flash_free, mem_array
+    docs = int(rng.integers(16, 150))
+    vocab = int(rng.integers(8, 80))
+    L = int(rng.integers(3, 40))
+    k = int(rng.integers(1, min(L, 8) + 1))
+    a_sp = sps.random(docs, vocab, density=0.1, format="csr",
+                      dtype=np.float32,
+                      random_state=np.random.RandomState(
+                          int(rng.integers(1 << 30))))
+    w = rng.standard_normal((L, vocab)).astype(np.float32)
+    A = CsrFlashMatrix_from(a_sp, ctx)
+    W = mem_array((L, vocab), np.float32, data=w, ctx=ctx)
+    s, l = xml_rank(A, W, k, fused=bool(rng.integers(2)), ctx=ctx)
+    try:
+        want = (a_sp @ w.T).astype(np.float32)
+        ws = -np.sort(-want, axis=1)[:, :k]
+        assert np.allclose(s.read_all(), ws, rtol=2e-4, atol=1e-4)
+    finally:
+        flash_free(s)
+        flash_free(l)
+
+
+def CsrFlashMatrix_from(a_sp, ctx):
+    from bof_tpu.sparse import CsrFlashMatrix
+    return CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+
+
 def op_flash_io(ctx, rng):
     from bof_tpu.core.flash_array import flash_empty, flash_free
     rows, cols = int(rng.integers(8, 128)), int(rng.integers(8, 128))
@@ -100,7 +171,8 @@ def op_flash_io(ctx, rng):
         flash_free(arr)
 
 
-OPS = [op_gemm, op_csrmm, op_sort, op_map_reduce, op_flash_io, op_flash_io]
+OPS = [op_gemm, op_csrmm, op_sort, op_map_reduce, op_flash_io,
+       op_csrgemv, op_csrcsc, op_xml_rank]
 
 
 def main():
