@@ -7,8 +7,13 @@ every case checked against a float64 numpy golden model.  Catches planner
 edge cases (ragged tails, ld arithmetic, storage-major gathers) that the
 fixed-size tests can't.
 """
+import os
+
 import numpy as np
 import pytest
+
+# deeper sweeps on demand: BOF_FUZZ_CASES=100 python -m pytest tests/test_fuzz.py
+_N = int(os.environ.get("BOF_FUZZ_CASES", "0"))
 
 from bof_tpu import FlashArray, mem_array
 from bof_tpu.ops import gemm
@@ -33,7 +38,7 @@ def _padded_operand(rng, rows, cols, order, ctx):
     return arr, data
 
 
-@pytest.mark.parametrize("case", range(10))
+@pytest.mark.parametrize("case", range(_N or 10))
 def test_gemm_fuzz(case, ctx):
     rng = np.random.default_rng(1000 + case)
     m = int(rng.integers(3, 150))
@@ -65,7 +70,7 @@ def test_gemm_fuzz(case, ctx):
         f"alpha{alpha:.3f} beta{beta:.3f} blk{blk}")
 
 
-@pytest.mark.parametrize("case", range(8))
+@pytest.mark.parametrize("case", range(_N or 8))
 def test_csrmm_fuzz(case, ctx):
     import scipy.sparse as sps
     rng = np.random.default_rng(2000 + case)
@@ -106,7 +111,7 @@ def test_csrmm_fuzz(case, ctx):
         f"ob{order_b} a{alpha:.3f} b{beta:.3f}")
 
 
-@pytest.mark.parametrize("case", range(6))
+@pytest.mark.parametrize("case", range(_N or 6))
 def test_xml_rank_fuzz(case, ctx):
     """Random shapes/k/label blocks on both xml_rank paths vs the dense
     golden top-k (order/tie-robust: scores must match the sorted golden
