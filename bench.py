@@ -650,6 +650,9 @@ def main():
                     "h2d": round(h2d_s, 2), "d2h": round(d2h_s, 2),
                     "tile_wait": round(md("gemm.tile_wait_s"), 2),
                     "write_wait": round(md("gemm.write_wait_s"), 2)},
+        # HBM tile-LRU effectiveness: each hit is a superblock upload
+        # the link never paid for
+        "hbm_tier": {"hits": int(md("hbm.hit")), "misses": int(md("hbm.miss"))},
     }
     try:  # observability: native engine + pin cache activity
         import ctypes
