@@ -199,7 +199,7 @@ class TileCache:
                     e = self._entries.get(k)
                     if e is not None:
                         e.refs += 1
-                        applied.append(("ref", k))
+                        applied.append(("ref", k, e.alloc_only))
                         self._zero_ref.pop(k, None)
                         if info["write"]:
                             # dirty is only set in release() after the
@@ -233,7 +233,7 @@ class TileCache:
                         e.complete = True  # contents valid (write done)
                         self._entries[k] = e
                         self.commit_size += nb
-                        applied.append(("new", k))
+                        applied.append(("new", k, None))
                         METRICS.add("cache.resurrect")
                         continue
                     alloc_only = info["write"] and not info["read"]
@@ -241,7 +241,7 @@ class TileCache:
                                alloc_only=alloc_only)
                     self._entries[k] = e
                     self.commit_size += e.nbytes
-                    applied.append(("new", k))  # BEFORE any later raise
+                    applied.append(("new", k, None))  # BEFORE a later raise
                     self._backlog.append(k)
                     METRICS.add("cache.miss")
             except BaseException:
@@ -250,12 +250,16 @@ class TileCache:
                 # scheduler will complete WITHOUT cache.release() — those
                 # tiles would be pinned and their commit bytes leaked
                 # until process death
-                for kind, k in reversed(applied):
+                for kind, k, prev_alloc_only in reversed(applied):
                     e = self._entries.get(k)
                     if e is None:
                         continue
                     if kind == "ref":
                         e.refs -= 1
+                        # restore: the failed task's write intent must not
+                        # convert another task's pending write-only tile
+                        # into a (possibly unreadable) read
+                        e.alloc_only = prev_alloc_only
                         if e.refs == 0:
                             self._zero_ref[k] = None
                             self._zero_ref.move_to_end(k)
@@ -404,8 +408,11 @@ class TileCache:
                 tkt, nb, buf = self._inflight_writes.pop(k)
                 try:
                     tkt.wait()
-                except IOError as ex:
-                    self.write_errors.append(ex)
+                except Exception as ex:  # any store error: record — an
+                    # escape here would leak real_size forever (the
+                    # ticket was already popped from _inflight_writes)
+                    self.write_errors.append(
+                        ex if isinstance(ex, IOError) else IOError(str(ex)))
                 e = _Entry(store, offset, sinfo, alloc_only=False)
                 e.buf = buf
                 e.complete = True

@@ -176,6 +176,11 @@ class Scheduler:
             LOG.error("shutdown: %d compute thread(s) still running after "
                       "60 s — their tasks' results will NOT be persisted "
                       "by this flush", len(laggards))
+            # surface as a flush error too: callers checking persistence
+            # (drivers, tests) must see an exception, not just a log line
+            self.cache.write_errors.append(IOError(
+                f"{len(laggards)} compute thread(s) outlived shutdown; "
+                "their results were not persisted"))
         # drain completions the exited sched thread never saw, so their
         # cache refs drop and flush() can write their dirty tiles back
         while True:

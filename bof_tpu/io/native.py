@@ -197,29 +197,33 @@ class NativeFileStore(BaseStore):
         self.path = path
         self.o_direct = o_direct
         self._max_chunk = max_chunk_bytes
+        # serializes close() against flush/submit/size: a raw check-then-
+        # act on self._fd would let a concurrently-closed (and OS-recycled)
+        # fd reach the engine — CLAUDE.md: fds are recycled
+        self._fd_lock = threading.Lock()
 
     def size(self) -> int:
-        fd = self._fd
-        if fd is None:
-            raise IOError(f"store is closed: {self.path}")
-        return self._lib.bof_file_size(fd)
+        with self._fd_lock:
+            if self._fd is None:
+                raise IOError(f"store is closed: {self.path}")
+            return self._lib.bof_file_size(self._fd)
 
     def truncate(self, nbytes: int):
-        fd = self._fd
-        if fd is None:
-            raise IOError(f"store is closed: {self.path}")
-        self._lib.bof_truncate(fd, nbytes)
+        with self._fd_lock:
+            if self._fd is None:
+                raise IOError(f"store is closed: {self.path}")
+            self._lib.bof_truncate(self._fd, nbytes)
 
     def _submit(self, offset: int, sinfo: StrideInfo, buf: np.ndarray,
                 is_write: bool) -> Ticket:
         _check_access(sinfo, buf)
-        fd = self._fd
-        if fd is None:  # a None fd would raise ctypes.ArgumentError
-            raise IOError(f"store is closed: {self.path}")
-        tid = self._lib.bof_submit(
-            fd, offset, sinfo.stride, sinfo.n_strides,
-            sinfo.len_per_stride, buf.ctypes.data, 1 if is_write else 0,
-            self._max_chunk)
+        with self._fd_lock:
+            if self._fd is None:
+                raise IOError(f"store is closed: {self.path}")
+            tid = self._lib.bof_submit(
+                self._fd, offset, sinfo.stride, sinfo.n_strides,
+                sinfo.len_per_stride, buf.ctypes.data, 1 if is_write else 0,
+                self._max_chunk)
         if tid < 0:
             raise IOError(f"submit failed: errno {-tid}")
         return NativeTicket(self._lib, tid, buf)
@@ -231,13 +235,15 @@ class NativeFileStore(BaseStore):
         return self._submit(offset, sinfo, src, is_write=True)
 
     def flush(self):
-        fd = self._fd
-        if fd is None:
-            return  # freed/closed concurrently (e.g. another pipeline's
-            # cache.flush saw this scratch store before free_scratch)
-        self._lib.bof_fsync(fd)
+        with self._fd_lock:
+            if self._fd is None:
+                return  # freed/closed concurrently (e.g. another
+                # pipeline's cache.flush saw this scratch store before
+                # free_scratch purged it)
+            self._lib.bof_fsync(self._fd)
 
     def close(self):
-        if self._fd is not None and self._fd >= 0:
-            self._lib.bof_close(self._fd)
+        with self._fd_lock:
+            if self._fd is not None and self._fd >= 0:
+                self._lib.bof_close(self._fd)
             self._fd = None

@@ -124,6 +124,9 @@ class PyFileStore(BaseStore):
         self.path = path
         self._pool = pool
         self._max_chunk = max_chunk_bytes
+        # serializes close() against flush/size: a check-then-act on the
+        # raw fd could fsync an OS-recycled fd (CLAUDE.md: fds recycle)
+        self._fd_lock = threading.Lock()
         if truncate_to:
             os.ftruncate(self._fd, truncate_to)
 
@@ -161,15 +164,16 @@ class PyFileStore(BaseStore):
         return self._submit(offset, sinfo, src, is_write=True)
 
     def flush(self):
-        fd = self._fd
-        if fd is None:
-            return  # closed concurrently (freed scratch): nothing to sync
-        os.fsync(fd)
+        with self._fd_lock:
+            if self._fd is None:
+                return  # closed concurrently (freed scratch)
+            os.fsync(self._fd)
 
     def close(self):
-        if self._fd is not None:
-            try:
-                os.close(self._fd)
-            except OSError:  # pragma: no cover
-                LOG.warning("close failed for %s", self.path)
-            self._fd = None
+        with self._fd_lock:
+            if self._fd is not None:
+                try:
+                    os.close(self._fd)
+                except OSError:  # pragma: no cover
+                    LOG.warning("close failed for %s", self.path)
+                self._fd = None

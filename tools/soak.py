@@ -135,12 +135,13 @@ def op_xml_rank(ctx, rng):
     vocab = int(rng.integers(8, 80))
     L = int(rng.integers(3, 40))
     k = int(rng.integers(1, min(L, 8) + 1))
+    from bof_tpu.sparse import CsrFlashMatrix
     a_sp = sps.random(docs, vocab, density=0.1, format="csr",
                       dtype=np.float32,
                       random_state=np.random.RandomState(
                           int(rng.integers(1 << 30))))
     w = rng.standard_normal((L, vocab)).astype(np.float32)
-    A = CsrFlashMatrix_from(a_sp, ctx)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
     W = mem_array((L, vocab), np.float32, data=w, ctx=ctx)
     s, l = xml_rank(A, W, k, fused=bool(rng.integers(2)), ctx=ctx)
     try:
@@ -150,11 +151,6 @@ def op_xml_rank(ctx, rng):
     finally:
         flash_free(s)
         flash_free(l)
-
-
-def CsrFlashMatrix_from(a_sp, ctx):
-    from bof_tpu.sparse import CsrFlashMatrix
-    return CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
 
 
 def op_flash_io(ctx, rng):
