@@ -172,11 +172,13 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
         sh_rows = NamedSharding(mesh, P(mesh.axis_names, None))
         sh_rep = NamedSharding(mesh, P())
 
+        from ..parallel.mesh import device_put_sharded
+
         def put_rows(x):
-            return jax.device_put(x, sh_rows)
+            return device_put_sharded(x, sh_rows)
 
         def put_rep(x):
-            return jax.device_put(x, sh_rep)
+            return device_put_sharded(x, sh_rep)
 
     for b0 in range(0, n_labels, lb_max):
         lb = min(lb_max, n_labels - b0)

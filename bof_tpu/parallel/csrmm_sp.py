@@ -61,7 +61,7 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     from ..core.pipeline import PrefetchSeq
     from ..sparse import spmm_device as sdev
     from ..sparse.csr import fill_row_blocks
-    from .mesh import make_mesh
+    from .mesh import device_put_sharded, make_mesh
 
     ctx = ctx or b.ctx or get_context()
     cfg = ctx.config
@@ -99,7 +99,7 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         b_pad = np.zeros((k, cb), b.dtype) if bc < cb else b_host
         if bc < cb:
             b_pad[:, :bc] = b_host
-        b_dev = jax.device_put(np.ascontiguousarray(b_pad), sh_rep)
+        b_dev = device_put_sharded(np.ascontiguousarray(b_pad), sh_rep)
         pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
         try:
             for bi, (r, e) in enumerate(blocks):
@@ -117,8 +117,8 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         sub_ia, ja_blk[lo:hi], va_blk[lo:hi],
                         min_rows=max(8, n_dev))
                     out = step(b_dev,
-                               jax.device_put(ja_ell, sh_rows),
-                               jax.device_put(va_ell, sh_rows))
+                               device_put_sharded(ja_ell, sh_rows),
+                               device_put_sharded(va_ell, sh_rows))
                     c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
                 pf.done(2 * bi)
                 pf.done(2 * bi + 1)

@@ -66,7 +66,7 @@ def lloyds_iter_sharded(points_np: np.ndarray, centers: np.ndarray,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .mesh import make_mesh
+    from .mesh import device_put_sharded, make_mesh
 
     mesh = mesh or make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
@@ -81,9 +81,9 @@ def lloyds_iter_sharded(points_np: np.ndarray, centers: np.ndarray,
         weights[n:] = 0.0
     step = dp_lloyd_step(mesh, prec)
     sh = NamedSharding(mesh, P(mesh.axis_names))
-    p = jax.device_put(points_np.astype(np.float32), sh)
-    w = jax.device_put(weights, sh)
-    c = jax.device_put(centers, NamedSharding(mesh, P()))
+    p = device_put_sharded(points_np.astype(np.float32), sh)
+    w = device_put_sharded(weights, sh)
+    c = device_put_sharded(centers, NamedSharding(mesh, P()))
     sums, counts, inertia, _labels = step(p, w, c)
     sums = np.array(sums)
     counts = np.array(counts)
@@ -108,7 +108,7 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
 
     from ..context import get_context
     from ..core.pipeline import PrefetchSeq
-    from .mesh import make_mesh
+    from .mesh import device_put_sharded, make_mesh
 
     ctx = ctx or points.ctx or get_context()
     cfg = ctx.config
@@ -125,7 +125,7 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
 
     step = dp_lloyd_step(mesh, prec)
     sh = NamedSharding(mesh, P(mesh.axis_names))
-    c_dev = jax.device_put(centers, NamedSharding(mesh, P()))
+    c_dev = device_put_sharded(centers, NamedSharding(mesh, P()))
 
     cache = ctx.pin_cache()
     spans = [(r0, min(blk, n - r0)) for r0 in range(0, n, blk)]
@@ -147,8 +147,8 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
                     [p_host, np.zeros((pad, d), points.dtype)])
                 w_np[bn:] = 0.0
             s, c, i, labels = step(
-                jax.device_put(p_host.astype(np.float32, copy=False), sh),
-                jax.device_put(w_np, sh), c_dev)
+                device_put_sharded(p_host.astype(np.float32, copy=False), sh),
+                device_put_sharded(w_np, sh), c_dev)
             pf.done(bi)
             sums += np.asarray(s, np.float64)
             counts += np.asarray(c, np.float64)
@@ -186,7 +186,7 @@ def kmeans_fit_sharded(points, n_centers: int, n_iters: int = 10,
 
     from ..context import get_context
     from ..ops.kmeans import _kmeanspp_sample
-    from .mesh import make_mesh
+    from .mesh import device_put_sharded, make_mesh
 
     ctx = ctx or getattr(points, "ctx", None) or get_context()
     cfg = ctx.config
@@ -213,8 +213,8 @@ def kmeans_fit_sharded(points, n_centers: int, n_iters: int = 10,
                     [host, np.zeros((pad, d), np.float32)])
                 w_np[n:] = 0.0
             sh = NamedSharding(mesh, P(mesh.axis_names))
-            resident = (jax.device_put(host, sh),
-                        jax.device_put(w_np, sh))
+            resident = (device_put_sharded(host, sh),
+                        device_put_sharded(w_np, sh))
         except Exception:
             resident = None  # stream instead
 
@@ -228,7 +228,7 @@ def kmeans_fit_sharded(points, n_centers: int, n_iters: int = 10,
                 points, c_np, labels_out=labels_out if want_labels
                 else None, mesh=mesh, ctx=ctx)
         p_sh, w_sh = resident
-        c_dev = jax.device_put(np.ascontiguousarray(c_np, np.float32), rep)
+        c_dev = device_put_sharded(np.ascontiguousarray(c_np, np.float32), rep)
         sums, counts, inertia, labels = step(p_sh, w_sh, c_dev)
         sums, counts = np.asarray(sums), np.asarray(counts)
         if want_labels and labels_out is not None:
