@@ -1,4 +1,4 @@
-"""ctypes bindings to the native I/O engine (native/bof_io.cpp).
+"""ctypes bindings to the native I/O engine (bof_tpu/native/bof_io.cpp).
 
 The shared library is built lazily with g++ on first use and cached next to
 the source.  `NativeFileStore` implements the BaseStore interface on top of
