@@ -66,13 +66,20 @@ def accum_step(c, a, b, alpha, *, a_km: bool, b_nk: bool, c_nm: bool,
     dot_general, whose contracting dims absorb the transposes.
     """
     if impl == "pallas" and not (a_km or b_nk or c_nm):
-        from .matmul_pallas import matmul
-        bm = 512 if c.shape[0] % 512 == 0 else c.shape[0]
-        bn0 = 512 if prec == "highest" else 1024
-        bn = bn0 if c.shape[1] % bn0 == 0 else c.shape[1]
-        bk = 512 if a.shape[1] % 512 == 0 else a.shape[1]
-        out = matmul(a, b, bm=bm, bn=bn, bk=bk, prec=prec)
-        return c + alpha.astype(c.dtype) * out
+        from .matmul_pallas import bn_default, matmul
+        bn0 = bn_default(prec)
+        # feasibility gate (the sparse side's pallas_eligible analog):
+        # only run the kernel on bucketed multiples of the tile sizes —
+        # a full-dimension fallback tile would blow VMEM and mint a new
+        # unbucketed compile per odd superblock (CLAUDE.md); anything
+        # else quietly uses the equivalent XLA path below
+        if (c.shape[0] % 512 == 0 and c.shape[1] % bn0 == 0
+                and a.shape[1] % 512 == 0):
+            # out_dtype=c.dtype: partials accumulate at the ACCUMULATOR
+            # precision even when A/B tiles arrived as bf16 transfers
+            out = matmul(a, b, bm=512, bn=bn0, bk=512, prec=prec,
+                         out_dtype=c.dtype)
+            return c + alpha.astype(c.dtype) * out
     ka = 1 if not a_km else 0
     kb = 0 if not b_nk else 1
     if not c_nm:

@@ -38,18 +38,27 @@ def _make_kernel(precision):
     return _matmul_kernel
 
 
+def bn_default(prec: str) -> int:
+    """Output-tile width: HIGHEST fp32 runs the 6-pass MXU expansion,
+    which needs extra VMEM stack — narrower tiles stay under the limit.
+    Shared with device.accum_step so both call paths pick the same
+    kernel shapes."""
+    return 512 if prec == "highest" else 1024
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("bm", "bn", "bk", "prec", "interpret"))
+                   static_argnames=("bm", "bn", "bk", "prec", "interpret",
+                                    "out_dtype"))
 def matmul(a, b, *, bm: int = 512, bn: int = 0, bk: int = 512,
-           prec: str = "highest", interpret: bool = False):
+           prec: str = "highest", interpret: bool = False, out_dtype=None):
     """C = A @ B with fp32 accumulation.  A:(M,K) B:(K,N) — shapes must be
     multiples of the tile sizes (the out-of-core planner pads superblocks
-    to multiples, so no in-kernel masking is needed)."""
+    to multiples, so no in-kernel masking is needed).  `out_dtype` defaults
+    to a.dtype; accumulate chains pass the ACCUMULATOR's dtype so a bf16
+    transfer mode doesn't round each partial to bf16."""
     from .device import _precision
     if bn == 0:
-        # HIGHEST fp32 runs the 6-pass MXU expansion, which needs extra
-        # VMEM stack — use narrower output tiles to stay under the limit
-        bn = 512 if prec == "highest" else 1024
+        bn = bn_default(prec)
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
@@ -58,7 +67,7 @@ def matmul(a, b, *, bm: int = 512, bn: int = 0, bk: int = 512,
     grid = (m // bm, n // bn, k // bk)
     return pl.pallas_call(
         _make_kernel(_precision(prec)),
-        out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype or a.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, l: (i, l)),

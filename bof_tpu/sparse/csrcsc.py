@@ -44,6 +44,14 @@ def csrcsc(a: CsrFlashMatrix, out: CsrFlashMatrix, ctx=None) -> None:
         raise ValueError(f"output shape {out.shape} != ({k}, {m})")
     if out.nnz != a.nnz:
         raise ValueError("output nnz mismatch")
+    if (out.ja.dtype != a.ja.dtype or out.vals.dtype != a.vals.dtype
+            or out.ia.dtype != a.ia.dtype):
+        # phase 2 views out's byte buffers with A's dtypes; a mismatch
+        # would silently reinterpret/truncate instead of converting
+        raise ValueError(
+            f"output dtypes (ia {out.ia.dtype}, ja {out.ja.dtype}, vals "
+            f"{out.vals.dtype}) must match A's ({a.ia.dtype}, "
+            f"{a.ja.dtype}, {a.vals.dtype})")
     sched = ctx.scheduler()
     idt, vdt = a.ja.dtype, a.vals.dtype
 
