@@ -27,27 +27,35 @@ class Prioritizer:
     def insert(self, task: Task):
         self._deque.append(task)
 
+    @staticmethod
+    def _access_keys(t: Task):
+        """Deduped (key, nbytes) pairs of a task, memoized on the task —
+        access lists never change after creation, and update() is called
+        every scheduler round (profiling showed re-deriving keys per
+        round dominated the scheduling cost)."""
+        cached = getattr(t, "_prio_keys", None)
+        if cached is not None:
+            return cached
+        pairs = {}
+        for store, off, si in t.read_list + t.write_list:
+            pairs.setdefault(access_key(store, off, si), si.nbytes)
+        t._prio_keys = list(pairs.items())
+        return t._prio_keys
+
     def update(self):
         """Re-rank by bytes not yet resident (reference:
         prioritizer.h:116-139)."""
         if not self._use_prio or len(self._deque) <= 1:
             return
-        all_keys = {}
+        all_keys = set()
         for t in self._deque:
-            for store, off, si in t.read_list + t.write_list:
-                all_keys[access_key(store, off, si)] = si.nbytes
-        resident = self._cache.cached_keys(all_keys.keys())
+            for k, _nb in self._access_keys(t):
+                all_keys.add(k)
+        resident = self._cache.cached_keys(all_keys)
 
         def mem_reqd(t: Task) -> int:
-            need = 0
-            seen = set()
-            for store, off, si in t.read_list + t.write_list:
-                k = access_key(store, off, si)
-                if k in seen or k in resident:
-                    continue
-                seen.add(k)
-                need += si.nbytes
-            return need
+            return sum(nb for k, nb in self._access_keys(t)
+                       if k not in resident)
 
         self._deque = collections.deque(
             sorted(self._deque, key=mem_reqd))

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..io.store import BaseStore
+from ..io.store import BaseStore, store_uid
 from ..io.stride import StrideInfo
 
 # Unique task ids (reference: global_task_counter, lib_funcs.cpp:16).
@@ -37,8 +37,8 @@ class TaskStatus(enum.IntEnum):
 def access_key(store: BaseStore, offset: int, sinfo: StrideInfo):
     """Cache key for one access (reference hashes Key{fptr,sinfo} with
     fnv64a, cache.h:11-42; Python tuples hash natively).  Keyed on a
-    process-unique store uid — id(store) addresses are recycled by GC."""
-    from ..io.store import store_uid
+    process-unique store uid — id(store) addresses are recycled by GC.
+    Hot: called per access per prioritizer round — no per-call imports."""
     return (store_uid(store), offset, sinfo)
 
 
