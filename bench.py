@@ -541,15 +541,16 @@ def main():
             pass
         sv = os.statvfs(os.path.dirname(CACHE_DIR))
         free = sv.f_frsize * sv.f_bavail
-        # 0.55 (not 0.75): warm-up, probes, verify and the csrmm secondary
-        # share the same wall budget, and the tunnel can degrade 2x
-        # MID-run — the recorded JSON line must finish inside the budget
+        # 0.4 (not 0.75): warm-up, probes, verify and the csrmm secondary
+        # share the same wall budget, and the tunnel can degrade up to 4x
+        # MID-run (measured) — the recorded JSON line must finish inside
+        # the budget even on a degraded run, so size for the worst case
         n = sb
         while True:
             cand = n + sb
             t_xfer = 3 * cand * cand * 4 / (sustained * 1e9)
             t_comp = 2 * cand**3 / (inmem_tflops * 1e12)
-            if max(t_xfer, t_comp) > 0.55 * budget_s:
+            if max(t_xfer, t_comp) > 0.4 * budget_s:
                 break
             if 3 * cand * cand * 4 > 0.5 * free:
                 break
@@ -566,9 +567,11 @@ def main():
     B = bt.map_array(b_path, (n, n), np.float32, "R", ctx=ctx)
     C = bt.map_array(c_path, (n, n), np.float32, "R", create=True, ctx=ctx)
 
-    # warm-up: compile the accumulate steps on a 2-superblock problem
-    # (clamped: BOF_BENCH_N may be smaller than 2 superblocks)
-    warm = min(2 * sb, n)
+    # warm-up: compile the accumulate/init/writer steps on ONE superblock
+    # (every K step reuses the same donated jitted shape, so one block
+    # compiles everything; 2 superblocks would double the fixed transfer
+    # overhead the wall budget has to absorb)
+    warm = min(sb, n)
     Aw = bt.FlashArray(A.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     Bw = bt.FlashArray(B.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     Cw = bt.FlashArray(C.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
