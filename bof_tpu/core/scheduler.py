@@ -85,6 +85,7 @@ class Scheduler:
         self._all_done.set()
         self._shutdown = False
         self._pending = 0  # tasks added, not yet complete
+        self._rank_round = 0  # periodic prioritizer refresh counter
 
         self._sched_thread = threading.Thread(
             target=self._sched_loop, name="bof-sched", daemon=True)
@@ -222,6 +223,7 @@ class Scheduler:
 
     def _sched_round(self) -> bool:
         progressed = False
+        inserted = False
         # (1) drain completions (scheduler.cpp:120-137)
         while True:
             try:
@@ -271,14 +273,21 @@ class Scheduler:
                 elif self.c_rec.all_complete(t.parents):
                     t.set_status(TaskStatus.ALLOC_READY)
                     self.prio.insert(t)
+                    inserted = True
                     progressed = True
                 else:
                     still_waiting.append(t)
             self._wait_tasks = still_waiting
         for t in failed_children:
             self._complete_q.put(t)
-        if progressed:
+        if inserted or (progressed and self._rank_round % 8 == 0):
+            # re-rank on new inserts, plus a periodic refresh so residency
+            # drift still re-orders a long-stable queue; re-sorting every
+            # round (the reference's behavior) was the top profiled cost
+            # of the scheduler thread at high task rates
             self.prio.update()
+        if progressed:
+            self._rank_round += 1
 
         # (3) admit tasks to cache while under the in-flight cap
         # (scheduler.cpp:166-184, max = 4*n_compute :78)
