@@ -110,6 +110,81 @@ def sharding_for(mesh, spec):
     return NamedSharding(mesh, spec)
 
 
+_FORCE_SHARDED_READS = False  # test hook: exercise the multi-host read
+# path on a single process (addressable devices == all devices)
+
+
+def _shard_subaccess(off: int, si, shp, s0: int, s1: int, t0: int, t1: int,
+                     itemsize: int):
+    """Byte access covering storage lines [s0,s1) x element columns
+    [t0,t1) — shard coordinates of the PADDED (sb, sb) tile — within a
+    whole-tile access (off, si) whose REAL storage shape is shp.
+    Returns (sub_off, sub_si | None, lines, width): lines/width are the
+    real element extents (the rest of the shard is zero padding); None
+    when the shard lies entirely in padding."""
+    from ..io.stride import StrideInfo
+
+    lines = max(0, min(s1, shp[0]) - s0)
+    width = max(0, min(t1, shp[1]) - t0)
+    if lines == 0 or width == 0:
+        return off, None, 0, 0
+    # a contiguous whole-tile access packs shp[0] lines of shp[1] elems
+    line_stride = si.stride if si.n_strides > 1 else shp[1] * itemsize
+    sub_off = off + s0 * line_stride + t0 * itemsize
+    return (sub_off,
+            StrideInfo(stride=line_stride, n_strides=lines,
+                       len_per_stride=width * itemsize),
+            lines, width)
+
+
+def _shard_read_plan(specs, sharding, sb: int, itemsize: int,
+                     flat_accesses: list):
+    """Per-step shard plan for the multi-host producer: for every tile
+    spec, one entry per addressable device — (device, shard box, real
+    lines/width, index into flat_accesses or None when pure padding).
+    Appends the per-shard sub-accesses to flat_accesses (consumed
+    in order by a PrefetchSeq)."""
+    items = list(sharding.addressable_devices_indices_map((sb, sb)).items())
+    plan = []
+    for (store, off, si), shp in specs:
+        entries = []
+        for d, slices in items:
+            s0 = slices[0].start or 0
+            s1 = sb if slices[0].stop is None else slices[0].stop
+            t0 = slices[1].start or 0
+            t1 = sb if slices[1].stop is None else slices[1].stop
+            sub_off, sub_si, lines, width = _shard_subaccess(
+                off, si, shp, s0, s1, t0, t1, itemsize)
+            if sub_si is None:
+                entries.append((d, (s0, s1, t0, t1), 0, 0, None))
+            else:
+                entries.append((d, (s0, s1, t0, t1), lines, width,
+                                len(flat_accesses)))
+                flat_accesses.append((store, sub_off, sub_si))
+        plan.append(entries)
+    return plan
+
+
+def _assemble_shards(entries, seq, dtype, sharding, sb: int):
+    """Read this process's shards (pin-cache views), zero-pad, upload
+    each to its device, and assemble the global (sb, sb) array."""
+    import jax
+
+    arrs = []
+    done = []
+    for d, (s0, s1, t0, t1), lines, width, pidx in entries:
+        shard = np.zeros((s1 - s0, t1 - t0), dtype)
+        if pidx is not None:
+            raw = seq.get(pidx).view(dtype)
+            shard[:lines, :width] = raw.reshape(lines, width)
+            done.append(pidx)
+        arrs.append(jax.device_put(shard, d))
+    for pidx in done:
+        seq.done(pidx)
+    return jax.make_array_from_single_device_arrays((sb, sb), sharding,
+                                                    arrs)
+
+
 def device_put_sharded(host_np, sharding):
     """Host->mesh transfer that works under multi-host SPMD: every
     process uploads ONLY the shards its local devices own and the global
@@ -261,6 +336,20 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     per_dev_tile = sb * sb * 4 // max(py, 1)
     b_cap = max(1, min(kB, int(cfg.hbm_budget // 3 // max(per_dev_tile, 1))))
 
+    # multi-host data plane: each process READS only the byte ranges its
+    # devices own (per-shard StrideInfo sub-accesses through the pin
+    # cache) and uploads them — no H-fold read amplification on a shared
+    # filesystem.  Single-process keeps whole-tile reads (one access per
+    # tile beats n_dev strided sub-reads when every shard is local).
+    sharded_reads = jax.process_count() > 1 or _FORCE_SHARDED_READS
+    itemsize = np.dtype(a.dtype).itemsize
+    if sharded_reads:
+        a_flat: list = []
+        b_flat: list = []
+        a_plan = _shard_read_plan(a_specs, sh_a, sb, itemsize, a_flat)
+        b_plan = _shard_read_plan(b_specs, sh_b, sb, itemsize, b_flat)
+        shards_per_tile = max(1, len(a_plan[0]) if a_plan else 1)
+
     def producer():
         seq_a = seq_b = None
         b_lru: dict = {}  # spec key -> sharded device array (insert-ordered)
@@ -268,8 +357,14 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             # inside the try: PrefetchSeq pins `depth` tiles immediately,
             # and a pin failure (over-budget tile, I/O error) must land in
             # `errors` or the main loop would wait forever
-            seq_a = PrefetchSeq(cache, [s for s, _ in a_specs], depth)
-            seq_b = PrefetchSeq(cache, [s for s, _ in b_specs], depth)
+            if sharded_reads:
+                seq_a = PrefetchSeq(cache, a_flat,
+                                    depth * shards_per_tile)
+                seq_b = PrefetchSeq(cache, b_flat,
+                                    depth * shards_per_tile)
+            else:
+                seq_a = PrefetchSeq(cache, [s for s, _ in a_specs], depth)
+                seq_b = PrefetchSeq(cache, [s for s, _ in b_specs], depth)
             for idx, (i, j, l) in enumerate(steps):
                 bi, bj, bl = tile_dims(i, j, l)
                 c_init = None
@@ -278,32 +373,47 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     c_init = device_put_sharded(
                         beta_s * pad(c_host, (sb, sb)), sh_c)
                 t0 = _time.perf_counter()
-                a_host = seq_a.get(idx).view(a.dtype).reshape(
-                    a_specs[idx][1])
                 (b_store, b_off, b_si), b_shp = b_specs[idx]
                 b_key = (store_uid(b_store), b_off, b_si)
                 b_dev = b_lru.pop(b_key, None)  # pop+reinsert = LRU touch
-                if b_dev is None:
-                    b_host = seq_b.get(idx).view(b.dtype).reshape(b_shp)
+                b_uploaded = b_dev is None
+                if sharded_reads:
+                    a_dev = _assemble_shards(a_plan[idx], seq_a, a.dtype,
+                                             sh_a, sb)
+                    if b_dev is None:
+                        b_dev = _assemble_shards(b_plan[idx], seq_b,
+                                                 b.dtype, sh_b, sb)
+                    else:
+                        METRICS.add("gemm_sharded.b_hbm_hits")
+                        for *_rest, pidx in b_plan[idx]:
+                            if pidx is not None:  # keep the seq in order
+                                seq_b.get(pidx)
+                                seq_b.done(pidx)
+                    t1 = t2 = _time.perf_counter()
                 else:
-                    seq_b.get(idx)  # keep the prefetch sequence in lockstep
-                    b_host = None
-                    METRICS.add("gemm_sharded.b_hbm_hits")
-                t1 = _time.perf_counter()
-                a_dev = device_put_sharded(pad(a_host, (sb, sb)), sh_a)
-                if b_dev is None:
-                    b_dev = device_put_sharded(pad(b_host, (sb, sb)), sh_b)
+                    a_host = seq_a.get(idx).view(a.dtype).reshape(
+                        a_specs[idx][1])
+                    if b_dev is None:
+                        b_host = seq_b.get(idx).view(b.dtype).reshape(b_shp)
+                    else:
+                        seq_b.get(idx)  # keep the prefetch seq in lockstep
+                        b_host = None
+                        METRICS.add("gemm_sharded.b_hbm_hits")
+                    t1 = _time.perf_counter()
+                    a_dev = device_put_sharded(pad(a_host, (sb, sb)), sh_a)
+                    if b_dev is None:
+                        b_dev = device_put_sharded(pad(b_host, (sb, sb)),
+                                                   sh_b)
+                    t2 = _time.perf_counter()
+                    seq_a.done(idx)
+                    seq_b.done(idx)
                 b_lru[b_key] = b_dev
                 while len(b_lru) > b_cap:
                     b_lru.pop(next(iter(b_lru)))
-                t2 = _time.perf_counter()
-                seq_a.done(idx)
-                seq_b.done(idx)
                 METRICS.add("gemm_sharded.disk_wait_s", t1 - t0)
                 METRICS.add("gemm_sharded.h2d_s", t2 - t1)
                 METRICS.add("gemm_sharded.h2d_bytes",
-                            a_dev.nbytes
-                            + (b_dev.nbytes if b_host is not None else 0))
+                            sb * sb * itemsize * (2 if b_uploaded else 1))
                 while not errors:
                     try:
                         tile_q.put((a_dev, b_dev, c_init), timeout=1.0)

@@ -357,3 +357,44 @@ def test_multihost_helpers_match_device_put(ctx, rng):
         got = C.read_block(i0, bi, j0, bj)
         want = tile[:bi, :bj] if order == "R" else tile[:bj, :bi].T
         np.testing.assert_array_equal(got, want)
+
+
+def test_gemm_sharded_sharded_reads_match(ctx, rng, tmp_path):
+    """The multi-host sharded-read producer (per-shard StrideInfo
+    sub-accesses) must produce byte-identical results to the whole-tile
+    path, across layouts and ragged tails."""
+    from bof_tpu import map_array
+    from bof_tpu.parallel import gemm_sharded, make_mesh
+    import bof_tpu.parallel.mesh as meshmod
+
+    mesh = make_mesh(8)
+    m, n, k = 90, 70, 100  # ragged vs blk=32 on every axis
+    for order, ta, tb in (("R", "N", "N"), ("C", "T", "N"), ("R", "N", "T")):
+        a_shape = (k, m) if ta == "T" else (m, k)
+        b_shape = (n, k) if tb == "T" else (k, n)
+        a_np = rng.standard_normal(a_shape).astype(np.float32)
+        b_np = rng.standard_normal(b_shape).astype(np.float32)
+        A = map_array(str(tmp_path / f"A{order}{ta}{tb}"), a_shape,
+                      np.float32, order, create=True, ctx=ctx)
+        B = map_array(str(tmp_path / f"B{order}{ta}{tb}"), b_shape,
+                      np.float32, order, create=True, ctx=ctx)
+        C1 = map_array(str(tmp_path / f"C1{order}{ta}{tb}"), (m, n),
+                       np.float32, order, create=True, ctx=ctx)
+        C2 = map_array(str(tmp_path / f"C2{order}{ta}{tb}"), (m, n),
+                       np.float32, order, create=True, ctx=ctx)
+        A.write_all(a_np)
+        B.write_all(b_np)
+        gemm_sharded(A, B, C1, transa=ta, transb=tb, blk=32, mesh=mesh,
+                     ctx=ctx)
+        meshmod._FORCE_SHARDED_READS = True
+        try:
+            gemm_sharded(A, B, C2, transa=ta, transb=tb, blk=32, mesh=mesh,
+                         ctx=ctx)
+        finally:
+            meshmod._FORCE_SHARDED_READS = False
+        np.testing.assert_array_equal(C1.read_all(), C2.read_all())
+        opa = a_np.T if ta == "T" else a_np
+        opb = b_np.T if tb == "T" else b_np
+        np.testing.assert_allclose(
+            C2.read_all(), (opa.astype(np.float64) @ opb).astype(np.float32),
+            rtol=2e-4, atol=1e-3)
