@@ -368,8 +368,12 @@ def test_gemm_sharded_sharded_reads_match(ctx, rng, tmp_path):
     import bof_tpu.parallel.mesh as meshmod
 
     mesh = make_mesh(8)
-    m, n, k = 90, 70, 100  # ragged vs blk=32 on every axis
-    for order, ta, tb in (("R", "N", "N"), ("C", "T", "N"), ("R", "N", "T")):
+    # 90/70/100: ragged vs blk=32 on every axis (strided accesses);
+    # 32/32/32 exercises CONTIGUOUS whole-tile accesses (n_strides==1),
+    # whose line stride must be derived from the storage shape
+    for m, n, k in ((90, 70, 100), (32, 32, 32)):
+      for order, ta, tb in (("R", "N", "N"), ("C", "T", "N"),
+                            ("R", "N", "T")):
         a_shape = (k, m) if ta == "T" else (m, k)
         b_shape = (n, k) if tb == "T" else (k, n)
         a_np = rng.standard_normal(a_shape).astype(np.float32)
