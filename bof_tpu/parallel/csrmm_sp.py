@@ -92,6 +92,49 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         accesses.append((a.ja.store, ja_off, ja_si))
         accesses.append((a.vals.store, va_off, va_si))
 
+    # multi-host data plane (mirrors gemm_sharded's sharded reads): each
+    # process reads only the nnz ranges of the ELL row shards its devices
+    # own — contiguous ja/vals sub-reads derived from ia — instead of the
+    # whole row block.  Every process computes identical ELL dimensions
+    # from the host-resident ia (sdev.ell_dims), so shard shapes agree.
+    from .mesh import _FORCE_SHARDED_READS
+    sharded_reads = jax.process_count() > 1 or _FORCE_SHARDED_READS
+    min_rows = max(8, n_dev)
+    if sharded_reads:
+        shard_flat: list = []
+        sub_plans = []  # per block: [(s0, s1, rows_pad, rmax, shards)]
+        for (r, e) in blocks:
+            i0 = int(ia_np[r])
+            blk_ia = ia_np[r:e + 1] - i0
+            counts = np.diff(blk_ia)
+            subs = []
+            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                rows_pad, rmax = sdev.ell_dims(counts[s0:s1], min_rows)
+                idx_map = sh_rows.addressable_devices_indices_map(
+                    (rows_pad, rmax))
+                shards = []
+                for d, slices in idx_map.items():
+                    p0 = slices[0].start or 0
+                    p1 = (rows_pad if slices[0].stop is None
+                          else slices[0].stop)
+                    lo_row = s0 + p0
+                    hi_row = s0 + min(p1, s1 - s0)
+                    pidx = None
+                    if hi_row > lo_row:
+                        nz_lo = int(blk_ia[lo_row])
+                        nz_hi = int(blk_ia[hi_row])
+                        if nz_hi > nz_lo:
+                            pidx = len(shard_flat)
+                            shard_flat.append(
+                                (a.ja.store,) + a.ja.block_access(
+                                    i0 + nz_lo, nz_hi - nz_lo))
+                            shard_flat.append(
+                                (a.vals.store,) + a.vals.block_access(
+                                    i0 + nz_lo, nz_hi - nz_lo))
+                    shards.append((d, p0, p1, lo_row, hi_row, pidx))
+                subs.append((s0, s1, rows_pad, rmax, shards))
+            sub_plans.append(subs)
+
     write_tickets = []
     for c0 in range(0, n, cb):
         bc = min(cb, n - c0)
@@ -100,28 +143,60 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         if bc < cb:
             b_pad[:, :bc] = b_host
         b_dev = device_put_sharded(np.ascontiguousarray(b_pad), sh_rep)
-        pf = PrefetchSeq(cache, accesses, depth=2 * cfg.pipeline_depth)
+        pf = PrefetchSeq(cache, shard_flat if sharded_reads else accesses,
+                         depth=2 * cfg.pipeline_depth
+                         * (n_dev if sharded_reads else 1))
         try:
             for bi, (r, e) in enumerate(blocks):
                 i0, i1 = int(ia_np[r]), int(ia_np[e])
                 rows_b = e - r
-                ja_blk = pf.get(2 * bi).view(idt)
-                va_blk = pf.get(2 * bi + 1).view(vdt)
                 blk_ia = ia_np[r:e + 1] - i0
                 counts = np.diff(blk_ia)
                 c_np = np.empty((rows_b, bc), vdt)
-                for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                    sub_ia = blk_ia[s0:s1 + 1]
-                    lo, hi = int(sub_ia[0]), int(sub_ia[-1])
-                    ja_ell, va_ell = sdev.to_ell(
-                        sub_ia, ja_blk[lo:hi], va_blk[lo:hi],
-                        min_rows=max(8, n_dev))
-                    out = step(b_dev,
-                               device_put_sharded(ja_ell, sh_rows),
-                               device_put_sharded(va_ell, sh_rows))
-                    c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
-                pf.done(2 * bi)
-                pf.done(2 * bi + 1)
+                if sharded_reads:
+                    for (s0, s1, rows_pad, rmax, shards) in sub_plans[bi]:
+                        ja_arrs, va_arrs, done_idx = [], [], []
+                        for (d, p0, p1, lo_row, hi_row, pidx) in shards:
+                            if hi_row > lo_row:
+                                sub_ia = blk_ia[lo_row:hi_row + 1]
+                                if pidx is not None:
+                                    ja_s = pf.get(pidx).view(idt)
+                                    va_s = pf.get(pidx + 1).view(vdt)
+                                    done_idx += [pidx, pidx + 1]
+                                else:  # real rows, all empty
+                                    ja_s = np.zeros(0, idt)
+                                    va_s = np.zeros(0, vdt)
+                                ja_e, va_e = sdev.to_ell(
+                                    sub_ia, ja_s, va_s,
+                                    rmax=rmax, rows_pad=p1 - p0)
+                            else:  # shard entirely in row padding
+                                ja_e = np.zeros((p1 - p0, rmax), np.int32)
+                                va_e = np.zeros((p1 - p0, rmax), vdt)
+                            ja_arrs.append(jax.device_put(ja_e, d))
+                            va_arrs.append(jax.device_put(va_e, d))
+                        ja_g = jax.make_array_from_single_device_arrays(
+                            (rows_pad, rmax), sh_rows, ja_arrs)
+                        va_g = jax.make_array_from_single_device_arrays(
+                            (rows_pad, rmax), sh_rows, va_arrs)
+                        out = step(b_dev, ja_g, va_g)
+                        for pidx in done_idx:
+                            pf.done(pidx)
+                        c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                else:
+                    ja_blk = pf.get(2 * bi).view(idt)
+                    va_blk = pf.get(2 * bi + 1).view(vdt)
+                    for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
+                        sub_ia = blk_ia[s0:s1 + 1]
+                        lo, hi = int(sub_ia[0]), int(sub_ia[-1])
+                        ja_ell, va_ell = sdev.to_ell(
+                            sub_ia, ja_blk[lo:hi], va_blk[lo:hi],
+                            min_rows=min_rows)
+                        out = step(b_dev,
+                                   device_put_sharded(ja_ell, sh_rows),
+                                   device_put_sharded(va_ell, sh_rows))
+                        c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                    pf.done(2 * bi)
+                    pf.done(2 * bi + 1)
                 c_np *= np.dtype(vdt).type(alpha)
                 if beta != 0.0:
                     c_np += beta * c.read_block(r, rows_b, c0, bc)

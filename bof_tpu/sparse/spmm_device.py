@@ -82,22 +82,39 @@ def _round_up_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
-def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
-           min_rows: int = 8):
-    """Convert a CSR row block to padded ELL (reference stores blocks CSR
-    and calls MKL per block, csrmm_task.h; the ELL layout is the
-    TPU-friendly equivalent).  Returns (ja_ell, va_ell) of shape
-    (rows_pad, rmax) — both power-of-two bucketed so only O(log^2) kernel
-    shapes ever compile.  Padding entries: ja=0, va=0 (contribute
-    nothing).  rows_pad is additionally a multiple of `min_rows` so
-    sharded callers can split rows evenly over a device mesh."""
-    counts = np.diff(ia_blk).astype(np.int64)
+def ell_dims(counts: np.ndarray, min_rows: int = 8):
+    """(rows_pad, rmax) of the ELL block `to_ell` would build for these
+    row counts — the single source of truth, so multi-host shard
+    builders (which pass the GLOBAL dims explicitly) always agree with
+    the local conversion."""
     rows = len(counts)
     rmax = max(1, _round_up_pow2(int(counts.max()) if rows else 1))
     rows_pad = max(8, _round_up_pow2(rows))
     if min_rows > 1:
         rows_pad = ((max(rows_pad, min_rows) + min_rows - 1)
                     // min_rows) * min_rows
+    return rows_pad, rmax
+
+
+def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
+           min_rows: int = 8, rmax: int = 0, rows_pad: int = 0):
+    """Convert a CSR row block to padded ELL (reference stores blocks CSR
+    and calls MKL per block, csrmm_task.h; the ELL layout is the
+    TPU-friendly equivalent).  Returns (ja_ell, va_ell) of shape
+    (rows_pad, rmax) — both power-of-two bucketed so only O(log^2) kernel
+    shapes ever compile.  Padding entries: ja=0, va=0 (contribute
+    nothing).  rows_pad is additionally a multiple of `min_rows` so
+    sharded callers can split rows evenly over a device mesh.  Explicit
+    `rmax`/`rows_pad` override the derived values — multi-host shard
+    builders pass the GLOBAL block's dimensions so every process's shard
+    agrees (a local max would give shards incompatible shapes)."""
+    counts = np.diff(ia_blk).astype(np.int64)
+    rows = len(counts)
+    d_rows_pad, d_rmax = ell_dims(counts, min_rows)
+    rmax = rmax or d_rmax
+    rows_pad = rows_pad or d_rows_pad
+    if rows > rows_pad:
+        raise ValueError(f"rows {rows} exceed rows_pad {rows_pad}")
     base = int(ia_blk[0])
     starts = (ia_blk[:-1] - base)[:, None]
     slots = np.arange(rmax, dtype=np.int64)[None, :]

@@ -402,3 +402,42 @@ def test_gemm_sharded_sharded_reads_match(ctx, rng, tmp_path):
         np.testing.assert_allclose(
             C2.read_all(), (opa.astype(np.float64) @ opb).astype(np.float32),
             rtol=2e-4, atol=1e-3)
+
+
+def test_csrmm_sharded_sharded_reads_match(ctx, rng):
+    """The multi-host sparse read path (per-shard nnz sub-reads + global
+    ELL dims) must match the whole-block path exactly — including skewed
+    rows, multiple ELL subranges, alpha/beta and column-major C."""
+    import scipy.sparse as sps
+    from bof_tpu import mem_array
+    from bof_tpu.parallel import csrmm_sharded, make_mesh
+    import bof_tpu.parallel.mesh as meshmod
+    from bof_tpu.sparse import CsrFlashMatrix
+
+    ctx.config.max_nnzs = 4096
+    ctx.config.hbm_budget = 1 << 10  # tiny entry cap -> many subranges
+    m, k, n = 600, 150, 40
+    a_sp = sps.random(m, k, density=0.04, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(9)).tolil()
+    a_sp[37, :] = rng.standard_normal(k)  # mega-row skews the ELL ranges
+    a_sp[411, :100] = 1.0
+    a_sp = a_sp.tocsr()
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    c0_np = rng.standard_normal((m, n)).astype(np.float32)
+    mesh = make_mesh(8)
+    for order in ("R", "C"):
+        B = mem_array((k, n), np.float32, data=b_np, ctx=ctx)
+        C1 = mem_array((m, n), np.float32, order=order, data=c0_np, ctx=ctx)
+        C2 = mem_array((m, n), np.float32, order=order, data=c0_np, ctx=ctx)
+        csrmm_sharded(A, B, C1, alpha=1.5, beta=0.25, mesh=mesh, ctx=ctx)
+        meshmod._FORCE_SHARDED_READS = True
+        try:
+            csrmm_sharded(A, B, C2, alpha=1.5, beta=0.25, mesh=mesh,
+                          ctx=ctx)
+        finally:
+            meshmod._FORCE_SHARDED_READS = False
+        np.testing.assert_array_equal(C1.read_all(), C2.read_all())
+        want = 1.5 * (a_sp @ b_np) + 0.25 * c0_np
+        np.testing.assert_allclose(C2.read_all(), want, rtol=2e-4,
+                                   atol=1e-3)
