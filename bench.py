@@ -171,7 +171,9 @@ def run_csrmm(ctx) -> dict:
     csrmm(Aw, B, Cw, ctx=ctx)
 
     nnz = A.nnz
-    bytes_total = ((m + 1) * 8 + nnz * (8 + 4) + k * n * 4 + m * n * 4)
+    bytes_total = ((m + 1) * A.ia.dtype.itemsize
+                   + nnz * (A.ja.dtype.itemsize + A.vals.dtype.itemsize)
+                   + k * n * 4 + m * n * 4)
 
     # host in-memory twin (the role in-memory MKL csrmm plays, paper Fig.6)
     sp = A.to_scipy()
@@ -258,7 +260,8 @@ def run_csrgemv(ctx) -> dict:
     csrgemv(Aw, x_n, "N", ctx=ctx)
 
     nnz = A.nnz
-    bytes_a = (m + 1) * 8 + nnz * (8 + 4)  # ia + ja + vals streamed
+    bytes_a = ((m + 1) * A.ia.dtype.itemsize  # ia + ja + vals streamed
+               + nnz * (A.ja.dtype.itemsize + A.vals.dtype.itemsize))
 
     sp = A.to_scipy()
     sp @ x_n  # warm

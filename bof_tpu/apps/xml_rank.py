@@ -189,7 +189,11 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
             wt_pad = np.zeros((lb_max, vocab), np.float32)
             wt_pad[:lb] = wt_st
         else:
-            wt_pad = wt_st
+            # always float32: a non-f32 W would otherwise hand the jitted
+            # top-k step two input dtypes (full-width blocks in storage
+            # dtype, tail blocks f32) — an extra ~30s remote retrace and
+            # dtype-dependent results between blocks
+            wt_pad = wt_st.astype(np.float32, copy=False)
         if mesh is None:
             b_panel = jnp.asarray(wt_pad).T  # (vocab, lb_max), on device
         else:

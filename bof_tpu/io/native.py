@@ -30,13 +30,27 @@ _lib_lock = threading.Lock()
 _engine_started = False
 
 
+def _so_target() -> str:
+    """Where to build the engine: next to the sources when the package dir
+    is writable (dev checkout), else under ~/.cache/bof_tpu (pip install
+    into a read-only site-packages must not crash the self-build)."""
+    if os.access(os.path.dirname(_SO), os.W_OK):
+        return _SO
+    fb_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "bof_tpu", "native")
+    os.makedirs(fb_dir, exist_ok=True)
+    return os.path.join(fb_dir, "libbof_io.so")
+
+
 def _build() -> str:
     # build to a temp name and atomically publish: a concurrent process
     # must never dlopen a half-written ELF.  flock serializes concurrent
     # builders (parallel pytest workers, bench + tests).
     import fcntl
-    lock_path = _SO + ".lock"
-    tmp = f"{_SO}.tmp.{os.getpid()}"
+    so = _so_target()
+    lock_path = so + ".lock"
+    tmp = f"{so}.tmp.{os.getpid()}"
     with open(lock_path, "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         try:
@@ -44,19 +58,19 @@ def _build() -> str:
             src_mtime = max(os.path.getmtime(_SRC),
                             os.path.getmtime(_INC)
                             if os.path.exists(_INC) else 0.0)
-            if (os.path.exists(_SO)
-                    and os.path.getmtime(_SO) >= src_mtime):
-                return _SO
+            if (os.path.exists(so)
+                    and os.path.getmtime(so) >= src_mtime):
+                return so
             cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
                    "-pthread", _SRC, "-o", tmp]
             LOG.info("building native io engine: %s", " ".join(cmd))
             subprocess.run(cmd, check=True, capture_output=True)
-            os.replace(tmp, _SO)
+            os.replace(tmp, so)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
             fcntl.flock(lk, fcntl.LOCK_UN)
-    return _SO
+    return so
 
 
 def load_library():
@@ -68,14 +82,18 @@ def load_library():
             return _lib
         try:
             # staleness vs BOTH sources: bof_io.cpp #includes the pin
-            # cache, so an .inc-only edit must also trigger a rebuild
+            # cache, so an .inc-only edit must also trigger a rebuild.
+            # Prefer a fresh packaged .so; otherwise (re)build, possibly
+            # into the user-writable fallback dir.
             src_mtime = max(os.path.getmtime(_SRC),
                             os.path.getmtime(_INC)
                             if os.path.exists(_INC) else 0.0)
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < src_mtime):
-                _build()
-            lib = ctypes.CDLL(_SO)
+            if (os.path.exists(_SO)
+                    and os.path.getmtime(_SO) >= src_mtime):
+                so = _SO
+            else:
+                so = _build()
+            lib = ctypes.CDLL(so)
         except (OSError, subprocess.CalledProcessError) as e:
             LOG.warning("native io engine unavailable (%s); using python io", e)
             return None

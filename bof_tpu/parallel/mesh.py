@@ -333,7 +333,7 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     from ..io.store import store_uid
     # sh_b shards B over the 'y' axis ONLY (replicated across 'x'), so
     # per-device footprint divides by py, not px*py
-    per_dev_tile = sb * sb * 4 // max(py, 1)
+    per_dev_tile = sb * sb * np.dtype(b.dtype).itemsize // max(py, 1)
     b_cap = max(1, min(kB, int(cfg.hbm_budget // 3 // max(per_dev_tile, 1))))
 
     # multi-host data plane: each process READS only the byte ranges its
@@ -413,7 +413,8 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 METRICS.add("gemm_sharded.disk_wait_s", t1 - t0)
                 METRICS.add("gemm_sharded.h2d_s", t2 - t1)
                 METRICS.add("gemm_sharded.h2d_bytes",
-                            sb * sb * itemsize * (2 if b_uploaded else 1))
+                            sb * sb * (itemsize + (np.dtype(b.dtype).itemsize
+                                                   if b_uploaded else 0)))
                 while not errors:
                     try:
                         tile_q.put((a_dev, b_dev, c_init), timeout=1.0)
