@@ -60,20 +60,42 @@ def measure_inmem_tflops(sb: int, prec, iters: int = 4) -> float:
     return 2 * sb**3 / dt / 1e12
 
 
-def measure_h2d_gbps() -> float:
+_PROBE_MB = 64
+
+
+def measure_link_gbps() -> dict:
+    """Probe BOTH link directions with workload-sized (64 MB) transfers.
+    Round 2's probe was H2D-only, which judged the D2H-heavy writer stage
+    against the wrong bound.  D2H is probed on a freshly *computed* device
+    array — downloading a device_put'd array can take a different path."""
     import jax
     import jax.numpy as jnp
 
     g = jax.jit(lambda d: jnp.sum(d[:1]))
-    x = np.empty(64 << 20, np.uint8)
+    dbl = jax.jit(lambda d: d * 2)
+    x = np.empty(_PROBE_MB << 20, np.uint8)
     # warm at the FULL shape: jit would otherwise recompile for the
-    # 64 MB shape inside the timed window (30s+ cold over the tunnel,
+    # probe shape inside the timed window (30s+ cold over the tunnel,
     # collapsing the probe and the auto-sizer with it)
-    float(np.asarray(g(jax.device_put(x))))
+    d = jax.device_put(x)
+    float(np.asarray(g(d)))
+    y = dbl(d)
+    float(np.asarray(g(y)))
+    np.asarray(y)
     t0 = time.perf_counter()
     d = jax.device_put(x)
     float(np.asarray(g(d)))
-    return x.nbytes / (time.perf_counter() - t0) / 1e9
+    h2d = x.nbytes / (time.perf_counter() - t0) / 1e9
+    y = dbl(d)
+    float(np.asarray(g(y)))  # computation done; next window is pure D2H
+    t0 = time.perf_counter()
+    np.asarray(y)
+    d2h = x.nbytes / (time.perf_counter() - t0) / 1e9
+    return {"h2d": round(h2d, 4), "d2h": round(d2h, 4)}
+
+
+def measure_h2d_gbps() -> float:
+    return measure_link_gbps()["h2d"]
 
 
 def ensure_operand(path: str, n: int, seed: int):
@@ -446,6 +468,17 @@ def ensure_operand_1d(path: str, n_elems: int, seed: int):
     os.replace(path + ".tmp", path)
 
 
+def _progress(msg: str):
+    """Stage breadcrumbs on STDERR (stdout stays one JSON line): the
+    tunnel can stall for minutes at a time — a driver-side timeout must
+    be attributable to a stage."""
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main():
     import bof_tpu as bt
     from bof_tpu.ops import gemm
@@ -475,7 +508,12 @@ def main():
         use_o_direct=True,  # measured path exercises kernel AIO
         pipeline_depth=int(os.environ.get("BOF_BENCH_DEPTH", "3")),
         transfer_dtype="bfloat16" if xfer == "bf16" else "float32",
-        tile_cache_backend=os.environ.get("BOF_BENCH_CACHE", "auto"))
+        tile_cache_backend=os.environ.get("BOF_BENCH_CACHE", "auto"),
+        # truthful per-stage telemetry: every transfer is synced inside
+        # its timed window behind the channel lock, so reported stage
+        # GB/s are real transfer rates and per-tile samples expose
+        # in-run tunnel drift (costs ~30ms RTT per tile)
+        telemetry_sync=os.environ.get("BOF_BENCH_SYNC", "1") == "1")
     cfg.matmul_precision = prec_name
     ctx = bt.FlashContext(cfg)
 
@@ -519,50 +557,112 @@ def main():
         return 0 if ok else 1
 
     t_bench_start = time.perf_counter()
-    inmem_tflops = measure_inmem_tflops(min(sb, 8192), prec)
-    h2d_probe_before = measure_h2d_gbps()
+    state_path = os.path.join(CACHE_DIR, "bench_state.json")
+    try:
+        with open(state_path) as f:
+            state = json.load(f)
+        if not isinstance(state, dict):
+            state = {}
+    except (OSError, ValueError):
+        state = {}
+
+    def save_state():
+        try:
+            with open(state_path, "w") as f:
+                json.dump(state, f)
+        except OSError:
+            pass
+
+    def elapsed():
+        return time.perf_counter() - t_bench_start
+
+    result: dict = {}
+    csrmm_enabled = os.environ.get("BOF_BENCH_CSRMM", "1") != "0"
+
+    def do_csrmm(tag: str):
+        """Run the sparse secondary; clears the pending marker only when
+        it actually completed (a crash/timeout leaves it set, so the NEXT
+        run fronts csrmm before gemm — round-2 failure mode)."""
+        try:
+            result.update(run_csrmm(ctx))
+            result["csrmm_order"] = tag
+            state["csrmm_pending"] = False
+            save_state()
+            return result.get("csrmm_verified", True)
+        except Exception as e:  # sparse secondary must not sink the line
+            result["csrmm_error"] = f"{type(e).__name__}: {e}"
+            return True
+
+    # the pending marker is the round-2 lesson: if the previous artifact
+    # skipped (or died before) the csrmm secondary, run it FIRST so the
+    # recorded line always carries both numbers
+    ok = True
+    csrmm_ran = False
+    if csrmm_enabled:
+        if state.get("csrmm_pending"):
+            _progress("csrmm secondary (fronted: previous run dropped it)")
+            ok = do_csrmm("before_gemm") and ok
+            csrmm_ran = True
+        else:
+            state["csrmm_pending"] = True
+            save_state()
+
+    # 8192 (not sb): close enough to the large-N matmul asymptote that an
+    # extrapolated vs_baseline is honest when the full-N twin is skipped
+    inmem_probe_n = 8192
+    _progress("in-mem twin probe + link probes")
+    inmem_tflops = measure_inmem_tflops(inmem_probe_n, prec)
+    probe_before = measure_link_gbps()
 
     n_env = os.environ.get("BOF_BENCH_N")
-    state_path = os.path.join(CACHE_DIR, "bench_state.json")
     if n_env:
         n = int(n_env)
     else:
         # transfers ~ (A + B cross once up) + C down = 3*N^2*4 bytes over
         # a link that serializes both directions; compute 2N^3; pick N so
-        # the slower of the two fills ~0.75*budget.  The link estimate
-        # prefers the sustained combined rate MEASURED by the previous run
-        # (persisted in bench_state.json) over the burst probe, which the
-        # tunnel's 2-4x run-to-run variance makes unreliable.
-        sustained = 0.5 * h2d_probe_before  # derated probe fallback
-        try:
-            with open(state_path) as f:
-                prev = json.load(f).get("sustained_gbps", 0.0)
-            if prev > 0:
-                sustained = min(max(prev, 0.25 * h2d_probe_before),
-                                2.0 * h2d_probe_before)
-        except (OSError, ValueError):
-            pass
+        # the slower of the two fills ~0.25*budget (VERDICT r2: the
+        # recorded artifact must carry gemm AND csrmm inside the wall
+        # budget even when the tunnel degrades mid-run).  The link
+        # estimate prefers the sustained combined rate MEASURED by the
+        # previous run (persisted in bench_state.json) over the burst
+        # probe, which varies 2-4x run-to-run.
+        probe_mean = 0.5 * (probe_before["h2d"] + probe_before["d2h"])
+        sustained = 0.6 * probe_mean  # derated probe fallback
+        prev = float(state.get("sustained_gbps", 0.0) or 0.0)
+        if prev > 0:
+            sustained = min(max(prev, 0.25 * probe_mean), 2.0 * probe_mean)
         sv = os.statvfs(os.path.dirname(CACHE_DIR))
         free = sv.f_frsize * sv.f_bavail
-        # 0.4 (not 0.75): warm-up, probes, verify and the csrmm secondary
-        # share the same wall budget, and the tunnel can degrade up to 4x
-        # MID-run (measured) — the recorded JSON line must finish inside
-        # the budget even on a degraded run, so size for the worst case
         n = sb
         while True:
             cand = n + sb
             t_xfer = 3 * cand * cand * 4 / (sustained * 1e9)
             t_comp = 2 * cand**3 / (inmem_tflops * 1e12)
-            if max(t_xfer, t_comp) > 0.4 * budget_s:
+            if max(t_xfer, t_comp) > 0.25 * budget_s:
                 break
             if 3 * cand * cand * 4 > 0.5 * free:
                 break
             n = cand
         n = max(n, 2 * sb)
+        # prefer an already-generated operand within [n/2, 1.5n]: writing
+        # a fresh N^2 fp32 pair costs tens of seconds of the wall budget
+        if not os.path.exists(os.path.join(CACHE_DIR, f"A_{n}.bin")):
+            have = []
+            for f in os.listdir(CACHE_DIR):
+                if f.startswith("A_") and f.endswith(".bin"):
+                    try:
+                        have.append(int(f[2:-4]))
+                    except ValueError:
+                        pass
+            near = [h for h in have
+                    if max(2 * sb, n // 2) <= h <= n and h % sb == 0]
+            if near:
+                n = max(near)
 
     a_path = os.path.join(CACHE_DIR, f"A_{n}.bin")
     b_path = os.path.join(CACHE_DIR, f"B_{n}.bin")
     c_path = os.path.join(CACHE_DIR, f"C_{n}.bin")
+    _progress(f"operands n={n} (generate-if-missing)")
     ensure_operand(a_path, n, 1)
     ensure_operand(b_path, n, 2)
 
@@ -578,13 +678,18 @@ def main():
     Aw = bt.FlashArray(A.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     Bw = bt.FlashArray(B.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     Cw = bt.FlashArray(C.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
+    _progress("gemm warm-up superblock")
     gemm(Aw, Bw, Cw, blk=sb, ctx=ctx)
+    # per-tile rate samples from the warm-up must not pollute the run's
+    n_h2d_warm = len(METRICS.samples("gemm.h2d_tile_gbps"))
+    n_d2h_warm = len(METRICS.samples("gemm.d2h_tile_gbps"))
 
     # scrub the verify window: C_{n}.bin persists across runs with
     # deterministic operands, so stale correct bytes would make the
     # post-run check vacuous
     C.write_block(0, np.zeros((64, 64), np.float32))
 
+    _progress(f"measured gemm n={n} starting")
     m_before = METRICS.snapshot()
     t0 = time.perf_counter()
     gemm(A, B, C, blk=sb, ctx=ctx)
@@ -598,21 +703,51 @@ def main():
     ooc_gflops = flops / dt / 1e9
     h2d_bytes, h2d_s = md("gemm.h2d_bytes"), md("gemm.h2d_s")
     d2h_bytes, d2h_s = md("gemm.d2h_bytes"), md("gemm.d2h_s")
+    h2d_tiles = METRICS.samples("gemm.h2d_tile_gbps")[n_h2d_warm:]
+    d2h_tiles = METRICS.samples("gemm.d2h_tile_gbps")[n_d2h_warm:]
 
-    # honest in-memory twin: the SAME problem size fully device-resident,
-    # when it fits HBM AND the wall budget has headroom (a fresh N is a
-    # 30-170s remote compile; the recorded line must not time out on it)
-    elapsed = time.perf_counter() - t_bench_start
-    if 3 * n * n * 4 <= 12 << 30 and elapsed < 0.6 * budget_s:
-        try:
-            inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
-        except Exception:
-            pass
-    h2d_probe_after = measure_h2d_gbps()
-    link = 0.5 * (h2d_probe_before + h2d_probe_after)
+    def tile_stats(samples):
+        """first/median/last expose in-run link drift (the tunnel can
+        degrade 2-4x MID-run): probe-vs-first says whether the run
+        started healthy; first-vs-last says whether it collapsed."""
+        if not samples:
+            return None
+        s = sorted(samples)
+        return {"n": len(samples),
+                "first": round(samples[0], 4),
+                "median": round(s[len(s) // 2], 4),
+                "last": round(samples[-1], 4),
+                "min": round(s[0], 4), "max": round(s[-1], 4)}
+
+    # honest in-memory twin at the SAME problem size: only when the jit
+    # for this exact N is known-cached (a fresh N is a 30-170s remote
+    # compile — the round-2 overrun).  First sighting of an N records it
+    # so the NEXT round can afford the full-size twin.
+    measured = state.setdefault("inmem_measured", {})
+    in_mem_source = f"measured_at_{inmem_probe_n}"
+    if 3 * n * n * 4 <= 12 << 30:
+        if str(n) in measured and elapsed() < 0.75 * budget_s:
+            try:
+                inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
+                measured[str(n)] = round(inmem_tflops, 2)
+                in_mem_source = f"measured_at_{n}"
+            except Exception:
+                pass
+        elif str(n) in measured:
+            inmem_tflops = float(measured[str(n)])
+            in_mem_source = f"prior_run_at_{n}"
+        else:
+            # not compiled yet: mark for next round rather than risk the
+            # wall budget on a cold remote compile now
+            measured[str(n)] = round(inmem_tflops, 2)
+            in_mem_source = f"measured_at_{inmem_probe_n}"
+    save_state()
+    probe_after = measure_link_gbps()
+    probes = [probe_before["h2d"], probe_before["d2h"],
+              probe_after["h2d"], probe_after["d2h"]]
+    link = sum(probes) / len(probes)
 
     # sanity: verify one output block against a host golden sample
-    ok = True
     if os.environ.get("BOF_BENCH_SKIP_VERIFY") != "1":
         s = 64
         a_rows = A.read_block(0, s, 0, n).astype(np.float64)
@@ -620,28 +755,35 @@ def main():
         want = a_rows @ b_cols
         got = C.read_block(0, s, 0, s).astype(np.float64)
         rel = float(np.abs(got - want).max() / (np.abs(want).max() or 1.0))
-        ok = rel < (2e-2 if xfer == "bf16" else 1e-3)
+        ok = ok and rel < (2e-2 if xfer == "bf16" else 1e-3)
 
     in_mem_time = flops / (inmem_tflops * 1e12)
-    result = {
+    headline = {
         "metric": "ooc_sgemm_gflops",
         "value": round(ooc_gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(dt and (in_mem_time / dt), 4),
         "n": n, "blk": sb, "seconds": round(dt, 2),
         "in_mem_tflops": round(inmem_tflops, 2),
+        "in_mem_source": in_mem_source,
         "precision": prec_name,
         "transfer_dtype": cfg.transfer_dtype,
-        "verified": ok,
-        # ---- link telemetry: probes sampled before+after (2x variance),
-        # in-run effective rates, and per-stage busy/stall breakdown ----
-        "link_gbps_probe": [round(h2d_probe_before, 4),
-                            round(h2d_probe_after, 4)],
+        # ---- link telemetry.  With telemetry_sync on, every transfer is
+        # synced inside its timed window behind a channel lock, so the
+        # per-stage rates below are REAL exclusive-channel transfer rates
+        # (<= the link probes) and the per-tile samples are in-run link
+        # probes: stall_s + bubbles ≈ wall, and a reader can separate
+        # tunnel degradation (tile rates << probes) from pipeline bubbles
+        # (link_busy_frac << 1) from the JSON alone ----
+        "telemetry_sync": bool(cfg.telemetry_sync),
+        "link_probe_gbps": {"h2d": [probe_before["h2d"], probe_after["h2d"]],
+                            "d2h": [probe_before["d2h"], probe_after["d2h"]]},
         "h2d_gb": round(h2d_bytes / 1e9, 3),
         "d2h_gb": round(d2h_bytes / 1e9, 3),
         "h2d_gbps_while_moving": round(h2d_s and h2d_bytes / h2d_s / 1e9, 4),
         "d2h_gbps_while_moving": round(d2h_s and d2h_bytes / d2h_s / 1e9, 4),
-        "achieved_h2d_gbps": round(h2d_bytes / dt / 1e9, 4),
+        "h2d_tile_gbps": tile_stats(h2d_tiles),
+        "d2h_tile_gbps": tile_stats(d2h_tiles),
         # the tunnel serializes H2D and D2H (parallel pulls don't scale —
         # measured in docs/PERFORMANCE.md), so combined bytes/wall-time vs
         # the probed link rate is the honest saturation figure
@@ -649,11 +791,9 @@ def main():
         "link_utilization": round((h2d_bytes + d2h_bytes) / dt / 1e9
                                   / (link or 1), 4),
         "link_busy_frac": round((h2d_s + d2h_s) / dt, 4),
-        # NOTE: d2h time is pipeline-latency-inclusive — np.asarray in the
-        # writer blocks until the block's final async accumulate finishes,
-        # so on a slow link it absorbs upstream wait, not just transfer
         "stall_s": {"disk": round(md("gemm.disk_wait_s"), 2),
                     "h2d": round(h2d_s, 2), "d2h": round(d2h_s, 2),
+                    "accum_wait": round(md("gemm.accum_wait_s"), 2),
                     "tile_wait": round(md("gemm.tile_wait_s"), 2),
                     "write_wait": round(md("gemm.write_wait_s"), 2)},
         # HBM tile-LRU effectiveness: each hit is a superblock upload
@@ -666,30 +806,51 @@ def main():
         lib = load_library()
         if lib is not None:
             lib.bof_aio_ops.restype = ctypes.c_longlong
-            result["kernel_aio_runs"] = int(lib.bof_aio_ops())
+            headline["kernel_aio_runs"] = int(lib.bof_aio_ops())
         nat = getattr(ctx.pin_cache(), "_nat", None)
         if nat is not None:
-            result["tile_cache"] = nat.stats()
+            headline["tile_cache"] = nat.stats()
     except Exception:
         pass
-    try:  # persist the measured sustained rate for next-run sizing
-        with open(state_path, "w") as f:
-            json.dump({"sustained_gbps": result["combined_link_gbps"]}, f)
-    except OSError:
-        pass
-    elapsed = time.perf_counter() - t_bench_start
-    if os.environ.get("BOF_BENCH_CSRMM", "1") == "0":
-        pass
-    elif elapsed > 1.1 * budget_s:
-        # budget spent (tunnel degraded mid-run): record the headline
-        # rather than risk the whole line timing out on the secondary
-        result["csrmm_skipped"] = f"wall budget spent ({elapsed:.0f}s)"
-    else:
+    # persist the measured sustained rate for next-run sizing
+    state["sustained_gbps"] = headline["combined_link_gbps"]
+    save_state()
+
+    # sparse secondary AFTER the headline (unless it already ran first
+    # because the previous artifact dropped it)
+    if csrmm_enabled and not csrmm_ran:
+        if elapsed() < 0.85 * budget_s:
+            _progress("csrmm secondary")
+            ok = do_csrmm("after_gemm") and ok
+            csrmm_ran = True
+        else:
+            # budget spent (tunnel degraded mid-run): record the headline
+            # rather than risk the whole line timing out; csrmm_pending
+            # stays set so the NEXT run fronts it
+            result["csrmm_skipped"] = f"wall budget spent ({elapsed():.0f}s)"
+
+    # tertiary kernel rotation (csrgemv -> kmeans -> csrcsc_sort): every
+    # kernel accumulates real-chip history across rounds instead of
+    # one-off anecdotes (VERDICT r2 #7)
+    rotation = ["csrgemv", "kmeans", "csrcsc_sort"]
+    if (os.environ.get("BOF_BENCH_TERTIARY", "1") == "1"
+            and elapsed() < 0.7 * budget_s):
+        tert = rotation[int(state.get("rotation_idx", 0)) % len(rotation)]
+        _progress(f"tertiary kernel: {tert}")
         try:
-            result.update(run_csrmm(ctx))
-            ok = ok and result.get("csrmm_verified", True)
-        except Exception as e:  # sparse secondary must not sink the line
-            result["csrmm_error"] = f"{type(e).__name__}: {e}"
+            r = {"csrgemv": run_csrgemv, "kmeans": run_kmeans,
+                 "csrcsc_sort": run_csrcsc_sort}[tert](ctx)
+            tert_ok = r.pop(f"{tert}_verified", True)
+            result.update(r)
+            result["tertiary_kernel"] = tert
+            ok = ok and tert_ok
+            state["rotation_idx"] = (int(state.get("rotation_idx", 0)) + 1) \
+                % len(rotation)
+            save_state()
+        except Exception as e:  # tertiary must not sink the line
+            result["tertiary_error"] = f"{tert}: {type(e).__name__}: {e}"
+    result = {**headline, **result, "verified": ok,
+              "wall_s": round(elapsed(), 1)}
     ctx.destroy()
     print(json.dumps(result))
     return 0 if ok else 1

@@ -68,6 +68,13 @@ class FlashConfig:
     sort_blk_elems: int = 1 << 24      # elements per sort block
     sort_compute: str = "host"         # "host" (np.sort) | "device" (jnp)
 
+    telemetry_sync: bool = False       # benchmark-truth mode: serialize
+    #   each host<->device transfer behind a process-wide lock and sync it
+    #   (scalar fetch) inside the timed window, so every reported per-stage
+    #   GB/s is a real exclusive-channel transfer rate (<= the link probe)
+    #   and per-tile rate samples expose in-run link drift.  Costs one
+    #   ~30 ms round-trip per tile; leave off in production
+
     # ---- debug self-checking (reference: DEBUG builds compile ASan +
     # GLOG_ASSERT + write read-back verification + verify_csr_block) ----
     debug_checks: bool = False

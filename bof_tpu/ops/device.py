@@ -112,6 +112,27 @@ def from_device(x) -> np.ndarray:
     return np.asarray(x)
 
 
+# Serializes host<->device transfers when FlashConfig.telemetry_sync is on:
+# with exclusive channel use + a sync inside the timed window, a stage's
+# measured GB/s is a true transfer rate (bounded by the link), not dispatch
+# time.  The dev tunnel is one serial channel anyway (docs/PERFORMANCE.md:
+# concurrent pulls don't scale), so the lock costs no real overlap there.
+XFER_LOCK = __import__("threading").Lock()
+
+
+@jax.jit
+def _first_elem(x):
+    return jnp.ravel(x)[:1]
+
+
+def sync(x) -> None:
+    """Block until `x` is materialized on device (its producing transfer
+    or computation completed).  `block_until_ready` is a no-op through the
+    dev tunnel (CLAUDE.md), so force a scalar fetch instead — one ~30 ms
+    round trip."""
+    np.asarray(_first_elem(x))
+
+
 _link_gbps: float | None = None
 
 

@@ -142,6 +142,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     cache = ctx.pin_cache()
     hbm = HbmCache(cfg.hbm_budget)
     depth = max(1, cfg.pipeline_depth)
+    sync_mode = getattr(cfg, "telemetry_sync", False)
 
     # HBM-aware group schedule: partition the j space into groups whose
     # whole B panel set (G * kB tiles) plus G live C accumulators fits the
@@ -237,8 +238,21 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                     # (the accumulate step keeps an fp32 accumulator)
                     import ml_dtypes
                     host = host.astype(ml_dtypes.bfloat16)
-                arr = dev.to_device(pad_to(host, (sb, sb)))
-                t2 = time.perf_counter()
+                padded = pad_to(host, (sb, sb))
+                if sync_mode:
+                    # truthful telemetry: exclusive channel + in-window
+                    # sync makes (t2 - t1) a real transfer time and the
+                    # per-tile rate a live link-health sample
+                    with dev.XFER_LOCK:
+                        t1 = time.perf_counter()
+                        arr = dev.to_device(padded)
+                        dev.sync(arr)
+                        t2 = time.perf_counter()
+                    METRICS.observe("gemm.h2d_tile_gbps",
+                                    arr.nbytes / max(t2 - t1, 1e-9) / 1e9)
+                else:
+                    arr = dev.to_device(padded)
+                    t2 = time.perf_counter()
                 METRICS.add("gemm.disk_wait_s", t1 - t0)
                 METRICS.add("gemm.h2d_s", t2 - t1)
                 METRICS.add("gemm.h2d_bytes", arr.nbytes)
@@ -252,7 +266,16 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 if l == 0 and beta != 0.0:
                     t0 = time.perf_counter()
                     c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
-                    c_init = dev.to_device(pad_to(c_host, c_full_storage))
+                    c_pad = pad_to(c_host, c_full_storage)
+                    if sync_mode:
+                        with dev.XFER_LOCK:
+                            th = time.perf_counter()
+                            c_init = dev.to_device(c_pad)
+                            dev.sync(c_init)
+                            METRICS.add("gemm.h2d_s",
+                                        time.perf_counter() - th)
+                    else:
+                        c_init = dev.to_device(c_pad)
                     METRICS.add("gemm.c_read_s", time.perf_counter() - t0)
                     METRICS.add("gemm.h2d_bytes", c_init.nbytes)
                 da, db = pinned.popleft()
@@ -300,8 +323,25 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 i, j, bi, bj, c_dev = item
                 ci_shape = _storage_shape(c, (bi, bj))
                 t0 = time.perf_counter()
-                c_host = dev.from_device(c_dev)[:ci_shape[0], :ci_shape[1]]
-                METRICS.add("gemm.d2h_s", time.perf_counter() - t0)
+                if sync_mode:
+                    # split pipeline wait from transfer: sync() returns
+                    # once the block's final accumulate (and everything
+                    # queued ahead of it on the serial channel) is done;
+                    # the locked asarray window is then pure D2H
+                    dev.sync(c_dev)
+                    with dev.XFER_LOCK:
+                        t1 = time.perf_counter()
+                        c_full = dev.from_device(c_dev)
+                        t2 = time.perf_counter()
+                    METRICS.add("gemm.accum_wait_s", t1 - t0)
+                    METRICS.add("gemm.d2h_s", t2 - t1)
+                    METRICS.observe("gemm.d2h_tile_gbps",
+                                    c_full.nbytes / max(t2 - t1, 1e-9) / 1e9)
+                    c_host = c_full[:ci_shape[0], :ci_shape[1]]
+                else:
+                    c_host = dev.from_device(c_dev)[:ci_shape[0],
+                                                    :ci_shape[1]]
+                    METRICS.add("gemm.d2h_s", time.perf_counter() - t0)
                 METRICS.add("gemm.d2h_bytes", c_host.nbytes)
                 write_tickets.append(c.write_block_storage_async(
                     i * sb, j * sb, bi, bj, c_host))

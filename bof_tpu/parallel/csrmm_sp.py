@@ -98,7 +98,8 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     # whole row block.  Every process computes identical ELL dimensions
     # from the host-resident ia (sdev.ell_dims), so shard shapes agree.
     from .mesh import _FORCE_SHARDED_READS
-    sharded_reads = jax.process_count() > 1 or _FORCE_SHARDED_READS
+    multihost = jax.process_count() > 1
+    sharded_reads = multihost or _FORCE_SHARDED_READS
     min_rows = max(8, n_dev)
     if sharded_reads:
         shard_flat: list = []
@@ -152,7 +153,7 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 rows_b = e - r
                 blk_ia = ia_np[r:e + 1] - i0
                 counts = np.diff(blk_ia)
-                c_np = np.empty((rows_b, bc), vdt)
+                c_np = None if multihost else np.empty((rows_b, bc), vdt)
                 if sharded_reads:
                     for (s0, s1, rows_pad, rmax, shards) in sub_plans[bi]:
                         ja_arrs, va_arrs, done_idx = [], [], []
@@ -181,7 +182,35 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         out = step(b_dev, ja_g, va_g)
                         for pidx in done_idx:
                             pf.done(pidx)
-                        c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                        if not multihost:
+                            c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                            continue
+                        # multihost: the global output spans devices this
+                        # process cannot address — each process persists
+                        # exactly the row shards its devices own (the
+                        # union across processes covers the block; rows
+                        # are whole storage lines, so no byte is written
+                        # twice).  The per-shard write-back twin of
+                        # mesh._writeback_shards.
+                        for shard in out.addressable_shards:
+                            p0 = shard.index[0].start or 0
+                            p1 = shard.index[0].stop or rows_pad
+                            lo = s0 + p0
+                            hi = s0 + min(p1, s1 - s0)
+                            if hi <= lo:
+                                continue  # shard entirely in row padding
+                            data = np.asarray(shard.data)[:hi - lo, :bc]
+                            if alpha != 1.0:
+                                data = data * np.dtype(vdt).type(alpha)
+                            if beta != 0.0:
+                                data = data + beta * c.read_block(
+                                    r + lo, hi - lo, c0, bc)
+                            if c.order != "R":
+                                data = data.T
+                            write_tickets.append(
+                                c.write_block_storage_async(
+                                    r + lo, c0, hi - lo, bc,
+                                    np.ascontiguousarray(data)))
                 else:
                     ja_blk = pf.get(2 * bi).view(idt)
                     va_blk = pf.get(2 * bi + 1).view(vdt)
@@ -197,6 +226,8 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
                     pf.done(2 * bi)
                     pf.done(2 * bi + 1)
+                if multihost:
+                    continue  # per-shard write-back already issued above
                 c_np *= np.dtype(vdt).type(alpha)
                 if beta != 0.0:
                     c_np += beta * c.read_block(r, rows_b, c0, bc)

@@ -1,0 +1,80 @@
+"""Worker for the REAL two-process multi-host data-plane test.
+
+Launched by tests/test_multiprocess.py as two `jax.distributed` processes
+(4 virtual CPU devices each, Gloo collectives) sharing one work dir.  Each
+process runs the SAME SPMD program: `gemm_sharded` + `csrmm_sharded` over
+file-backed operands, with `jax.process_count() == 2` engaging — for the
+first time together — the per-shard sharded-read producer
+(mesh._shard_read_plan), the multihost `device_put_sharded` branch
+(mesh.device_put_sharded -> _put_addressable) and the per-shard
+write-back (mesh._writeback_shards).  The parent verifies the shared
+output files against a single-process run.
+
+Usage: mp_worker.py <process_id> <num_processes> <coordinator> <workdir>
+"""
+import os
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    pid, nproc = int(sys.argv[1]), int(sys.argv[2])
+    addr, workdir = sys.argv[3], sys.argv[4]
+
+    import jax
+    jax.distributed.initialize(coordinator_address=addr,
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+
+    from jax.experimental import multihost_utils
+
+    import bof_tpu as bt
+    from bof_tpu.parallel import csrmm_sharded, gemm_sharded, make_mesh
+    from bof_tpu.sparse import CsrFlashMatrix
+
+    ctx = bt.FlashContext(bt.FlashConfig(
+        scratch_dir=os.path.join(workdir, f"scratch_p{pid}"),
+        n_io_threads=2, n_compute_threads=1, program_budget=64 << 20,
+        pipeline_depth=2))
+    mesh = make_mesh(8)
+
+    # ---- dense: gemm_sharded over the shared files ----
+    m, k, n = 90, 100, 70  # ragged vs blk=32 on every axis
+    A = bt.map_array(os.path.join(workdir, "A.bin"), (m, k), np.float32,
+                     "R", ctx=ctx)
+    B = bt.map_array(os.path.join(workdir, "B.bin"), (k, n), np.float32,
+                     "R", ctx=ctx)
+    C = bt.map_array(os.path.join(workdir, "C_mp.bin"), (m, n), np.float32,
+                     "R", ctx=ctx)
+    gemm_sharded(A, B, C, blk=32, mesh=mesh, ctx=ctx)
+    C.store.flush()
+    print(f"[p{pid}] gemm_sharded done", flush=True)
+    multihost_utils.sync_global_devices("gemm done")
+
+    # ---- sparse: csrmm_sharded over the shared CSR triplet ----
+    sm, sk, sn = 200, 64, 24
+    ia = bt.map_array(os.path.join(workdir, "S.off"), (sm + 1,), np.int64,
+                      ctx=ctx)
+    nnz = int(ia.read_block(sm, 1)[0])
+    ja = bt.map_array(os.path.join(workdir, "S.col"), (nnz,), np.int64,
+                      ctx=ctx)
+    vals = bt.map_array(os.path.join(workdir, "S.csr"), (nnz,), np.float32,
+                        ctx=ctx)
+    As = CsrFlashMatrix(ia, ja, vals, (sm, sk))
+    Bs = bt.map_array(os.path.join(workdir, "SB.bin"), (sk, sn), np.float32,
+                      "R", ctx=ctx)
+    Cs = bt.map_array(os.path.join(workdir, "SC_mp.bin"), (sm, sn),
+                      np.float32, "R", ctx=ctx)
+    csrmm_sharded(As, Bs, Cs, mesh=mesh, ctx=ctx)
+    Cs.store.flush()
+    print(f"[p{pid}] csrmm_sharded done", flush=True)
+    multihost_utils.sync_global_devices("csrmm done")
+
+    ctx.destroy()
+    print(f"[p{pid}] MP_OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

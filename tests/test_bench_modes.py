@@ -18,7 +18,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MODES = {
     "sgemm": {"BOF_BENCH_N": "1024", "BOF_BENCH_BLK": "512",
-              "BOF_BENCH_CSRMM": "0"},
+              "BOF_BENCH_CSRMM": "0", "BOF_BENCH_TERTIARY": "0"},
+    # full default artifact shape at toy size: gemm headline + csrmm
+    # secondary + one tertiary kernel in a single JSON line
+    "sgemm_full": {"BOF_BENCH_N": "1024", "BOF_BENCH_BLK": "512",
+                   "BOF_BENCH_KERNEL": "sgemm",
+                   "BOF_BENCH_SP_M": "4096", "BOF_BENCH_SP_K": "1024",
+                   "BOF_BENCH_SP_NNZ": "16", "BOF_BENCH_SP_N": "64",
+                   "BOF_BENCH_KM_N": "16384", "BOF_BENCH_KM_D": "8",
+                   "BOF_BENCH_KM_K": "8", "BOF_BENCH_SORT_N": "65536"},
     "csrmm": {"BOF_BENCH_SP_M": "4096", "BOF_BENCH_SP_K": "1024",
               "BOF_BENCH_SP_NNZ": "16", "BOF_BENCH_SP_N": "64"},
     "csrgemv": {"BOF_BENCH_SP_M": "5000", "BOF_BENCH_SP_K": "1000",
@@ -61,3 +69,15 @@ def test_bench_mode(bench_results, mode):
         assert key in r, f"{mode}: missing {key} in {r}"
     assert r["verified"] is True
     assert r["value"] > 0
+    if mode == "sgemm_full":
+        # the recorded artifact must carry the sparse secondary AND a
+        # tertiary kernel alongside the gemm headline (VERDICT r2 #1/#7)
+        assert "csrmm_gbps" in r, r
+        assert r.get("csrmm_verified") is True
+        assert "tertiary_kernel" in r, r
+        assert "tertiary_error" not in r, r
+        # truthful-telemetry invariant: synced per-stage rates are real
+        # transfer rates, present as per-tile samples
+        assert r.get("telemetry_sync") is True
+        assert r.get("h2d_tile_gbps"), r
+        assert "accum_wait" in r.get("stall_s", {}), r

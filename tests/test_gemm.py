@@ -130,3 +130,28 @@ def test_gemm_bfloat16_transfer_mode(ctx, rng):
         assert rel > 1e-6               # and it really did round (not fp32)
     finally:
         ctx.config.transfer_dtype = "float32"
+
+
+def test_telemetry_sync_mode(ctx, rng):
+    """telemetry_sync=True routes every transfer through the channel lock
+    with an in-window sync: results identical, and per-tile rate samples +
+    accum_wait/d2h split are recorded (bench truth mode, VERDICT r2 #2)."""
+    from bof_tpu.utils import METRICS
+    ctx.config.telemetry_sync = True
+    try:
+        before = METRICS.snapshot()
+        n_h2d = len(METRICS.samples("gemm.h2d_tile_gbps"))
+        n_d2h = len(METRICS.samples("gemm.d2h_tile_gbps"))
+        run_config(ctx, rng, "R", "N", "N", beta=0.5, m=40, n=36, k=44,
+                   blk=16)
+        after = METRICS.snapshot()
+        h2d_tiles = METRICS.samples("gemm.h2d_tile_gbps")[n_h2d:]
+        d2h_tiles = METRICS.samples("gemm.d2h_tile_gbps")[n_d2h:]
+        assert h2d_tiles and all(s > 0 for s in h2d_tiles)
+        assert d2h_tiles and all(s > 0 for s in d2h_tiles)
+        # the synced windows must have recorded real (nonzero) stage time
+        assert after.get("gemm.h2d_s", 0) > before.get("gemm.h2d_s", 0)
+        assert after.get("gemm.d2h_s", 0) > before.get("gemm.d2h_s", 0)
+        assert "gemm.accum_wait_s" in after
+    finally:
+        ctx.config.telemetry_sync = False
