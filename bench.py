@@ -64,16 +64,20 @@ _PROBE_MB = 64
 
 
 def measure_link_gbps() -> dict:
-    """Probe BOTH link directions with workload-sized (64 MB) transfers.
-    Round 2's probe was H2D-only, which judged the D2H-heavy writer stage
-    against the wrong bound.  D2H is probed on a freshly *computed* device
-    array — downloading a device_put'd array can take a different path."""
+    """Probe BOTH link directions with workload-sized (64 MB) transfers
+    of INCOMPRESSIBLE data.  Round 2's probe was H2D-only, which judged
+    the D2H-heavy writer stage against the wrong bound; it also shipped
+    np.empty (mostly zeros), which the tunnel compresses ~2x — the probe
+    read 0.13 GB/s while random fp32 tiles moved at 0.05.  Random bytes
+    make the probe measure what the workload pays.  D2H is probed on a
+    freshly *computed* device array."""
     import jax
     import jax.numpy as jnp
 
     g = jax.jit(lambda d: jnp.sum(d[:1]))
     dbl = jax.jit(lambda d: d * 2)
-    x = np.empty(_PROBE_MB << 20, np.uint8)
+    x = np.random.default_rng(12345).integers(
+        0, 256, _PROBE_MB << 20, dtype=np.uint8)
     # warm at the FULL shape: jit would otherwise recompile for the
     # probe shape inside the timed window (30s+ cold over the tunnel,
     # collapsing the probe and the auto-sizer with it)
@@ -556,6 +560,20 @@ def main():
         print(json.dumps(result))
         return 0 if ok else 1
 
+    # first device contact: the dev tunnel's device grant can take
+    # MINUTES to attach when a previous client exited recently (measured
+    # ~380-600s stalls with ~0 CPU).  Time it explicitly, report it, and
+    # start the wall budget AFTER attach — the budget governs the
+    # framework's work, and the stall is attributable in the artifact.
+    _progress("first device contact (grant attach)")
+    import jax as _jax
+    import jax.numpy as _jnp
+    t0 = time.perf_counter()
+    float(np.asarray(_jax.jit(lambda d: _jnp.sum(d))(
+        _jax.device_put(np.ones(8, np.float32)))))
+    device_attach_s = round(time.perf_counter() - t0, 1)
+    _progress(f"device attached in {device_attach_s}s")
+
     t_bench_start = time.perf_counter()
     state_path = os.path.join(CACHE_DIR, "bench_state.json")
     try:
@@ -850,6 +868,7 @@ def main():
         except Exception as e:  # tertiary must not sink the line
             result["tertiary_error"] = f"{tert}: {type(e).__name__}: {e}"
     result = {**headline, **result, "verified": ok,
+              "device_attach_s": device_attach_s,
               "wall_s": round(elapsed(), 1)}
     ctx.destroy()
     print(json.dumps(result))

@@ -37,14 +37,35 @@ from ..utils import LOG, METRICS, Timer
 
 def _apply_ata_one_pass(a: CsrFlashMatrix, v_np: np.ndarray,
                         ctx) -> np.ndarray:
-    """U = A^T (A V) in ONE streaming pass over A's row blocks: per
-    nnz-budgeted block, W_rb = A_rb V and U += A_rb^T W_rb, both host
-    block products on the pinned tile (the reference's MKL-on-host
-    execution model, csrmm_task.h).  A's bytes cross the disk exactly
-    once per operator application; the (m x b) intermediate panel and
-    the materialized transpose never exist anywhere — strictly less I/O
-    than the two-csrmm composition (which reads A, writes+reads W, and
-    reads the csrcsc'd A^T)."""
+    """U = A^T (A V) in ONE streaming pass over A's row blocks: A's bytes
+    cross the disk exactly once per operator application; the (m x b)
+    intermediate panel and the materialized transpose never exist
+    anywhere — strictly less I/O than the two-csrmm composition (which
+    reads A, writes+reads W, and reads the csrcsc'd A^T).
+
+    Honors FlashConfig.sparse_compute: 'host' runs both block products as
+    scipy on the pinned tile (the reference's MKL-on-host execution
+    model, csrmm_task.h); 'device' runs both as ELL gather products on
+    the MXU/VPU (_apply_ata_one_pass_device); 'auto' places by the
+    measured link rate like csrmm's dispatch (csrmm.cpp:364-420 is the
+    reference's 'T' structure this operator replaces)."""
+    mode = getattr(ctx.config, "sparse_compute", "host")
+    if mode == "auto":
+        from ..ops.device import link_gbps_estimate
+        link = link_gbps_estimate()
+        if link >= 1.0:
+            mode = "device"  # real host: MXU + gather wins
+        else:
+            b = v_np.shape[1]
+            nnz = float(a.nnz)
+            # device ships forward ELL + transposed ELL (~2x nnz*(4+4)
+            # padded) + V up and U partials down; host runs two scipy
+            # products per block in place
+            t_dev = (2 * nnz * 16.0 + 2 * a.shape[1] * b * 4.0) / (link * 1e9)
+            t_host = 2.0 * (2.0 * nnz * b) / 2.0e9
+            mode = "host" if t_host < t_dev else "device"
+    if mode == "device":
+        return _apply_ata_one_pass_device(a, v_np, ctx)
     import scipy.sparse as sps
 
     from ..sparse.csr import fill_row_blocks, stream_row_blocks
@@ -62,6 +83,63 @@ def _apply_ata_one_pass(a: CsrFlashMatrix, v_np: np.ndarray,
             shape=(e - r, k))
         w_rb = blk @ v32                     # (rows, b)
         U += blk.T @ w_rb                    # (k, b) accumulate
+    METRICS.add("eig.op_applies")
+    return U
+
+
+def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
+                               ctx) -> np.ndarray:
+    """Device variant of the one-pass operator: per nnz-budgeted row
+    block, BOTH halves run as ELL gather products on the device —
+    W_sub = A_sub V (forward ELL, rows gathered from the V panel) and
+    U += A_sub^T W_sub (the sub-block transposed to block-local CSC on
+    the host — it is already in DRAM — then ELL-ized by column, so the
+    transposed half is just another gather product whose panel is the
+    HBM-resident W_sub).  No scatter anywhere (scatter serializes on
+    TPU), every shape power-of-two bucketed, and the fp64 U accumulator
+    stays on the host.  A's bytes still cross the disk exactly once.
+    Reference semantics: the csrmm 'T' dispatch (csrmm.cpp:364-420)
+    composed with the 'N' product, fused per block."""
+    import jax
+    import scipy.sparse as sps
+
+    from ..sparse import spmm_device as sdev
+    from ..sparse.csr import fill_row_blocks, stream_row_blocks
+
+    cfg = ctx.config
+    m, k = a.shape
+    ia_np = a.read_ia()
+    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
+    v32 = np.ascontiguousarray(v_np, np.float32)
+    b = v32.shape[1]
+    v_dev = jax.device_put(v32)
+    entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (b * 4)))
+    impl = getattr(cfg, "sparse_device_impl", "auto")
+    U = np.zeros((k, b), np.float64)
+    for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
+        blk_ia = ia_np[r:e + 1] - int(ia_np[r])
+        counts = np.diff(blk_ia)
+        for s0, s1 in sdev.ell_row_ranges(counts, entry_cap):
+            lo, hi = int(blk_ia[s0]), int(blk_ia[s1])
+            ja_s = ja_blk[lo:hi]
+            va_s = va_blk[lo:hi]
+            ja_e, va_e = sdev.to_ell(blk_ia[s0:s1 + 1], ja_s, va_s)
+            w_sub = sdev.spmm_ell_block_dispatch(v_dev, ja_e, va_e, impl)
+            # transpose the sub-block in DRAM; its CSC column slices are
+            # the transposed product's "rows", gathering W_sub rows
+            sub = sps.csr_matrix(
+                (va_s, ja_s.astype(np.int64),
+                 (blk_ia[s0:s1 + 1] - blk_ia[s0]).astype(np.int64)),
+                shape=(s1 - s0, k)).tocsc()
+            ccounts = np.diff(sub.indptr)
+            for c0, c1 in sdev.ell_row_ranges(ccounts, entry_cap):
+                cja, cva = sdev.to_ell(
+                    sub.indptr[c0:c1 + 1].astype(np.int64),
+                    sub.indices[sub.indptr[c0]:sub.indptr[c1]],
+                    sub.data[sub.indptr[c0]:sub.indptr[c1]])
+                u_part = sdev.spmm_ell_block_dispatch(w_sub, cja, cva,
+                                                      impl)
+                U[c0:c1] += np.asarray(u_part)[:c1 - c0]
     METRICS.add("eig.op_applies")
     return U
 

@@ -61,11 +61,12 @@ def accum_step(c, a, b, alpha, *, a_km: bool, b_nk: bool, c_nm: bool,
     b: (bk,bn) if not b_nk else (bn,bk)
     c: (bm,bn) if not c_nm else (bn,bm)   (and the result matches)
 
-    impl='pallas' routes the canonical (no storage transpose) case through
-    the explicit MXU kernel in matmul_pallas.py; every other layout uses
-    dot_general, whose contracting dims absorb the transposes.
+    impl='pallas' routes ALL storage layouts through the explicit MXU
+    kernel in matmul_pallas.py — its in-kernel dot_general contracting
+    dims absorb the transposes (layout-general since r3; previously only
+    the canonical layout engaged and km/nk/nm fell back to XLA).
     """
-    if impl == "pallas" and not (a_km or b_nk or c_nm):
+    if impl == "pallas":
         from .matmul_pallas import bn_default, matmul
         bn0 = bn_default(prec)
         # feasibility gate (the sparse side's pallas_eligible analog):
@@ -73,12 +74,14 @@ def accum_step(c, a, b, alpha, *, a_km: bool, b_nk: bool, c_nm: bool,
         # a full-dimension fallback tile would blow VMEM and mint a new
         # unbucketed compile per odd superblock (CLAUDE.md); anything
         # else quietly uses the equivalent XLA path below
-        if (c.shape[0] % 512 == 0 and c.shape[1] % bn0 == 0
-                and a.shape[1] % 512 == 0):
+        cm, cn = (c.shape[1], c.shape[0]) if c_nm else c.shape
+        kdim = a.shape[0] if a_km else a.shape[1]
+        if cm % 512 == 0 and cn % bn0 == 0 and kdim % 512 == 0:
             # out_dtype=c.dtype: partials accumulate at the ACCUMULATOR
             # precision even when A/B tiles arrived as bf16 transfers
             out = matmul(a, b, bm=512, bn=bn0, bk=512, prec=prec,
-                         out_dtype=c.dtype)
+                         out_dtype=c.dtype, a_km=a_km, b_nk=b_nk,
+                         c_nm=c_nm)
             return c + alpha.astype(c.dtype) * out
     ka = 1 if not a_km else 0
     kb = 0 if not b_nk else 1
@@ -145,7 +148,11 @@ def link_gbps_estimate(force: bool = False) -> float:
     global _link_gbps
     if _link_gbps is None or force:
         import time
-        x = np.empty(8 << 20, np.uint8)
+        # incompressible payload: the tunnel compresses zero-ish buffers
+        # ~2x, which would overestimate the rate real (random-float)
+        # tiles achieve and misplace compute
+        x = np.random.default_rng(99).integers(0, 256, 8 << 20,
+                                               dtype=np.uint8)
         d = jax.device_put(x[:1 << 16])  # warm the path
         np.asarray(jnp.sum(d[:1]))
         t0 = time.perf_counter()

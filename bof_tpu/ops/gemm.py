@@ -136,8 +136,11 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         raise ValueError("bfloat16 transfer mode needs float32 operands")
     impl = cfg.device_compute
     if impl == "auto":
-        impl = "pallas" if (dev.on_tpu() and not (a_km or b_nk or c_nm)
-                            and sb % 1024 == 0 and not xfer_bf16) else "xla"
+        # layout-general since r3: the Pallas MXU kernel absorbs km/nk/nm
+        # storage transposes via in-kernel dot_general contracting dims,
+        # so all 8 {order}x{transA}x{transB} configs are eligible
+        impl = "pallas" if (dev.on_tpu() and sb % 1024 == 0
+                            and not xfer_bf16) else "xla"
 
     cache = ctx.pin_cache()
     hbm = HbmCache(cfg.hbm_budget)

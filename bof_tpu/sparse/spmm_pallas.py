@@ -38,17 +38,23 @@ def _make_spmm_kernel(unroll: int):
         cb = o_ref.shape[1]
 
         def row_body(r, _):
-            # unrolled slot loop: `unroll` independent scalar-indexed row
-            # loads per iteration expose DMA/ILP to Mosaic — measured 1.7x
-            # over the unrolled==1 form on v5e (docs/PERFORMANCE.md)
+            # unrolled slot loop with INDEPENDENT partial accumulators:
+            # the `unroll` scalar-indexed row loads per iteration stack
+            # into an (unroll, cb) VPU tile (8 sublanes = the native f32
+            # tile), so the adds have a dependency chain 1/unroll the
+            # length of a single running (1, cb) accumulator — the chain
+            # was what lost to XLA at rmax >= 128.  Final tree-sum over
+            # the unroll axis happens once per row.
             def slot_body(s0, acc):
-                for u in range(unroll):
-                    s = s0 * unroll + u
-                    acc = acc + va_ref[r, s] * b_ref[pl.ds(ja_ref[r, s], 1), :]
-                return acc
-            acc0 = jnp.zeros((1, cb), jnp.float32)
-            o_ref[pl.ds(r, 1), :] = jax.lax.fori_loop(
-                0, rmax // unroll, slot_body, acc0).astype(o_ref.dtype)
+                gathered = jnp.concatenate(
+                    [va_ref[r, s0 * unroll + u]
+                     * b_ref[pl.ds(ja_ref[r, s0 * unroll + u], 1), :]
+                     for u in range(unroll)], axis=0)
+                return acc + gathered
+            acc0 = jnp.zeros((unroll, cb), jnp.float32)
+            acc = jax.lax.fori_loop(0, rmax // unroll, slot_body, acc0)
+            o_ref[pl.ds(r, 1), :] = jnp.sum(
+                acc, axis=0, keepdims=True).astype(o_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, rt, row_body, 0)

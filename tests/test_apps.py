@@ -256,3 +256,51 @@ def test_xml_rank_colmajor_w_and_wide_k(ctx, rng, fused):
     s, l = xml_rank(A, W, k, label_blk=4, fused=fused, ctx=ctx)  # 4 < k=9
     want = (a_sp @ w_np.T).astype(np.float32)
     _check_topk(s.read_all(), l.read_all(), want, k)
+
+
+def test_one_pass_device_matches_host(ctx, rng):
+    """The device one-pass A^T A V operator (both halves as ELL gather
+    products; fp64 accumulator on host) must match the host scipy path
+    at fp32 tolerance — including skewed blocks that split into multiple
+    ELL subranges."""
+    from bof_tpu.apps.eigensolver import (_apply_ata_one_pass,
+                                          _apply_ata_one_pass_device)
+    ctx.config.max_nnzs = 2048
+    ctx.config.hbm_budget = 1 << 21  # small entry cap -> many subranges
+    m, k, b = 500, 130, 7
+    a_sp = sps.random(m, k, density=0.06, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(5)).tolil()
+    a_sp[123, :] = rng.standard_normal(k)   # mega-row skews ELL ranges
+    a_sp[348, :90] = 1.5                    # mega-column block too
+    a_sp = a_sp.tocsr()
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    v_np = rng.standard_normal((k, b))
+
+    ctx.config.sparse_compute = "host"
+    u_host = _apply_ata_one_pass(A, v_np, ctx)
+    u_dev = _apply_ata_one_pass_device(A, v_np, ctx)
+    want = a_sp.T.astype(np.float64) @ (a_sp.astype(np.float64)
+                                        @ v_np)
+    np.testing.assert_allclose(u_host, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(u_dev, want, rtol=1e-4, atol=1e-4)
+
+    # the dispatcher honors sparse_compute='device'
+    ctx.config.sparse_compute = "device"
+    u_disp = _apply_ata_one_pass(A, v_np, ctx)
+    np.testing.assert_array_equal(u_disp, u_dev)
+
+
+def test_block_power_svd_device_one_pass(ctx, rng):
+    """End-to-end solver on the device one-pass operator."""
+    ctx.config.max_nnzs = 2048
+    ctx.config.sparse_compute = "device"
+    m, k, L = 300, 120, 5  # same fixture as the host-path test: the
+    # spectrum there is known to converge within the iteration budget
+    a_sp = sps.random(m, k, density=0.05, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(3))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    sigma, v = block_power_svd(A, L, n_iters=40, tol=1e-9,
+                               one_pass=True, ctx=ctx)
+    want = np.sort(spla.svds(a_sp.astype(np.float64), k=L,
+                             return_singular_vectors=False))[::-1]
+    np.testing.assert_allclose(sigma, want, rtol=1e-3)

@@ -98,3 +98,41 @@ def test_spmm_dispatch_routing(rng):
         jnp.asarray(b), jnp.asarray(ja_ell), jnp.asarray(va_ell),
         impl="auto"))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pallas_matmul_layout_general_interpret(rng):
+    """All 8 storage-layout configs (a_km, b_nk, c_nm) through the MXU
+    kernel's in-kernel dot_general transposes (interpret mode)."""
+    import itertools
+    import numpy as np
+    from bof_tpu.ops.matmul_pallas import matmul
+    m, n, k = 256, 128, 128
+    a_log = rng.standard_normal((m, k)).astype(np.float32)
+    b_log = rng.standard_normal((k, n)).astype(np.float32)
+    want = a_log.astype(np.float64) @ b_log.astype(np.float64)
+    for a_km, b_nk, c_nm in itertools.product([False, True], repeat=3):
+        a_st = np.ascontiguousarray(a_log.T) if a_km else a_log
+        b_st = np.ascontiguousarray(b_log.T) if b_nk else b_log
+        got = np.asarray(matmul(a_st, b_st, bm=128, bn=128, bk=64,
+                                a_km=a_km, b_nk=b_nk, c_nm=c_nm,
+                                interpret=True))
+        if c_nm:
+            got = got.T
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=2e-4, atol=1e-3,
+                                   err_msg=f"{a_km} {b_nk} {c_nm}")
+
+
+def test_pallas_spmm_unroll_partials_interpret(rng):
+    """The independent-partial slot accumulation must stay exact for
+    deep ELL blocks (rmax 128 — past the old crossover)."""
+    import numpy as np
+    from bof_tpu.sparse.spmm_pallas import spmm_ell_pallas
+    rows, rmax, k, cb = 16, 128, 512, 128
+    ja = rng.integers(0, k, (rows, rmax)).astype(np.int32)
+    va = rng.standard_normal((rows, rmax)).astype(np.float32)
+    va[:, 100:] = 0.0  # padding slots
+    b = rng.standard_normal((k, cb)).astype(np.float32)
+    got = np.asarray(spmm_ell_pallas(b, ja, va, interpret=True))
+    want = np.einsum("rs,rsc->rc", va, b[ja])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
