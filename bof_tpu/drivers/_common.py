@@ -25,6 +25,13 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--precision", default="highest",
                    choices=["default", "high", "highest"],
                    help="matmul precision on device")
+    p.add_argument("--sparse-compute", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="placement of sparse block products (csrmm, "
+                        "csrgemv, one-pass A^T A): device = ELL gather on "
+                        "the MXU/VPU, host = scipy on the pinned tile "
+                        "(the reference's MKL-on-host model), auto = by "
+                        "measured link rate")
     return p
 
 
@@ -34,7 +41,8 @@ def make_context(args) -> FlashContext:
         program_budget=int(args.budget_gb * (1 << 30)),
         n_io_threads=args.io_threads,
         n_compute_threads=args.compute_threads,
-        use_o_direct=args.o_direct)
+        use_o_direct=args.o_direct,
+        sparse_compute=getattr(args, "sparse_compute", "auto"))
     cfg.matmul_precision = args.precision
     return FlashContext(cfg)
 

@@ -46,13 +46,16 @@ def spmm_ell_block_dispatch(b_panel, ja_ell, va_ell, impl: str = "auto"):
     'auto' uses the measured v5e heuristic (pallas_eligible) on TPU and
     XLA everywhere else."""
     if impl != "xla":
-        from .spmm_pallas import pallas_eligible, spmm_ell_pallas
+        from .spmm_pallas import (pallas_eligible, pallas_feasible,
+                                  spmm_ell_pallas)
         rows, rmax = ja_ell.shape
         k, cb = b_panel.shape
-        ok = pallas_eligible(k, cb, rmax, rows)
-        want = (impl == "pallas") or (
-            impl == "auto" and ok and jax.default_backend() == "tpu")
-        if want and ok:
+        feasible = pallas_feasible(k, cb, rmax, rows)
+        want = (impl == "pallas" and feasible) or (
+            impl == "auto" and feasible
+            and pallas_eligible(k, cb, rmax, rows)
+            and jax.default_backend() == "tpu")
+        if want:
             return spmm_ell_pallas(b_panel, ja_ell, va_ell)
     return spmm_ell_block(b_panel, ja_ell, va_ell)
 

@@ -38,23 +38,21 @@ def _make_spmm_kernel(unroll: int):
         cb = o_ref.shape[1]
 
         def row_body(r, _):
-            # unrolled slot loop with INDEPENDENT partial accumulators:
-            # the `unroll` scalar-indexed row loads per iteration stack
-            # into an (unroll, cb) VPU tile (8 sublanes = the native f32
-            # tile), so the adds have a dependency chain 1/unroll the
-            # length of a single running (1, cb) accumulator — the chain
-            # was what lost to XLA at rmax >= 128.  Final tree-sum over
-            # the unroll axis happens once per row.
+            # unrolled slot loop: `unroll` scalar-indexed row loads per
+            # iteration expose DMA/ILP to Mosaic.  A 6-way 40-iter A/B
+            # on v5e (chain vs independent-partial accumulators, unroll
+            # 4/8/16) found the serial chain with unroll=16 fastest at
+            # every rmax 32-256 (docs/PERFORMANCE.md r3) — the partials
+            # variant's concat + final tree-sum costs more than the
+            # shorter dependency chain saves.
             def slot_body(s0, acc):
-                gathered = jnp.concatenate(
-                    [va_ref[r, s0 * unroll + u]
-                     * b_ref[pl.ds(ja_ref[r, s0 * unroll + u], 1), :]
-                     for u in range(unroll)], axis=0)
-                return acc + gathered
-            acc0 = jnp.zeros((unroll, cb), jnp.float32)
-            acc = jax.lax.fori_loop(0, rmax // unroll, slot_body, acc0)
-            o_ref[pl.ds(r, 1), :] = jnp.sum(
-                acc, axis=0, keepdims=True).astype(o_ref.dtype)
+                for u in range(unroll):
+                    s = s0 * unroll + u
+                    acc = acc + va_ref[r, s] * b_ref[pl.ds(ja_ref[r, s], 1), :]
+                return acc
+            acc0 = jnp.zeros((1, cb), jnp.float32)
+            o_ref[pl.ds(r, 1), :] = jax.lax.fori_loop(
+                0, rmax // unroll, slot_body, acc0).astype(o_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, rt, row_body, 0)
@@ -75,7 +73,7 @@ def spmm_ell_pallas(b_panel, ja_ell, va_ell, *, rt: int = 8,
     rows, rmax = ja_ell.shape
     k, cb = b_panel.shape
     assert rows % rt == 0, (rows, rt)
-    unroll = 8 if rmax % 8 == 0 else (4 if rmax % 4 == 0 else 1)
+    unroll = next((u for u in (16, 8, 4) if rmax % u == 0), 1)
     grid = (rows // rt,)
     return pl.pallas_call(
         _make_spmm_kernel(unroll),
@@ -102,11 +100,22 @@ def spmm_ell_pallas(b_panel, ja_ell, va_ell, *, rt: int = 8,
     )(b_panel, ja_ell.astype(jnp.int32), va_ell)
 
 
-def pallas_eligible(k: int, cb: int, rmax: int, rows: int) -> bool:
-    """Dispatch heuristic, measured on v5e (docs/PERFORMANCE.md): the
-    panel must fit VMEM with headroom, the lane dim must tile, rows must
-    divide the row tile, and shallow ELL blocks (rmax <= 64) are where
-    the VMEM-resident gather beats XLA's take+reduce (1.0-1.2x); deeper
-    blocks favor XLA (0.85x at rmax=128)."""
+def pallas_feasible(k: int, cb: int, rmax: int, rows: int) -> bool:
+    """Hard constraints only: the panel must fit VMEM with headroom, the
+    lane dim must tile, rows must divide the row tile."""
     return (k * cb * 4 <= VMEM_PANEL_LIMIT and cb % 128 == 0
-            and rows % 8 == 0 and rmax <= 64)
+            and rows % 8 == 0)
+
+
+def pallas_eligible(k: int, cb: int, rmax: int, rows: int) -> bool:
+    """Auto-dispatch PROFIT heuristic, re-measured on v5e in round 3
+    (40-iteration paired A/B at rows=16384, k=8192, cb=256 — enough
+    iterations to amortize the ~27 ms tunnel sync that polluted the
+    round-2 3-iteration numbers): XLA's take+reduce wins at EVERY rmax
+    32-256 (best Pallas variant, chain/unroll-16, reaches only
+    0.75-0.84x).  The round-2 'pallas wins at shallow rmax' finding was
+    measurement noise.  'auto' therefore never picks the Pallas kernel;
+    it remains available via sparse_device_impl='pallas' (subject to
+    pallas_feasible) for transports/shapes where a user measures a
+    win."""
+    return False

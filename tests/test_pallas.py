@@ -78,14 +78,14 @@ def test_pallas_spmm_ell_interpret(rng):
 
 
 def test_spmm_dispatch_routing(rng):
-    """'auto' uses the measured heuristic (pallas only on TPU backends for
-    shallow rmax + VMEM-fitting panels); explicit 'xla' always XLA."""
-    from bof_tpu.sparse.spmm_pallas import pallas_eligible
-    assert pallas_eligible(k=4096, cb=512, rmax=32, rows=64)
-    assert not pallas_eligible(k=4096, cb=512, rmax=128, rows=64)  # deep
-    assert not pallas_eligible(k=16384, cb=4096, rmax=32, rows=64)  # VMEM
-    assert not pallas_eligible(k=4096, cb=500, rmax=32, rows=64)   # lanes
-    assert not pallas_eligible(k=4096, cb=512, rmax=32, rows=30)   # rows%8
+    """'auto' never picks pallas (re-measured r3: XLA wins every rmax on
+    v5e); explicit 'pallas' is gated by the hard feasibility limits."""
+    from bof_tpu.sparse.spmm_pallas import pallas_eligible, pallas_feasible
+    assert not pallas_eligible(k=4096, cb=512, rmax=32, rows=64)
+    assert pallas_feasible(k=4096, cb=512, rmax=32, rows=64)
+    assert not pallas_feasible(k=16384, cb=4096, rmax=32, rows=64)  # VMEM
+    assert not pallas_feasible(k=4096, cb=500, rmax=32, rows=64)   # lanes
+    assert not pallas_feasible(k=4096, cb=512, rmax=32, rows=30)   # rows%8
     # dispatch runs (CPU backend: auto -> xla) and matches
     import jax.numpy as jnp
     from bof_tpu.sparse.spmm_device import (spmm_ell_block,
