@@ -93,6 +93,18 @@ def lloyds_iter_sharded(points_np: np.ndarray, centers: np.ndarray,
     return new_centers.astype(np.float32), inertia, counts
 
 
+def _row_shard_spans(sh, rows_pad: int, d: int):
+    """[(device, p0, p1)] padded-row spans per addressable device of a
+    (rows_pad, d) dim0-sharded array, in deterministic row order."""
+    out = []
+    for dev, idx in sh.addressable_devices_indices_map(
+            (rows_pad, d)).items():
+        s = idx[0]
+        out.append((dev, s.start or 0,
+                    rows_pad if s.stop is None else s.stop))
+    return sorted(out, key=lambda t: t[1])
+
+
 def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
                             labels_out=None, mesh=None,
                             blk_rows: Optional[int] = None,
@@ -102,13 +114,20 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
     ops/kmeans.lloyds_iter with dp_lloyd_step as the device step.  Blocks
     prefetch through the pinned tile cache; center statistics psum over
     ICI per block and accumulate on the host.  Returns
-    (new_centers, inertia, counts)."""
+    (new_centers, inertia, counts).
+
+    Multi-host data plane (mirrors gemm_sharded/csrmm_sharded): under
+    `jax.process_count() > 1`, each process READS only the point rows its
+    devices own (per-shard sub-accesses — no H-fold read amplification),
+    uploads them per device, and writes back only its devices' label
+    rows; the statistics are psum-replicated so every process folds the
+    same sums."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..context import get_context
     from ..core.pipeline import PrefetchSeq
-    from .mesh import device_put_sharded, make_mesh
+    from .mesh import _FORCE_SHARDED_READS, device_put_sharded, make_mesh
 
     ctx = ctx or points.ctx or get_context()
     cfg = ctx.config
@@ -127,11 +146,30 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
     sh = NamedSharding(mesh, P(mesh.axis_names))
     c_dev = device_put_sharded(centers, NamedSharding(mesh, P()))
 
+    multihost = jax.process_count() > 1
+    sharded_reads = multihost or _FORCE_SHARDED_READS
     cache = ctx.pin_cache()
     spans = [(r0, min(blk, n - r0)) for r0 in range(0, n, blk)]
-    accesses = [(points.store,) + points.block_access(r0, bn, 0, d)
-                for r0, bn in spans]
-    pf = PrefetchSeq(cache, accesses, depth=cfg.pipeline_depth)
+    if sharded_reads:
+        flat: list = []
+        plans = []
+        for (r0, bn) in spans:
+            rows_pad = bn + (-bn) % n_dev
+            entries = []
+            for (dev, p0, p1) in _row_shard_spans(sh, rows_pad, d):
+                lo, hi = r0 + p0, r0 + min(p1, bn)
+                pidx = None
+                if hi > lo:
+                    pidx = len(flat)
+                    flat.append((points.store,)
+                                + points.block_access(lo, hi - lo, 0, d))
+                entries.append((dev, p0, p1, lo, hi, pidx))
+            plans.append((rows_pad, entries))
+        pf = PrefetchSeq(cache, flat, depth=cfg.pipeline_depth * n_dev)
+    else:
+        accesses = [(points.store,) + points.block_access(r0, bn, 0, d)
+                    for r0, bn in spans]
+        pf = PrefetchSeq(cache, accesses, depth=cfg.pipeline_depth)
 
     sums = np.zeros((kc, d), np.float64)
     counts = np.zeros(kc, np.float64)
@@ -139,25 +177,64 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
     write_tickets = []
     try:
         for bi, (r0, bn) in enumerate(spans):
-            p_host = pf.get(bi).view(points.dtype).reshape(bn, d)
-            pad = (-bn) % n_dev
-            w_np = np.ones(bn + pad, np.float32)
-            if pad:
-                p_host = np.concatenate(
-                    [p_host, np.zeros((pad, d), points.dtype)])
-                w_np[bn:] = 0.0
-            s, c, i, labels = step(
-                device_put_sharded(p_host.astype(np.float32, copy=False), sh),
-                device_put_sharded(w_np, sh), c_dev)
-            pf.done(bi)
+            if sharded_reads:
+                rows_pad, entries = plans[bi]
+                p_shards, w_shards = [], []
+                for (dev, p0, p1, lo, hi, pidx) in entries:
+                    rs = p1 - p0
+                    pshard = np.zeros((rs, d), np.float32)
+                    wshard = np.zeros(rs, np.float32)
+                    if pidx is not None:
+                        raw = pf.get(pidx).view(points.dtype)
+                        pshard[:hi - lo] = raw.reshape(hi - lo, d)
+                        wshard[:hi - lo] = 1.0
+                        pf.done(pidx)
+                    p_shards.append(jax.device_put(pshard, dev))
+                    w_shards.append(jax.device_put(wshard, dev))
+                p_g = jax.make_array_from_single_device_arrays(
+                    (rows_pad, d), sh, p_shards)
+                w_g = jax.make_array_from_single_device_arrays(
+                    (rows_pad,), sh, w_shards)
+                s, c, i, labels = step(p_g, w_g, c_dev)
+            else:
+                p_host = pf.get(bi).view(points.dtype).reshape(bn, d)
+                pad = (-bn) % n_dev
+                w_np = np.ones(bn + pad, np.float32)
+                if pad:
+                    p_host = np.concatenate(
+                        [p_host, np.zeros((pad, d), points.dtype)])
+                    w_np[bn:] = 0.0
+                s, c, i, labels = step(
+                    device_put_sharded(
+                        p_host.astype(np.float32, copy=False), sh),
+                    device_put_sharded(w_np, sh), c_dev)
+                pf.done(bi)
             sums += np.asarray(s, np.float64)
             counts += np.asarray(c, np.float64)
             inertia += float(np.asarray(i).sum())
             if labels_out is not None:
-                lab_np = np.asarray(labels, np.int32)[:bn]
-                off, sinfo = labels_out.block_access(r0, bn)
-                write_tickets.append(labels_out.store.write(
-                    off, sinfo, lab_np.view(np.uint8).ravel()))
+                if multihost:
+                    # the global labels array spans devices this process
+                    # cannot fetch: persist each addressable shard's real
+                    # rows (union across processes covers the block)
+                    for shard in labels.addressable_shards:
+                        p0 = shard.index[0].start or 0
+                        p1 = (shard.index[0].stop
+                              if shard.index[0].stop is not None
+                              else len(labels))
+                        lo, hi = r0 + p0, r0 + min(p1, bn)
+                        if hi <= lo:
+                            continue
+                        lab_np = np.ascontiguousarray(
+                            np.asarray(shard.data, np.int32)[:hi - lo])
+                        off, sinfo = labels_out.block_access(lo, hi - lo)
+                        write_tickets.append(labels_out.store.write(
+                            off, sinfo, lab_np.view(np.uint8).ravel()))
+                else:
+                    lab_np = np.asarray(labels, np.int32)[:bn]
+                    off, sinfo = labels_out.block_access(r0, bn)
+                    write_tickets.append(labels_out.store.write(
+                        off, sinfo, lab_np.view(np.uint8).ravel()))
     finally:
         pf.close()
     for t in write_tickets:
@@ -199,6 +276,11 @@ def kmeans_fit_sharded(points, n_centers: int, n_iters: int = 10,
 
     resident = None
     if (points.order == "R" and n_iters > 1
+            # the resident upload reads the WHOLE panel and the label
+            # write-back fetches the global array — single-process only;
+            # multi-process fits stream via lloyds_iter_ooc_sharded,
+            # whose data plane is shard-local end to end
+            and jax.process_count() == 1
             # sharded panel + one-hot per device, against aggregate HBM
             and 3 * n * (d + k) * 4 <= cfg.hbm_budget * n_dev
             # the upload stages one full float32 panel in host DRAM

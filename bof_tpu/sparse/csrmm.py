@@ -217,11 +217,16 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
         bc = min(cb, n - c0)
         # B column sub-panel, shaped (k_sub, cb); pad both dims
         b_host = b.read_block_storage(k0, k_sub, c0, bc)
+        sync_mode = getattr(cfg, "telemetry_sync", False)
         if host_compute:
             b_panel_np = (b_host if b.order == "R"
                           else np.ascontiguousarray(b_host.T))
             b_panel = None
         else:
+            import time as _time
+
+            from ..ops import device as dev
+            t_up = _time.perf_counter()
             if b.order == "C":
                 b_panel = jnp.asarray(b_host).T  # (k_sub, bc)
             else:
@@ -229,6 +234,9 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
             if bc < cb or k_sub < k_r_pad:
                 b_panel = jnp.pad(b_panel, ((0, k_r_pad - k_sub),
                                             (0, cb - bc)))
+            if sync_mode:  # truthful B-panel upload time (see ops/gemm)
+                dev.sync(b_panel)
+                METRICS.add("csrmm.h2d_s", _time.perf_counter() - t_up)
 
         flat = [acc for pair in seq_accesses for acc in pair]
         pf = PrefetchSeq(cache, flat, depth=2 * cfg.pipeline_depth)
@@ -284,9 +292,27 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                             lo, hi = int(sub_ia[0]), int(sub_ia[-1])
                             ja_ell, va_ell = sdev.to_ell(
                                 sub_ia, blk_ja[lo:hi], blk_va[lo:hi])
+                            if sync_mode:
+                                # truthful ELL upload: exclusive channel
+                                # + in-window sync (see ops/gemm.py)
+                                from ..ops import device as dev
+                                with dev.XFER_LOCK:
+                                    th = _time.perf_counter()
+                                    ja_d = jnp.asarray(ja_ell)
+                                    va_d = jnp.asarray(va_ell)
+                                    dev.sync(ja_d)
+                                    dev.sync(va_d)
+                                    th2 = _time.perf_counter()
+                                METRICS.add("csrmm.h2d_s", th2 - th)
+                                METRICS.observe(
+                                    "csrmm.h2d_tile_gbps",
+                                    (ja_ell.nbytes + va_ell.nbytes)
+                                    / max(th2 - th, 1e-9) / 1e9)
+                            else:
+                                ja_d = jnp.asarray(ja_ell)
+                                va_d = jnp.asarray(va_ell)
                             out = sdev.spmm_ell_block_dispatch(
-                                b_panel, jnp.asarray(ja_ell),
-                                jnp.asarray(va_ell), impl=impl)
+                                b_panel, ja_d, va_d, impl=impl)
                             outs.append((s0, s1, out))
                     pf.done(2 * bi)
                     pf.done(2 * bi + 1)
@@ -328,10 +354,27 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                         break
                     r, rows_b, outs = item
                     c_np = np.empty((rows_b, bc), vdt)
-                    t0 = _time.perf_counter()
-                    for s0, s1, out in outs:
-                        c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
-                    METRICS.add("csrmm.d2h_s", _time.perf_counter() - t0)
+                    if sync_mode:
+                        from ..ops import device as dev
+                        for s0, s1, out in outs:
+                            t0 = _time.perf_counter()
+                            dev.sync(out)  # compute + queued-xfer wait
+                            with dev.XFER_LOCK:
+                                ta = _time.perf_counter()
+                                full = np.asarray(out)
+                                tb = _time.perf_counter()
+                            c_np[s0:s1] = full[:s1 - s0, :bc]
+                            METRICS.add("csrmm.accum_wait_s", ta - t0)
+                            METRICS.add("csrmm.d2h_s", tb - ta)
+                            METRICS.observe(
+                                "csrmm.d2h_tile_gbps",
+                                full.nbytes / max(tb - ta, 1e-9) / 1e9)
+                    else:
+                        t0 = _time.perf_counter()
+                        for s0, s1, out in outs:
+                            c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                        METRICS.add("csrmm.d2h_s",
+                                    _time.perf_counter() - t0)
                     c_np *= alpha
                     if beta != 0.0:
                         c_np += beta * c.read_block(r, rows_b, c0, bc)

@@ -71,6 +71,21 @@ def main() -> int:
     print(f"[p{pid}] csrmm_sharded done", flush=True)
     multihost_utils.sync_global_devices("csrmm done")
 
+    # ---- DP kmeans: sharded point reads + per-shard label write-back ----
+    from bof_tpu.parallel import lloyds_iter_ooc_sharded
+    kn, kd, kk = 165, 8, 4  # ragged vs blk_rows and the mesh
+    KP = bt.map_array(os.path.join(workdir, "KP.bin"), (kn, kd),
+                      np.float32, "R", ctx=ctx)
+    KL = bt.map_array(os.path.join(workdir, "KL_mp.bin"), (kn,), np.int32,
+                      ctx=ctx)
+    c0 = KP.read_block(0, kk, 0, kd).copy()
+    new_c, inertia, counts = lloyds_iter_ooc_sharded(
+        KP, c0, labels_out=KL, mesh=mesh, blk_rows=64, ctx=ctx)
+    if pid == 0:  # statistics are psum-replicated: any process may save
+        np.save(os.path.join(workdir, "KC_mp.npy"), new_c)
+    print(f"[p{pid}] kmeans dp done (inertia {inertia:.3f})", flush=True)
+    multihost_utils.sync_global_devices("kmeans done")
+
     ctx.destroy()
     print(f"[p{pid}] MP_OK", flush=True)
     return 0

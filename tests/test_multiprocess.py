@@ -79,6 +79,16 @@ def test_two_process_data_plane(ctx, rng, tmp_path):
                            "R", create=True, ctx=ctx)
         arr.write_all(np.zeros((sm, sn), np.float32))
 
+    kn, kd, kk = 165, 8, 4
+    kp_np = rng.standard_normal((kn, kd)).astype(np.float32)
+    KP = bt.map_array(os.path.join(workdir, "KP.bin"), (kn, kd),
+                      np.float32, "R", create=True, ctx=ctx)
+    KP.write_all(kp_np)
+    for name in ("KL_mp.bin", "KL_sp.bin"):
+        arr = bt.map_array(os.path.join(workdir, name), (kn,), np.int32,
+                           create=True, ctx=ctx)
+        arr.write_all(np.full(kn, -1, np.int32))
+
     # ---- single-process comparator in THIS process (8 CPU devices) ----
     from bof_tpu.parallel import csrmm_sharded, gemm_sharded, make_mesh
     from bof_tpu.sparse import CsrFlashMatrix
@@ -96,6 +106,12 @@ def test_two_process_data_plane(ctx, rng, tmp_path):
     SC_sp = bt.map_array(os.path.join(workdir, "SC_sp.bin"), (sm, sn),
                          np.float32, "R", ctx=ctx)
     csrmm_sharded(As, SB, SC_sp, mesh=mesh, ctx=ctx)
+    from bof_tpu.parallel import lloyds_iter_ooc_sharded
+    KL_sp = bt.map_array(os.path.join(workdir, "KL_sp.bin"), (kn,),
+                         np.int32, ctx=ctx)
+    kc0 = KP.read_block(0, kk, 0, kd).copy()
+    kc_sp, _, _ = lloyds_iter_ooc_sharded(KP, kc0, labels_out=KL_sp,
+                                          mesh=mesh, blk_rows=64, ctx=ctx)
 
     # ---- the two real jax.distributed processes ----
     port = _free_port()
@@ -138,3 +154,13 @@ def test_two_process_data_plane(ctx, rng, tmp_path):
     np.testing.assert_array_equal(got_s, want_s)
     np.testing.assert_allclose(got_s.reshape(sm, sn), a_sp @ sb_np,
                                rtol=2e-4, atol=1e-4)
+
+    # kmeans: labels are computed per device (no collective) — the union
+    # of the two processes' per-shard label writes must be byte-identical
+    # to the single-process file; centers at psum-order tolerance
+    got_l = np.fromfile(os.path.join(workdir, "KL_mp.bin"), np.int32)
+    want_l = np.fromfile(os.path.join(workdir, "KL_sp.bin"), np.int32)
+    assert (want_l >= 0).all()  # comparator actually wrote every row
+    np.testing.assert_array_equal(got_l, want_l)
+    kc_mp = np.load(os.path.join(workdir, "KC_mp.npy"))
+    np.testing.assert_allclose(kc_mp, kc_sp, rtol=1e-5, atol=1e-5)

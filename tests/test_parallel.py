@@ -441,3 +441,36 @@ def test_csrmm_sharded_sharded_reads_match(ctx, rng):
         want = 1.5 * (a_sp @ b_np) + 0.25 * c0_np
         np.testing.assert_allclose(C2.read_all(), want, rtol=2e-4,
                                    atol=1e-3)
+
+
+def test_lloyds_ooc_sharded_reads_match(ctx, rng):
+    """The kmeans multi-host read path (per-shard point-row sub-reads +
+    per-device weight masks) must match the whole-block path exactly —
+    statistics AND written labels, including ragged blocks/tails."""
+    from bof_tpu import flash_empty, mem_array
+    from bof_tpu.ops.kmeans import lloyds_iter
+    from bof_tpu.parallel import lloyds_iter_ooc_sharded, make_mesh
+    import bof_tpu.parallel.mesh as meshmod
+
+    n, d, kc = 437, 12, 5
+    pts = rng.standard_normal((n, d)).astype(np.float32)
+    c0 = pts[rng.choice(n, kc, replace=False)].copy()
+    P = mem_array((n, d), np.float32, data=pts, ctx=ctx)
+    lab_a = flash_empty((n,), np.int32, ctx=ctx)
+    lab_b = flash_empty((n,), np.int32, ctx=ctx)
+    mesh = make_mesh(8)
+    a = lloyds_iter_ooc_sharded(P, c0, labels_out=lab_a, mesh=mesh,
+                                blk_rows=64, ctx=ctx)
+    meshmod._FORCE_SHARDED_READS = True
+    try:
+        b = lloyds_iter_ooc_sharded(P, c0, labels_out=lab_b, mesh=mesh,
+                                    blk_rows=64, ctx=ctx)
+    finally:
+        meshmod._FORCE_SHARDED_READS = False
+    np.testing.assert_allclose(b[0], a[0], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(b[2], a[2])
+    np.testing.assert_array_equal(lab_b.read_all(), lab_a.read_all())
+    # and vs the single-chip golden
+    want_c, _, want_n = lloyds_iter(P, c0, blk_rows=64, ctx=ctx)
+    np.testing.assert_allclose(b[0], want_c, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(b[2], want_n)

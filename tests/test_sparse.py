@@ -240,3 +240,38 @@ def test_csrcsc_preserves_explicit_zeros_and_duplicates(ctx):
     for arr in (At.ia, At.ja, At.vals):
         from bof_tpu import flash_free
         flash_free(arr)
+
+
+def test_csrmm_telemetry_sync_mode(ctx, rng):
+    """telemetry_sync through the csrmm device pipeline: results
+    unchanged, per-stage h2d/accum_wait/d2h split recorded with per-tile
+    rate samples (bench truth mode, mirrors the gemm test)."""
+    import scipy.sparse as sps
+    from bof_tpu import mem_array
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+    from bof_tpu.utils import METRICS
+    ctx.config.sparse_compute = "device"
+    ctx.config.telemetry_sync = True
+    try:
+        m, k, n = 300, 120, 64
+        a_sp = sps.random(m, k, density=0.05, format="csr",
+                          dtype=np.float32,
+                          random_state=np.random.RandomState(11))
+        A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+        B = mem_array((k, n), np.float32,
+                      data=rng.standard_normal((k, n)).astype(np.float32),
+                      ctx=ctx)
+        C = mem_array((m, n), np.float32, ctx=ctx)
+        n_h2d = len(METRICS.samples("csrmm.h2d_tile_gbps"))
+        before = METRICS.snapshot()
+        csrmm(A, B, C, ctx=ctx)
+        after = METRICS.snapshot()
+        np.testing.assert_allclose(C.read_all(), a_sp @ B.read_all(),
+                                   rtol=2e-4, atol=1e-4)
+        assert after.get("csrmm.h2d_s", 0) > before.get("csrmm.h2d_s", 0)
+        assert after.get("csrmm.d2h_s", 0) > before.get("csrmm.d2h_s", 0)
+        assert "csrmm.accum_wait_s" in after
+        assert len(METRICS.samples("csrmm.h2d_tile_gbps")) > n_h2d
+    finally:
+        ctx.config.telemetry_sync = False
+        ctx.config.sparse_compute = "auto"
