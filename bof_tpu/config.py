@@ -42,7 +42,10 @@ class FlashConfig:
     transfer_dtype: str = "float32"    # "bfloat16" halves the host->HBM
     #   bytes of A/B tiles (inputs rounded to bf16 on the host; the
     #   accumulator and C stay fp32) — for link-bound deployments that
-    #   accept ~1e-3 relative input rounding
+    #   accept ~1e-3 relative input rounding.  "int8" QUARTERS them:
+    #   per-tile max-abs quantization on the host, exact int8 MXU
+    #   products with one f32 rescale per tile (~0.4%-of-tile-max input
+    #   rounding)
 
     # ---- dense kernels (reference: GEMM_BLK_SIZE=8192) ----
     gemm_blk_size: int = 8192          # superblock edge for out-of-core gemm

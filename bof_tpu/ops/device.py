@@ -96,6 +96,27 @@ def accum_step(c, a, b, alpha, *, a_km: bool, b_nk: bool, c_nm: bool,
     return c + alpha.astype(c.dtype) * out
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("a_km", "b_nk", "c_nm"),
+                   donate_argnums=(0,))
+def accum_step_q(c, a, b, scale, *, a_km: bool, b_nk: bool, c_nm: bool):
+    """Quantized accumulate step for transfer_dtype='int8': a/b are
+    per-tile max-abs int8 quantizations; the MXU multiplies
+    int8 x int8 -> int32 EXACTLY and one fused f32 rescale
+    (scale = alpha * scale_a * scale_b, a dynamic scalar — no retrace
+    per tile) restores magnitude into the fp32 accumulator.  Input
+    rounding is the only error source."""
+    ka = 0 if a_km else 1
+    kb = 1 if b_nk else 0
+    if not c_nm:
+        out = jax.lax.dot_general(a, b, (((ka,), (kb,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+    else:
+        out = jax.lax.dot_general(b, a, (((kb,), (ka,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+    return c + scale.astype(c.dtype) * out.astype(c.dtype)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def scale_init(c, beta):
     """C-block initialization for beta != 0 (reference reads C and lets MKL

@@ -155,3 +155,42 @@ def test_telemetry_sync_mode(ctx, rng):
         assert "gemm.accum_wait_s" in after
     finally:
         ctx.config.telemetry_sync = False
+
+
+def test_gemm_int8_transfer_mode(ctx, rng):
+    """transfer_dtype='int8' quarters the A/B link bytes: per-tile
+    max-abs quantization on the host, exact int8 MXU products, one f32
+    rescale per tile.  Error is bounded by input rounding; transposes,
+    layouts, alpha/beta and ragged tails all still work."""
+    from bof_tpu import mem_array
+    from bof_tpu.ops import gemm
+    from bof_tpu.utils import METRICS
+    ctx.config.transfer_dtype = "int8"
+    try:
+        for order, ta, tb, beta in (("R", "N", "N", 0.0),
+                                    ("C", "T", "N", 0.5),
+                                    ("R", "N", "T", 0.0)):
+            m, n, k = 96, 80, 112
+            a_shape = (k, m) if ta == "T" else (m, k)
+            b_shape = (n, k) if tb == "T" else (k, n)
+            a = rng.standard_normal(a_shape).astype(np.float32)
+            b = rng.standard_normal(b_shape).astype(np.float32)
+            c0 = rng.standard_normal((m, n)).astype(np.float32)
+            A = mem_array(a_shape, np.float32, order, data=a, ctx=ctx)
+            B = mem_array(b_shape, np.float32, order, data=b, ctx=ctx)
+            C = mem_array((m, n), np.float32, order, data=c0, ctx=ctx)
+            before = METRICS.snapshot().get("gemm.h2d_bytes", 0)
+            gemm(A, B, C, alpha=1.25, beta=beta, transa=ta, transb=tb,
+                 blk=64, ctx=ctx)
+            opa = (a.T if ta == "T" else a).astype(np.float64)
+            opb = (b.T if tb == "T" else b).astype(np.float64)
+            want = 1.25 * (opa @ opb) + beta * c0.astype(np.float64)
+            got = C.read_all().astype(np.float64)
+            rel = np.abs(got - want).max() / np.abs(want).max()
+            assert rel < 5e-2, (order, ta, tb, rel)  # int8 rounding band
+            assert rel > 1e-6, "really quantized (not fp32)"
+        # link accounting: int8 tiles are 1/4 the fp32 bytes (1B vs 4B)
+        after = METRICS.snapshot().get("gemm.h2d_bytes", 0)
+        assert after > before
+    finally:
+        ctx.config.transfer_dtype = "float32"
