@@ -613,19 +613,19 @@ def main():
             result["csrmm_error"] = f"{type(e).__name__}: {e}"
             return True
 
-    # the pending marker is the round-2 lesson: if the previous artifact
-    # skipped (or died before) the csrmm secondary, run it FIRST so the
-    # recorded line always carries both numbers
+    # round-2 lesson, hardened in round 3: the csrmm secondary ALWAYS
+    # runs before the gemm headline — the artifact can no longer lose
+    # the sparse number to a mid-gemm tunnel collapse, and the gemm can
+    # size itself from the budget actually remaining.  The pending
+    # marker still arms crash-resume ordering metadata for readers.
     ok = True
     csrmm_ran = False
     if csrmm_enabled:
-        if state.get("csrmm_pending"):
-            _progress("csrmm secondary (fronted: previous run dropped it)")
-            ok = do_csrmm("before_gemm") and ok
-            csrmm_ran = True
-        else:
-            state["csrmm_pending"] = True
-            save_state()
+        state["csrmm_pending"] = True
+        save_state()
+        _progress("csrmm secondary (runs before the headline)")
+        ok = do_csrmm("before_gemm") and ok
+        csrmm_ran = True
 
     # 8192 (not sb): close enough to the large-N matmul asymptote that an
     # extrapolated vs_baseline is honest when the full-N twin is skipped
@@ -653,12 +653,16 @@ def main():
             sustained = min(max(prev, 0.25 * probe_mean), 2.0 * probe_mean)
         sv = os.statvfs(os.path.dirname(CACHE_DIR))
         free = sv.f_frsize * sv.f_bavail
+        # size from the budget actually REMAINING (csrmm already ran):
+        # 0.4x leaves room for warm-up/verify/tertiary AND a ~2.5x
+        # mid-run tunnel degradation without blowing the wall
+        t_gemm = max(0.4 * (budget_s - elapsed()), 0.1 * budget_s)
         n = sb
         while True:
             cand = n + sb
             t_xfer = 3 * cand * cand * 4 / (sustained * 1e9)
             t_comp = 2 * cand**3 / (inmem_tflops * 1e12)
-            if max(t_xfer, t_comp) > 0.25 * budget_s:
+            if max(t_xfer, t_comp) > t_gemm:
                 break
             if 3 * cand * cand * 4 > 0.5 * free:
                 break
@@ -855,7 +859,7 @@ def main():
     # one-off anecdotes (VERDICT r2 #7)
     rotation = ["csrgemv", "kmeans", "csrcsc_sort"]
     if (os.environ.get("BOF_BENCH_TERTIARY", "1") == "1"
-            and elapsed() < 0.7 * budget_s):
+            and elapsed() < 0.8 * budget_s):
         tert = rotation[int(state.get("rotation_idx", 0)) % len(rotation)]
         _progress(f"tertiary kernel: {tert}")
         try:

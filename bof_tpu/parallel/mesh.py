@@ -105,6 +105,49 @@ def sharded_accum_step(mesh, prec: str = "highest", a_km: bool = False,
     return jax.jit(step, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=None)
+def sharded_accum_step_q(mesh, a_km: bool = False, b_nk: bool = False,
+                         c_nm: bool = False):
+    """Quantized (transfer_dtype='int8') variant of sharded_accum_step:
+    per-device int8 x int8 -> int32 partials reduce over the K axis with
+    an EXACT int32 psum_scatter, then one f32 rescale
+    (scale = alpha * scale_a * scale_b, dynamic scalar) lands in the
+    fp32 accumulator — quantization rounding is the only error, exactly
+    like the single-chip accum_step_q."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    a_spec = P("y", "x") if a_km else P("x", "y")
+    b_spec = P(None, "y") if b_nk else P("y", None)
+    c_spec = P("y", "x") if c_nm else P("x", "y")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(c_spec, a_spec, b_spec, P()),
+        out_specs=c_spec)
+    def step(c_loc, a_loc, b_loc, scale):
+        ka = 0 if a_km else 1
+        kb = 1 if b_nk else 0
+        if not c_nm:
+            part = jax.lax.dot_general(
+                a_loc, b_loc, (((ka,), (kb,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            scatter_dim = 1
+        else:
+            part = jax.lax.dot_general(
+                b_loc, a_loc, (((kb,), (ka,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            scatter_dim = 0
+        red = jax.lax.psum_scatter(part, "y",
+                                   scatter_dimension=scatter_dim,
+                                   tiled=True)
+        return c_loc + scale.astype(c_loc.dtype) * red.astype(c_loc.dtype)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def sharding_for(mesh, spec):
     from jax.sharding import NamedSharding
     return NamedSharding(mesh, spec)
@@ -288,9 +331,36 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     a_access, a_km = _op_block_reader(a, ta)
     b_access, b_nk = _op_block_reader(b, tb)
     c_nm = c.order == "C"
+    xfer_mode = getattr(cfg, "transfer_dtype", "float32")
+    if xfer_mode != "float32" and (jax.process_count() > 1
+                                   or _FORCE_SHARDED_READS):
+        # per-tile quantization scales need the GLOBAL tile max, which a
+        # process doing shard-local reads never sees — ship fp32 there
+        LOG.warning("transfer_dtype=%s ignored under multi-host sharded "
+                    "reads (needs the global tile max); using float32",
+                    xfer_mode)
+        xfer_mode = "float32"
+    if xfer_mode != "float32" and c.dtype != np.float32:
+        raise ValueError(f"{xfer_mode} transfer mode needs float32 "
+                         "operands")
+    xfer_int8 = xfer_mode == "int8"
+    if xfer_int8:
+        step_q = sharded_accum_step_q(mesh, a_km=a_km, b_nk=b_nk,
+                                      c_nm=c_nm)
     step = sharded_accum_step(mesh, getattr(cfg, "matmul_precision",
                                             "highest"),
                               a_km=a_km, b_nk=b_nk, c_nm=c_nm)
+
+    def _xfer(host):
+        """Quantize/round one tile for the link; returns (array, scale)."""
+        if xfer_mode == "bfloat16":
+            import ml_dtypes
+            return host.astype(ml_dtypes.bfloat16), None
+        if xfer_int8:
+            amax = float(np.abs(host).max()) or 1.0
+            s = amax / 127.0
+            return np.rint(host * (1.0 / s)).astype(np.int8), s
+        return host, None
     sh_a = sharding_for(mesh, P("y", "x") if a_km else P("x", "y"))
     sh_b = sharding_for(mesh, P(None, "y") if b_nk else P("y", None))
     sh_c = sharding_for(mesh, P("y", "x") if c_nm else P("x", "y"))
@@ -399,11 +469,15 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         seq_b.get(idx)  # keep the prefetch seq in lockstep
                         b_host = None
                         METRICS.add("gemm_sharded.b_hbm_hits")
+                    a_host, sa = _xfer(a_host)
                     t1 = _time.perf_counter()
-                    a_dev = device_put_sharded(pad(a_host, (sb, sb)), sh_a)
+                    a_up = device_put_sharded(pad(a_host, (sb, sb)), sh_a)
+                    a_dev = (a_up, sa) if xfer_int8 else a_up
                     if b_dev is None:
-                        b_dev = device_put_sharded(pad(b_host, (sb, sb)),
-                                                   sh_b)
+                        b_host, sb_s = _xfer(b_host)
+                        b_up = device_put_sharded(pad(b_host, (sb, sb)),
+                                                  sh_b)
+                        b_dev = (b_up, sb_s) if xfer_int8 else b_up
                     t2 = _time.perf_counter()
                     seq_a.done(idx)
                     seq_b.done(idx)
@@ -412,9 +486,11 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     b_lru.pop(next(iter(b_lru)))
                 METRICS.add("gemm_sharded.disk_wait_s", t1 - t0)
                 METRICS.add("gemm_sharded.h2d_s", t2 - t1)
+                x_isize = {"bfloat16": 2, "int8": 1}.get(xfer_mode,
+                                                         itemsize)
                 METRICS.add("gemm_sharded.h2d_bytes",
-                            sb * sb * (itemsize + (np.dtype(b.dtype).itemsize
-                                                   if b_uploaded else 0)))
+                            sb * sb * (x_isize + (x_isize if b_uploaded
+                                                  else 0)))
                 while not errors:
                     try:
                         tile_q.put((a_dev, b_dev, c_init), timeout=1.0)
@@ -488,7 +564,12 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             c_dev = (c_init if c_init is not None
                      else device_put_sharded(np.zeros((sb, sb), c.dtype),
                                              sh_c))
-        c_dev = step(c_dev, a_dev, b_dev, alpha_s)
+        if xfer_int8:
+            a_q, sa = a_dev
+            b_q, sb_s = b_dev
+            c_dev = step_q(c_dev, a_q, b_q, np.float32(alpha * sa * sb_s))
+        else:
+            c_dev = step(c_dev, a_dev, b_dev, alpha_s)
         if l == kB - 1:
             while not errors:
                 try:

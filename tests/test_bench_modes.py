@@ -22,6 +22,10 @@ MODES = {
     # full default artifact shape at toy size: gemm headline + csrmm
     # secondary + one tertiary kernel in a single JSON line
     "sgemm_full": {"BOF_BENCH_N": "1024", "BOF_BENCH_BLK": "512",
+                   # generous budget: all 6 modes run concurrently here,
+                   # and contention wall-time must not trip the
+                   # tertiary/skip gates that govern the real 240s run
+                   "BOF_BENCH_BUDGET_S": "1800",
                    "BOF_BENCH_KERNEL": "sgemm",
                    "BOF_BENCH_SP_M": "4096", "BOF_BENCH_SP_K": "1024",
                    "BOF_BENCH_SP_NNZ": "16", "BOF_BENCH_SP_N": "64",

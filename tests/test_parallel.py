@@ -474,3 +474,35 @@ def test_lloyds_ooc_sharded_reads_match(ctx, rng):
     want_c, _, want_n = lloyds_iter(P, c0, blk_rows=64, ctx=ctx)
     np.testing.assert_allclose(b[0], want_c, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(b[2], want_n)
+
+
+@pytest.mark.parametrize("mode,tol", [("bfloat16", 2e-2), ("int8", 5e-2)])
+def test_gemm_sharded_transfer_modes(ctx, rng, mode, tol):
+    """bf16/int8 transfer modes through the sharded pipeline: quantized
+    shards upload, int8 partials psum_scatter EXACTLY in int32 before
+    one f32 rescale; results inside the input-rounding band."""
+    from bof_tpu import mem_array
+    from bof_tpu.parallel import gemm_sharded, make_mesh
+    ctx.config.transfer_dtype = mode
+    try:
+        mesh = make_mesh(8)
+        for ta, beta in (("N", 0.0), ("T", 0.5)):
+            m, n, k = 96, 64, 80
+            a_shape = (k, m) if ta == "T" else (m, k)
+            a = rng.standard_normal(a_shape).astype(np.float32)
+            b = rng.standard_normal((k, n)).astype(np.float32)
+            c0 = rng.standard_normal((m, n)).astype(np.float32)
+            A = mem_array(a_shape, np.float32, data=a, ctx=ctx)
+            B = mem_array((k, n), np.float32, data=b, ctx=ctx)
+            C = mem_array((m, n), np.float32, data=c0, ctx=ctx)
+            gemm_sharded(A, B, C, alpha=1.25, beta=beta, transa=ta,
+                         blk=32, mesh=mesh, ctx=ctx)
+            opa = (a.T if ta == "T" else a).astype(np.float64)
+            want = 1.25 * (opa @ b.astype(np.float64)) \
+                + beta * c0.astype(np.float64)
+            got = C.read_all().astype(np.float64)
+            rel = np.abs(got - want).max() / np.abs(want).max()
+            assert rel < tol, (mode, ta, rel)
+            assert rel > 1e-7, "really quantized"
+    finally:
+        ctx.config.transfer_dtype = "float32"
