@@ -203,23 +203,30 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
         mask_dev = put_rep(mask)
         first = b0 == 0
 
+        sort_rows = getattr(cfg, "ell_sort_rows", True)
         for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks,
                                                       ctx):
             blk_ia = ia_np[r:e + 1] - int(ia_np[r])
             counts = np.diff(blk_ia)
-            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                sub_ia = blk_ia[s0:s1 + 1]
-                lo, hi = int(sub_ia[0]), int(sub_ia[-1])
-                ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
-                                             va_blk[lo:hi],
-                                             min_rows=max(8, n_dev))
+            # count-sorted ELL banding (see sparse/csrmm.py, 6.4x on
+            # zipf blocks); results stage per block so the top-k merge
+            # stays a contiguous panel write
+            order = (np.argsort(counts, kind="stable") if sort_rows
+                     else np.arange(e - r))
+            s_stage = np.empty((e - r, k), np.float32)
+            l_stage = np.empty((e - r, k), np.int32)
+            for (s0, s1) in sdev.ell_row_ranges(counts[order], entry_cap):
+                rows_sel = order[s0:s1]
+                ja_ell, va_ell = sdev.to_ell_rows(
+                    blk_ia, ja_blk, va_blk, rows_sel,
+                    min_rows=max(8, n_dev))
                 vals, idx = step(b_panel, put_rows(ja_ell),
                                  put_rows(va_ell), mask_dev)
-                rows_n = s1 - s0
-                s_new = np.asarray(vals)[:rows_n]
-                l_new = (np.asarray(idx)[:rows_n] + b0).astype(np.int32)
-                _merge_topk(scores, labels, r + s0, s_new, l_new, k,
-                            first)
+                rows_n = len(rows_sel)
+                s_stage[rows_sel] = np.asarray(vals)[:rows_n]
+                l_stage[rows_sel] = (np.asarray(idx)[:rows_n]
+                                     + b0).astype(np.int32)
+            _merge_topk(scores, labels, r, s_stage, l_stage, k, first)
 
 
 def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,

@@ -64,7 +64,11 @@ class FlashConfig:
     #   "auto" measures the link once and places compute per problem
     sparse_device_impl: str = "auto"   # device ELL kernel: "xla" (take+
     #   reduce) | "pallas" (VMEM-resident gather, spmm_pallas.py) |
-    #   "auto" (measured v5e heuristic: pallas for shallow rmax)
+    #   "auto" (measured: XLA everywhere on v5e)
+    ell_sort_rows: bool = True         # count-sorted ELL banding in the
+    #   csrmm device path: range over rows sorted by nnz so each band's
+    #   rmax is tight to its rows, not the block max — cuts ELL padding
+    #   bytes/FLOPs on skewed (power-law) blocks
 
     # ---- lib funcs (reference: MAP_BLK_SIZE, REDUCE_BLK_SIZE, SORT) ----
     map_blk_elems: int = 1 << 24       # elements per map/reduce block

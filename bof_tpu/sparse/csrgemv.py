@@ -47,18 +47,22 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
     if not t:
         y = np.empty(m, dtype=vdt)
         x_dev = jnp.asarray(x)
+        sort_rows = getattr(cfg, "ell_sort_rows", True)
         for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks,
                                                       ctx):
-            i0 = int(ia_np[r])
-            counts = np.diff(ia_np[r:e + 1])
-            for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                sub_ia = ia_np[r + s0:r + s1 + 1]
-                lo, hi = int(sub_ia[0] - i0), int(sub_ia[-1] - i0)
-                ja_ell, va_ell = sdev.to_ell(sub_ia, ja_blk[lo:hi],
-                                             va_blk[lo:hi])
+            blk_ia = ia_np[r:e + 1] - int(ia_np[r])
+            counts = np.diff(blk_ia)
+            # count-sorted ELL banding (see sparse/csrmm.py): tight rmax
+            # per band on skewed rows — 6.4x measured on zipf blocks
+            order = (np.argsort(counts, kind="stable") if sort_rows
+                     else np.arange(e - r))
+            for (s0, s1) in sdev.ell_row_ranges(counts[order], entry_cap):
+                rows_sel = order[s0:s1]
+                ja_ell, va_ell = sdev.to_ell_rows(blk_ia, ja_blk, va_blk,
+                                                  rows_sel)
                 out = sdev.spmv_ell_block(x_dev, jnp.asarray(ja_ell),
                                           jnp.asarray(va_ell))
-                y[r + s0:r + s1] = np.asarray(out)[:s1 - s0]
+                y[r + rows_sel] = np.asarray(out)[:len(rows_sel)]
         return y
 
     # trans: y[k] += A_blk^T x_blk — a scatter over columns.  TPU

@@ -281,17 +281,27 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                              blk_ia.astype(np.int64)),
                             shape=(rows_b, k_sub))
                         # reference-style CPU block product (MKL's role)
-                        outs = [(0, rows_b, blk_sp @ b_panel_np)]
+                        outs = [(None, blk_sp @ b_panel_np)]
                     else:
                         counts = np.diff(blk_ia)
                         outs = []
                         impl = getattr(cfg, "sparse_device_impl", "auto")
-                        for (s0, s1) in sdev.ell_row_ranges(counts,
-                                                            entry_cap):
-                            sub_ia = blk_ia[s0:s1 + 1]
-                            lo, hi = int(sub_ia[0]), int(sub_ia[-1])
-                            ja_ell, va_ell = sdev.to_ell(
-                                sub_ia, blk_ja[lo:hi], blk_va[lo:hi])
+                        # count-sorted ELL banding: range over rows
+                        # SORTED by nnz so each band's rmax is tight to
+                        # its own rows, not the block max — on skewed
+                        # (power-law bag-of-words) blocks this cuts the
+                        # ELL padding that would otherwise cross the
+                        # link and burn VPU slots.  Output rows scatter
+                        # back through the same selection on the host.
+                        sort_rows = getattr(cfg, "ell_sort_rows", True)
+                        order = (np.argsort(counts, kind="stable")
+                                 if sort_rows
+                                 else np.arange(rows_b))
+                        for (s0, s1) in sdev.ell_row_ranges(
+                                counts[order], entry_cap):
+                            rows_sel = order[s0:s1]
+                            ja_ell, va_ell = sdev.to_ell_rows(
+                                blk_ia, blk_ja, blk_va, rows_sel)
                             if sync_mode:
                                 # truthful ELL upload: exclusive channel
                                 # + in-window sync (see ops/gemm.py)
@@ -313,7 +323,7 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                                 va_d = jnp.asarray(va_ell)
                             out = sdev.spmm_ell_block_dispatch(
                                 b_panel, ja_d, va_d, impl=impl)
-                            outs.append((s0, s1, out))
+                            outs.append((rows_sel, out))
                     pf.done(2 * bi)
                     pf.done(2 * bi + 1)
                     METRICS.add("csrmm.dispatch_s",
@@ -354,27 +364,34 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                         break
                     r, rows_b, outs = item
                     c_np = np.empty((rows_b, bc), vdt)
-                    if sync_mode:
-                        from ..ops import device as dev
-                        for s0, s1, out in outs:
-                            t0 = _time.perf_counter()
+                    for sel, out in outs:
+                        if isinstance(out, np.ndarray):
+                            # host block product: already in DRAM — the
+                            # sync/D2H telemetry path must NOT touch it
+                            # (a device sync would upload it!)
+                            c_np[:] = out[:, :bc]
+                            continue
+                        t0 = _time.perf_counter()
+                        if sync_mode:
+                            from ..ops import device as dev
                             dev.sync(out)  # compute + queued-xfer wait
                             with dev.XFER_LOCK:
                                 ta = _time.perf_counter()
                                 full = np.asarray(out)
                                 tb = _time.perf_counter()
-                            c_np[s0:s1] = full[:s1 - s0, :bc]
                             METRICS.add("csrmm.accum_wait_s", ta - t0)
                             METRICS.add("csrmm.d2h_s", tb - ta)
                             METRICS.observe(
                                 "csrmm.d2h_tile_gbps",
                                 full.nbytes / max(tb - ta, 1e-9) / 1e9)
-                    else:
-                        t0 = _time.perf_counter()
-                        for s0, s1, out in outs:
-                            c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
-                        METRICS.add("csrmm.d2h_s",
-                                    _time.perf_counter() - t0)
+                        else:
+                            full = np.asarray(out)
+                            METRICS.add("csrmm.d2h_s",
+                                        _time.perf_counter() - t0)
+                        if sel is None:
+                            c_np[:] = full[:rows_b, :bc]
+                        else:
+                            c_np[sel] = full[:len(sel), :bc]
                     c_np *= alpha
                     if beta != 0.0:
                         c_np += beta * c.read_block(r, rows_b, c0, bc)

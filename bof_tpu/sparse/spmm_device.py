@@ -99,6 +99,26 @@ def ell_dims(counts: np.ndarray, min_rows: int = 8):
     return rows_pad, rmax
 
 
+def _ell_fill(starts: np.ndarray, counts: np.ndarray,
+              ja_blk: np.ndarray, va_blk: np.ndarray,
+              min_rows: int, rmax: int, rows_pad: int):
+    rows = len(counts)
+    d_rows_pad, d_rmax = ell_dims(counts, min_rows)
+    rmax = rmax or d_rmax
+    rows_pad = rows_pad or d_rows_pad
+    if rows > rows_pad:
+        raise ValueError(f"rows {rows} exceed rows_pad {rows_pad}")
+    slots = np.arange(rmax, dtype=np.int64)[None, :]
+    idx = np.minimum(starts[:, None] + slots, max(len(ja_blk) - 1, 0))
+    mask = slots < counts[:, None]
+    ja_ell = np.zeros((rows_pad, rmax), np.int32)
+    va_ell = np.zeros((rows_pad, rmax), va_blk.dtype)
+    if len(ja_blk):
+        ja_ell[:rows] = np.where(mask, ja_blk[idx], 0).astype(np.int32)
+        va_ell[:rows] = np.where(mask, va_blk[idx], 0)
+    return ja_ell, va_ell
+
+
 def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
            min_rows: int = 8, rmax: int = 0, rows_pad: int = 0):
     """Convert a CSR row block to padded ELL (reference stores blocks CSR
@@ -112,23 +132,25 @@ def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
     builders pass the GLOBAL block's dimensions so every process's shard
     agrees (a local max would give shards incompatible shapes)."""
     counts = np.diff(ia_blk).astype(np.int64)
-    rows = len(counts)
-    d_rows_pad, d_rmax = ell_dims(counts, min_rows)
-    rmax = rmax or d_rmax
-    rows_pad = rows_pad or d_rows_pad
-    if rows > rows_pad:
-        raise ValueError(f"rows {rows} exceed rows_pad {rows_pad}")
     base = int(ia_blk[0])
-    starts = (ia_blk[:-1] - base)[:, None]
-    slots = np.arange(rmax, dtype=np.int64)[None, :]
-    idx = np.minimum(starts + slots, max(len(ja_blk) - 1, 0))
-    mask = slots < counts[:, None]
-    ja_ell = np.zeros((rows_pad, rmax), np.int32)
-    va_ell = np.zeros((rows_pad, rmax), va_blk.dtype)
-    if len(ja_blk):
-        ja_ell[:rows] = np.where(mask, ja_blk[idx], 0).astype(np.int32)
-        va_ell[:rows] = np.where(mask, va_blk[idx], 0)
-    return ja_ell, va_ell
+    starts = ia_blk[:-1] - base
+    return _ell_fill(starts, counts, ja_blk, va_blk, min_rows, rmax,
+                     rows_pad)
+
+
+def to_ell_rows(ia_blk: np.ndarray, ja_blk: np.ndarray,
+                va_blk: np.ndarray, rows_sel: np.ndarray,
+                min_rows: int = 8):
+    """ELL of an arbitrary row SELECTION of a block (rows_sel indexes
+    into the block's rows).  Used by count-sorted ELL banding: sorting
+    rows by nnz before ranging makes each band's rmax tight to its own
+    rows instead of the block max, cutting ELL padding bytes/FLOPs on
+    skewed distributions (bag-of-words matrices are power-law).  The
+    caller scatters the output rows back through the same selection."""
+    counts = np.diff(ia_blk).astype(np.int64)[rows_sel]
+    base = int(ia_blk[0])
+    starts = (ia_blk[:-1] - base)[rows_sel]
+    return _ell_fill(starts, counts, ja_blk, va_blk, min_rows, 0, 0)
 
 
 def ell_row_ranges(counts: np.ndarray, entry_cap: int):

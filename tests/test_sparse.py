@@ -275,3 +275,55 @@ def test_csrmm_telemetry_sync_mode(ctx, rng):
     finally:
         ctx.config.telemetry_sync = False
         ctx.config.sparse_compute = "auto"
+
+
+def test_csrmm_sorted_ell_banding(ctx, rng):
+    """Count-sorted ELL banding: skewed blocks (mega-rows + near-empty
+    rows) must produce identical results with and without sorting, and
+    sorting must build strictly fewer padded ELL entries."""
+    import scipy.sparse as sps
+    from bof_tpu import mem_array
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+    from bof_tpu.sparse import spmm_device as sdev
+    ctx.config.sparse_compute = "device"
+    ctx.config.max_nnzs = 1 << 14
+    try:
+        m, k, n = 400, 150, 48
+        a_sp = sps.random(m, k, density=0.03, format="csr",
+                          dtype=np.float32,
+                          random_state=np.random.RandomState(21)).tolil()
+        for r in (17, 150, 388):
+            a_sp[r, :] = rng.standard_normal(k)  # mega-rows
+        a_sp = a_sp.tocsr()
+        A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+        B = mem_array((k, n), np.float32,
+                      data=rng.standard_normal((k, n)).astype(np.float32),
+                      ctx=ctx)
+        want = a_sp @ B.read_all()
+        got = {}
+        for flag in (True, False):
+            ctx.config.ell_sort_rows = flag
+            C = mem_array((m, n), np.float32, ctx=ctx)
+            csrmm(A, B, C, ctx=ctx)
+            got[flag] = C.read_all()
+            np.testing.assert_allclose(got[flag], want, rtol=2e-4,
+                                       atol=1e-4)
+        np.testing.assert_array_equal(got[True], got[False])
+
+        # padding economics on the skewed counts: sorted banding builds
+        # fewer (rows_pad * rmax) entries than contiguous ranging
+        counts = np.diff(a_sp.indptr)
+
+        def entries(ordered):
+            total = 0
+            for s0, s1 in sdev.ell_row_ranges(ordered, 1 << 12):
+                rp, rm = sdev.ell_dims(ordered[s0:s1])
+                total += rp * rm
+            return total
+        sorted_entries = entries(np.sort(counts))
+        plain_entries = entries(counts)
+        assert sorted_entries < plain_entries, (sorted_entries,
+                                                plain_entries)
+    finally:
+        ctx.config.ell_sort_rows = True
+        ctx.config.sparse_compute = "auto"
