@@ -20,7 +20,6 @@ like sparse/csrmm.py's single-chip pipeline.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 
@@ -214,16 +213,24 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 else:
                     ja_blk = pf.get(2 * bi).view(idt)
                     va_blk = pf.get(2 * bi + 1).view(vdt)
-                    for (s0, s1) in sdev.ell_row_ranges(counts, entry_cap):
-                        sub_ia = blk_ia[s0:s1 + 1]
-                        lo, hi = int(sub_ia[0]), int(sub_ia[-1])
-                        ja_ell, va_ell = sdev.to_ell(
-                            sub_ia, ja_blk[lo:hi], va_blk[lo:hi],
+                    # count-sorted ELL banding (sparse/csrmm.py, 6.4x on
+                    # zipf blocks).  Single-process only: the multi-host
+                    # branch above reads contiguous per-shard nnz ranges,
+                    # which sorted (scattered) rows would fragment.
+                    sort_rows = getattr(cfg, "ell_sort_rows", True)
+                    order = (np.argsort(counts, kind="stable")
+                             if sort_rows else np.arange(rows_b))
+                    for (s0, s1) in sdev.ell_row_ranges(counts[order],
+                                                        entry_cap):
+                        rows_sel = order[s0:s1]
+                        ja_ell, va_ell = sdev.to_ell_rows(
+                            blk_ia, ja_blk, va_blk, rows_sel,
                             min_rows=min_rows)
                         out = step(b_dev,
                                    device_put_sharded(ja_ell, sh_rows),
                                    device_put_sharded(va_ell, sh_rows))
-                        c_np[s0:s1] = np.asarray(out)[:s1 - s0, :bc]
+                        c_np[rows_sel] = np.asarray(out)[:len(rows_sel),
+                                                         :bc]
                     pf.done(2 * bi)
                     pf.done(2 * bi + 1)
                 if multihost:

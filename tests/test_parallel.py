@@ -416,6 +416,9 @@ def test_csrmm_sharded_sharded_reads_match(ctx, rng):
 
     ctx.config.max_nnzs = 4096
     ctx.config.hbm_budget = 1 << 10  # tiny entry cap -> many subranges
+    # byte-identity witnesses the READ paths: banding changes padded
+    # reduction widths (low-bit fp drift), so pin it off for both runs
+    ctx.config.ell_sort_rows = False
     m, k, n = 600, 150, 40
     a_sp = sps.random(m, k, density=0.04, format="csr", dtype=np.float32,
                       random_state=np.random.RandomState(9)).tolil()

@@ -308,7 +308,10 @@ def test_csrmm_sorted_ell_banding(ctx, rng):
             got[flag] = C.read_all()
             np.testing.assert_allclose(got[flag], want, rtol=2e-4,
                                        atol=1e-4)
-        np.testing.assert_array_equal(got[True], got[False])
+        # sorted vs unsorted pick different padded reduction widths ->
+        # low-bit fp drift is legitimate; values must agree to rounding
+        np.testing.assert_allclose(got[True], got[False], rtol=1e-6,
+                                   atol=1e-6)
 
         # padding economics on the skewed counts: sorted banding builds
         # fewer (rows_pad * rmax) entries than contiguous ranging
