@@ -116,21 +116,27 @@ def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
     entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (b * 4)))
     impl = getattr(cfg, "sparse_device_impl", "auto")
     U = np.zeros((k, b), np.float64)
+    sort_rows = getattr(cfg, "ell_sort_rows", True)
     for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
         blk_ia = ia_np[r:e + 1] - int(ia_np[r])
         counts = np.diff(blk_ia)
-        for s0, s1 in sdev.ell_row_ranges(counts, entry_cap):
-            lo, hi = int(blk_ia[s0]), int(blk_ia[s1])
-            ja_s = ja_blk[lo:hi]
-            va_s = va_blk[lo:hi]
-            ja_e, va_e = sdev.to_ell(blk_ia[s0:s1 + 1], ja_s, va_s)
+        # count-sorted ELL banding on BOTH axes (documents and word
+        # frequencies are each power-law in bag-of-words data): forward
+        # rows band by nnz; the transposed build selects the same rows
+        # so its indices line up with W_sub's (sorted) row order
+        order = (np.argsort(counts, kind="stable") if sort_rows
+                 else np.arange(e - r))
+        blk_sp = sps.csr_matrix(
+            (va_blk, ja_blk.astype(np.int64), blk_ia.astype(np.int64)),
+            shape=(e - r, k))
+        for s0, s1 in sdev.ell_row_ranges(counts[order], entry_cap):
+            rows_sel = order[s0:s1]
+            ja_e, va_e = sdev.to_ell_rows(blk_ia, ja_blk, va_blk,
+                                          rows_sel)
             w_sub = sdev.spmm_ell_block_dispatch(v_dev, ja_e, va_e, impl)
-            # transpose the sub-block in DRAM; its CSC column slices are
-            # the transposed product's "rows", gathering W_sub rows
-            sub = sps.csr_matrix(
-                (va_s, ja_s.astype(np.int64),
-                 (blk_ia[s0:s1 + 1] - blk_ia[s0]).astype(np.int64)),
-                shape=(s1 - s0, k)).tocsc()
+            # transpose the selected rows in DRAM; the CSC's row indices
+            # are positions within rows_sel — exactly W_sub's row order
+            sub = blk_sp[rows_sel].tocsc()
             ccounts = np.diff(sub.indptr)
             # count-sorted ELL banding over COLUMNS (word frequencies
             # are the power-law axis of bag-of-words matrices): each
