@@ -117,6 +117,8 @@ def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
     impl = getattr(cfg, "sparse_device_impl", "auto")
     U = np.zeros((k, b), np.float64)
     sort_rows = getattr(cfg, "ell_sort_rows", True)
+    narrow = getattr(cfg, "ell_idx_narrow", True)
+    fwd_idt = sdev.ell_idx_dtype(k, narrow)  # forward panel height = k
     for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
         blk_ia = ia_np[r:e + 1] - int(ia_np[r])
         counts = np.diff(blk_ia)
@@ -132,7 +134,7 @@ def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
         for s0, s1 in sdev.ell_row_ranges(counts[order], entry_cap):
             rows_sel = order[s0:s1]
             ja_e, va_e = sdev.to_ell_rows(blk_ia, ja_blk, va_blk,
-                                          rows_sel)
+                                          rows_sel, idx_dtype=fwd_idt)
             w_sub = sdev.spmm_ell_block_dispatch(v_dev, ja_e, va_e, impl)
             # transpose the selected rows in DRAM; the CSC's row indices
             # are positions within rows_sel — exactly W_sub's row order
@@ -143,11 +145,13 @@ def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
             # band's rmax is tight to its own columns — see
             # sparse/csrmm.py, 6.4x measured on zipf blocks
             csort = np.argsort(ccounts, kind="stable")
+            # transposed panel = W_sub; its row indices < len(rows_sel)
+            t_idt = sdev.ell_idx_dtype(len(rows_sel), narrow)
             for c0, c1 in sdev.ell_row_ranges(ccounts[csort], entry_cap):
                 cols_sel = csort[c0:c1]
                 cja, cva = sdev.to_ell_rows(
                     sub.indptr.astype(np.int64), sub.indices, sub.data,
-                    cols_sel)
+                    cols_sel, idx_dtype=t_idt)
                 u_part = sdev.spmm_ell_block_dispatch(w_sub, cja, cva,
                                                       impl)
                 U[cols_sel] += np.asarray(u_part)[:len(cols_sel)]

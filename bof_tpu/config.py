@@ -69,6 +69,12 @@ class FlashConfig:
     #   csrmm device path: range over rows sorted by nnz so each band's
     #   rmax is tight to its rows, not the block max — cuts ELL padding
     #   bytes/FLOPs on skewed (power-law) blocks
+    ell_idx_narrow: bool = True        # ship ELL column indices as uint16
+    #   whenever the B panel height fits 16 bits (<= 65536 rows; always
+    #   true for bucketed column blocks): the ja half of every ELL upload
+    #   is pure link bytes and device kernels widen to int32 in HBM, so
+    #   this halves index bytes (25% of the ELL total) at zero accuracy
+    #   cost — indices are exact either way
 
     # ---- lib funcs (reference: MAP_BLK_SIZE, REDUCE_BLK_SIZE, SORT) ----
     map_blk_elems: int = 1 << 24       # elements per map/reduce block

@@ -41,7 +41,9 @@ def sharded_spmm_step(mesh):
         in_specs=(P(), P(axes, None), P(axes, None)),
         out_specs=P(axes, None))
     def step(b_panel, ja_ell, va_ell):
-        g = jnp.take(b_panel, ja_ell.reshape(-1), axis=0)
+        # indices may arrive uint16 (narrow link transfer) — widen in HBM
+        g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1),
+                     axis=0)
         g = g.reshape(ja_ell.shape + (b_panel.shape[1],))
         return jnp.sum(va_ell[:, :, None] * g, axis=1)
 
@@ -79,6 +81,9 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (cb * 4)))
     cache = ctx.pin_cache()
     idt, vdt = a.ja.dtype, a.vals.dtype
+    # narrow link dtype for ELL indices — deterministic in the GLOBAL
+    # panel height k, so every process builds dtype-identical shards
+    ell_idt = sdev.ell_idx_dtype(k, getattr(cfg, "ell_idx_narrow", True))
     step = sharded_spmm_step(mesh)
     sh_rows = NamedSharding(mesh, P(axes, None))
     sh_rep = NamedSharding(mesh, P())
@@ -168,9 +173,10 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                                     va_s = np.zeros(0, vdt)
                                 ja_e, va_e = sdev.to_ell(
                                     sub_ia, ja_s, va_s,
-                                    rmax=rmax, rows_pad=p1 - p0)
+                                    rmax=rmax, rows_pad=p1 - p0,
+                                    idx_dtype=ell_idt)
                             else:  # shard entirely in row padding
-                                ja_e = np.zeros((p1 - p0, rmax), np.int32)
+                                ja_e = np.zeros((p1 - p0, rmax), ell_idt)
                                 va_e = np.zeros((p1 - p0, rmax), vdt)
                             ja_arrs.append(jax.device_put(ja_e, d))
                             va_arrs.append(jax.device_put(va_e, d))
@@ -225,7 +231,7 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         rows_sel = order[s0:s1]
                         ja_ell, va_ell = sdev.to_ell_rows(
                             blk_ia, ja_blk, va_blk, rows_sel,
-                            min_rows=min_rows)
+                            min_rows=min_rows, idx_dtype=ell_idt)
                         out = step(b_dev,
                                    device_put_sharded(ja_ell, sh_rows),
                                    device_put_sharded(va_ell, sh_rows))

@@ -297,11 +297,14 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                         order = (np.argsort(counts, kind="stable")
                                  if sort_rows
                                  else np.arange(rows_b))
+                        ell_idt = sdev.ell_idx_dtype(
+                            k_sub, getattr(cfg, "ell_idx_narrow", True))
                         for (s0, s1) in sdev.ell_row_ranges(
                                 counts[order], entry_cap):
                             rows_sel = order[s0:s1]
                             ja_ell, va_ell = sdev.to_ell_rows(
-                                blk_ia, blk_ja, blk_va, rows_sel)
+                                blk_ia, blk_ja, blk_va, rows_sel,
+                                idx_dtype=ell_idt)
                             if sync_mode:
                                 # truthful ELL upload: exclusive channel
                                 # + in-window sync (see ops/gemm.py)

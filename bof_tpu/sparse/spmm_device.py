@@ -31,8 +31,9 @@ def spmm_ell_block(b_panel, ja_ell, va_ell):
     padding fallback" — ELL is the primary path, it benches ~2 orders
     faster than scatter at millions of nnz).
     ja_ell/va_ell: (rows_cap, rmax); padding entries have va == 0.
+    ja_ell may arrive uint16 (narrow link transfer) — widened on device.
     """
-    g = jnp.take(b_panel, ja_ell.reshape(-1), axis=0)
+    g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1), axis=0)
     g = g.reshape(ja_ell.shape + (b_panel.shape[1],))   # (rows, rmax, cb)
     # explicit multiply + reduce (VPU): an einsum here would lower to a
     # rows-batched matmul, which compiles/executes poorly at 10k+ batches
@@ -63,7 +64,8 @@ def spmm_ell_block_dispatch(b_panel, ja_ell, va_ell, impl: str = "auto"):
 @jax.jit
 def spmv_ell_block(x, ja_ell, va_ell):
     """y_blk[row] = sum_r va_ell[row, r] * x[ja_ell[row, r]] (csrgemv 'N')."""
-    g = jnp.take(x, ja_ell.reshape(-1)).reshape(ja_ell.shape)
+    g = jnp.take(x, ja_ell.astype(jnp.int32).reshape(-1)
+                 ).reshape(ja_ell.shape)
     return jnp.sum(va_ell * g, axis=1)
 
 
@@ -99,9 +101,22 @@ def ell_dims(counts: np.ndarray, min_rows: int = 8):
     return rows_pad, rmax
 
 
+def ell_idx_dtype(k_panel: int, narrow: bool = True):
+    """Link dtype for ELL column indices.  The ja half of every ELL
+    upload is pure transfer bytes (device kernels widen to int32 in
+    HBM), so when every block-local index fits 16 bits — panel height
+    <= 65536, which covers every bucketed column block and most K-split
+    ranges — uint16 halves the index bytes (25% of the ELL total) on a
+    link-bound path.  Deterministic in (k_panel, narrow): multi-host
+    shard builders all see the global panel height, so every process
+    picks the same dtype."""
+    return np.uint16 if narrow and 0 < k_panel <= 65536 else np.int32
+
+
 def _ell_fill(starts: np.ndarray, counts: np.ndarray,
               ja_blk: np.ndarray, va_blk: np.ndarray,
-              min_rows: int, rmax: int, rows_pad: int):
+              min_rows: int, rmax: int, rows_pad: int,
+              idx_dtype=np.int32):
     rows = len(counts)
     d_rows_pad, d_rmax = ell_dims(counts, min_rows)
     rmax = rmax or d_rmax
@@ -111,16 +126,17 @@ def _ell_fill(starts: np.ndarray, counts: np.ndarray,
     slots = np.arange(rmax, dtype=np.int64)[None, :]
     idx = np.minimum(starts[:, None] + slots, max(len(ja_blk) - 1, 0))
     mask = slots < counts[:, None]
-    ja_ell = np.zeros((rows_pad, rmax), np.int32)
+    ja_ell = np.zeros((rows_pad, rmax), idx_dtype)
     va_ell = np.zeros((rows_pad, rmax), va_blk.dtype)
     if len(ja_blk):
-        ja_ell[:rows] = np.where(mask, ja_blk[idx], 0).astype(np.int32)
+        ja_ell[:rows] = np.where(mask, ja_blk[idx], 0).astype(idx_dtype)
         va_ell[:rows] = np.where(mask, va_blk[idx], 0)
     return ja_ell, va_ell
 
 
 def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
-           min_rows: int = 8, rmax: int = 0, rows_pad: int = 0):
+           min_rows: int = 8, rmax: int = 0, rows_pad: int = 0,
+           idx_dtype=np.int32):
     """Convert a CSR row block to padded ELL (reference stores blocks CSR
     and calls MKL per block, csrmm_task.h; the ELL layout is the
     TPU-friendly equivalent).  Returns (ja_ell, va_ell) of shape
@@ -135,12 +151,12 @@ def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
     base = int(ia_blk[0])
     starts = ia_blk[:-1] - base
     return _ell_fill(starts, counts, ja_blk, va_blk, min_rows, rmax,
-                     rows_pad)
+                     rows_pad, idx_dtype)
 
 
 def to_ell_rows(ia_blk: np.ndarray, ja_blk: np.ndarray,
                 va_blk: np.ndarray, rows_sel: np.ndarray,
-                min_rows: int = 8):
+                min_rows: int = 8, idx_dtype=np.int32):
     """ELL of an arbitrary row SELECTION of a block (rows_sel indexes
     into the block's rows).  Used by count-sorted ELL banding: sorting
     rows by nnz before ranging makes each band's rmax tight to its own
@@ -150,7 +166,8 @@ def to_ell_rows(ia_blk: np.ndarray, ja_blk: np.ndarray,
     counts = np.diff(ia_blk).astype(np.int64)[rows_sel]
     base = int(ia_blk[0])
     starts = (ia_blk[:-1] - base)[rows_sel]
-    return _ell_fill(starts, counts, ja_blk, va_blk, min_rows, 0, 0)
+    return _ell_fill(starts, counts, ja_blk, va_blk, min_rows, 0, 0,
+                     idx_dtype)
 
 
 def ell_row_ranges(counts: np.ndarray, entry_cap: int):

@@ -330,3 +330,65 @@ def test_csrmm_sorted_ell_banding(ctx, rng):
     finally:
         ctx.config.ell_sort_rows = True
         ctx.config.sparse_compute = "auto"
+
+def test_ell_idx_narrow(ctx, rng):
+    """uint16 ELL index transfer: the ja half of an ELL upload is pure
+    link bytes (device kernels widen to int32 in HBM), so panels whose
+    height fits 16 bits ship half the index bytes with bit-identical
+    results."""
+    import scipy.sparse as sps
+    from bof_tpu import mem_array
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+    from bof_tpu.sparse import spmm_device as sdev
+
+    # dtype selection is deterministic in (panel height, flag)
+    assert sdev.ell_idx_dtype(65536) == np.uint16
+    assert sdev.ell_idx_dtype(65537) == np.int32
+    assert sdev.ell_idx_dtype(1024, narrow=False) == np.int32
+    assert sdev.ell_idx_dtype(0) == np.int32
+
+    # unit: uint16 ELL gathers bit-identically to int32 ELL
+    k, n = 300, 32
+    ia = np.array([0, 3, 3, 7, 12], np.int64)
+    ja = rng.integers(0, k, 12).astype(np.int64)
+    va = rng.standard_normal(12).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    ja16, va16 = sdev.to_ell(ia, ja, va, idx_dtype=np.uint16)
+    ja32, va32 = sdev.to_ell(ia, ja, va, idx_dtype=np.int32)
+    assert ja16.dtype == np.uint16 and ja32.dtype == np.int32
+    np.testing.assert_array_equal(ja16.astype(np.int32), ja32)
+    out16 = np.asarray(sdev.spmm_ell_block(b, ja16, va16))
+    out32 = np.asarray(sdev.spmm_ell_block(b, ja32, va32))
+    np.testing.assert_array_equal(out16, out32)
+
+    # boundary: index 65535 must round-trip through uint16
+    ia2 = np.array([0, 1], np.int64)
+    ja2 = np.array([65535], np.int64)
+    va2 = np.array([1.0], np.float32)
+    j16, _ = sdev.to_ell(ia2, ja2, va2, idx_dtype=np.uint16)
+    assert int(j16[0, 0]) == 65535
+
+    # end-to-end: csrmm identical with the flag on and off
+    ctx.config.sparse_compute = "device"
+    ctx.config.max_nnzs = 1 << 14
+    try:
+        m, kk, nn = 257, 300, 40
+        a_sp = sps.random(m, kk, density=0.05, format="csr",
+                          dtype=np.float32,
+                          random_state=np.random.RandomState(7))
+        A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+        B = mem_array((kk, nn), np.float32,
+                      data=rng.standard_normal((kk, nn)).astype(np.float32),
+                      ctx=ctx)
+        got = {}
+        for flag in (True, False):
+            ctx.config.ell_idx_narrow = flag
+            C = mem_array((m, nn), np.float32, ctx=ctx)
+            csrmm(A, B, C, ctx=ctx)
+            got[flag] = C.read_all()
+        np.testing.assert_array_equal(got[True], got[False])
+        np.testing.assert_allclose(got[True], a_sp @ B.read_all(),
+                                   rtol=2e-4, atol=1e-4)
+    finally:
+        ctx.config.ell_idx_narrow = True
+        ctx.config.sparse_compute = "auto"
