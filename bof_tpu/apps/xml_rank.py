@@ -86,7 +86,8 @@ def _topk_step_sharded(mesh, k: int):
         g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1),
                      axis=0)
         g = g.reshape(ja_ell.shape + (b_panel.shape[1],))
-        s = jnp.sum(va_ell[:, :, None] * g, axis=1) + label_mask[None, :]
+        s = (jnp.sum(va_ell.astype(b_panel.dtype)[:, :, None] * g, axis=1)
+             + label_mask[None, :])
         vals, idx = jax.lax.top_k(s, k)
         return vals, idx  # explicit tuple: top_k yields a list, which
         # would mismatch the tuple out_specs pytree
@@ -208,6 +209,7 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
         sort_rows = getattr(cfg, "ell_sort_rows", True)
         ell_idt = sdev.ell_idx_dtype(vocab,
                                      getattr(cfg, "ell_idx_narrow", True))
+        ell_vdt = sdev.ell_val_dtype(a.vals.dtype, cfg)
         for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks,
                                                       ctx):
             blk_ia = ia_np[r:e + 1] - int(ia_np[r])
@@ -223,7 +225,8 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
                 rows_sel = order[s0:s1]
                 ja_ell, va_ell = sdev.to_ell_rows(
                     blk_ia, ja_blk, va_blk, rows_sel,
-                    min_rows=max(8, n_dev), idx_dtype=ell_idt)
+                    min_rows=max(8, n_dev), idx_dtype=ell_idt,
+                    val_dtype=ell_vdt)
                 vals, idx = step(b_panel, put_rows(ja_ell),
                                  put_rows(va_ell), mask_dev)
                 rows_n = len(rows_sel)

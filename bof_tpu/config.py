@@ -45,7 +45,14 @@ class FlashConfig:
     #   accept ~1e-3 relative input rounding.  "int8" QUARTERS them:
     #   per-tile max-abs quantization on the host, exact int8 MXU
     #   products with one f32 rescale per tile (~0.4%-of-tile-max input
-    #   rounding)
+    #   rounding).  Sparse kernels honor "bfloat16" too: the streamed va
+    #   half of every ELL upload ships bf16 and is promoted back to the
+    #   panel dtype in HBM before the reduce (B panels are amortized per
+    #   column panel, so they stay f32 and set the accumulate precision);
+    #   fp64 values and the Lanczos one-pass operator (fp64 host
+    #   accumulator) keep full precision, and "int8" means f32 for
+    #   sparse — max-abs tile quantization doesn't compose with a
+    #   gather-reduce.
 
     # ---- dense kernels (reference: GEMM_BLK_SIZE=8192) ----
     gemm_blk_size: int = 8192          # superblock edge for out-of-core gemm

@@ -45,7 +45,10 @@ def sharded_spmm_step(mesh):
         g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1),
                      axis=0)
         g = g.reshape(ja_ell.shape + (b_panel.shape[1],))
-        return jnp.sum(va_ell[:, :, None] * g, axis=1)
+        # values may arrive bf16 — promote so the reduce runs at panel
+        # precision
+        return jnp.sum(va_ell.astype(b_panel.dtype)[:, :, None] * g,
+                       axis=1)
 
     return jax.jit(step)
 
@@ -81,9 +84,11 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (cb * 4)))
     cache = ctx.pin_cache()
     idt, vdt = a.ja.dtype, a.vals.dtype
-    # narrow link dtype for ELL indices — deterministic in the GLOBAL
-    # panel height k, so every process builds dtype-identical shards
+    # narrow link dtypes for the ELL upload — both deterministic in
+    # (GLOBAL panel height, config), so every process builds
+    # dtype-identical shards
     ell_idt = sdev.ell_idx_dtype(k, getattr(cfg, "ell_idx_narrow", True))
+    ell_vdt = sdev.ell_val_dtype(vdt, cfg)
     step = sharded_spmm_step(mesh)
     sh_rows = NamedSharding(mesh, P(axes, None))
     sh_rep = NamedSharding(mesh, P())
@@ -174,10 +179,10 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                                 ja_e, va_e = sdev.to_ell(
                                     sub_ia, ja_s, va_s,
                                     rmax=rmax, rows_pad=p1 - p0,
-                                    idx_dtype=ell_idt)
+                                    idx_dtype=ell_idt, val_dtype=ell_vdt)
                             else:  # shard entirely in row padding
                                 ja_e = np.zeros((p1 - p0, rmax), ell_idt)
-                                va_e = np.zeros((p1 - p0, rmax), vdt)
+                                va_e = np.zeros((p1 - p0, rmax), ell_vdt)
                             ja_arrs.append(jax.device_put(ja_e, d))
                             va_arrs.append(jax.device_put(va_e, d))
                         ja_g = jax.make_array_from_single_device_arrays(
@@ -231,7 +236,8 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         rows_sel = order[s0:s1]
                         ja_ell, va_ell = sdev.to_ell_rows(
                             blk_ia, ja_blk, va_blk, rows_sel,
-                            min_rows=min_rows, idx_dtype=ell_idt)
+                            min_rows=min_rows, idx_dtype=ell_idt,
+                            val_dtype=ell_vdt)
                         out = step(b_dev,
                                    device_put_sharded(ja_ell, sh_rows),
                                    device_put_sharded(va_ell, sh_rows))

@@ -50,6 +50,7 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
         sort_rows = getattr(cfg, "ell_sort_rows", True)
         ell_idt = sdev.ell_idx_dtype(k,
                                      getattr(cfg, "ell_idx_narrow", True))
+        ell_vdt = sdev.ell_val_dtype(vdt, cfg)
         for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks,
                                                       ctx):
             blk_ia = ia_np[r:e + 1] - int(ia_np[r])
@@ -62,7 +63,8 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
                 rows_sel = order[s0:s1]
                 ja_ell, va_ell = sdev.to_ell_rows(blk_ia, ja_blk, va_blk,
                                                   rows_sel,
-                                                  idx_dtype=ell_idt)
+                                                  idx_dtype=ell_idt,
+                                                  val_dtype=ell_vdt)
                 out = sdev.spmv_ell_block(x_dev, jnp.asarray(ja_ell),
                                           jnp.asarray(va_ell))
                 y[r + rows_sel] = np.asarray(out)[:len(rows_sel)]

@@ -299,12 +299,13 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                                  else np.arange(rows_b))
                         ell_idt = sdev.ell_idx_dtype(
                             k_sub, getattr(cfg, "ell_idx_narrow", True))
+                        ell_vdt = sdev.ell_val_dtype(vdt, cfg)
                         for (s0, s1) in sdev.ell_row_ranges(
                                 counts[order], entry_cap):
                             rows_sel = order[s0:s1]
                             ja_ell, va_ell = sdev.to_ell_rows(
                                 blk_ia, blk_ja, blk_va, rows_sel,
-                                idx_dtype=ell_idt)
+                                idx_dtype=ell_idt, val_dtype=ell_vdt)
                             if sync_mode:
                                 # truthful ELL upload: exclusive channel
                                 # + in-window sync (see ops/gemm.py)

@@ -32,9 +32,13 @@ def spmm_ell_block(b_panel, ja_ell, va_ell):
     faster than scatter at millions of nnz).
     ja_ell/va_ell: (rows_cap, rmax); padding entries have va == 0.
     ja_ell may arrive uint16 (narrow link transfer) — widened on device.
+    va_ell may arrive bfloat16 (transfer_dtype='bfloat16') — promoted to
+    the panel dtype in HBM so the reduction always accumulates at full
+    panel precision.
     """
     g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1), axis=0)
     g = g.reshape(ja_ell.shape + (b_panel.shape[1],))   # (rows, rmax, cb)
+    va_ell = va_ell.astype(b_panel.dtype)
     # explicit multiply + reduce (VPU): an einsum here would lower to a
     # rows-batched matmul, which compiles/executes poorly at 10k+ batches
     return jnp.sum(va_ell[:, :, None] * g, axis=1)
@@ -66,7 +70,7 @@ def spmv_ell_block(x, ja_ell, va_ell):
     """y_blk[row] = sum_r va_ell[row, r] * x[ja_ell[row, r]] (csrgemv 'N')."""
     g = jnp.take(x, ja_ell.astype(jnp.int32).reshape(-1)
                  ).reshape(ja_ell.shape)
-    return jnp.sum(va_ell * g, axis=1)
+    return jnp.sum(va_ell.astype(x.dtype) * g, axis=1)
 
 
 def pad_to_cap(arr: np.ndarray, cap: int, fill=0):
@@ -113,10 +117,26 @@ def ell_idx_dtype(k_panel: int, narrow: bool = True):
     return np.uint16 if narrow and 0 < k_panel <= 65536 else np.int32
 
 
+def ell_val_dtype(storage_dtype, cfg):
+    """Link dtype for ELL values.  With transfer_dtype='bfloat16' (the
+    same opt-in that halves gemm's A/B tiles, config.py) fp32 values are
+    rounded to bf16 on the host and promoted back to the panel dtype in
+    HBM — halving the va half of every ELL upload for deployments that
+    accept ~4e-3 relative input rounding.  fp64 storage opts out (the
+    CPU x64 path is chosen FOR precision), and 'int8' is treated as
+    float32 here: per-tile max-abs quantization doesn't compose with a
+    gather-reduce whose B rows are reused across many scales."""
+    if (getattr(cfg, "transfer_dtype", "float32") == "bfloat16"
+            and np.dtype(storage_dtype) == np.float32):
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(storage_dtype)
+
+
 def _ell_fill(starts: np.ndarray, counts: np.ndarray,
               ja_blk: np.ndarray, va_blk: np.ndarray,
               min_rows: int, rmax: int, rows_pad: int,
-              idx_dtype=np.int32):
+              idx_dtype=np.int32, val_dtype=None):
     rows = len(counts)
     d_rows_pad, d_rmax = ell_dims(counts, min_rows)
     rmax = rmax or d_rmax
@@ -127,7 +147,7 @@ def _ell_fill(starts: np.ndarray, counts: np.ndarray,
     idx = np.minimum(starts[:, None] + slots, max(len(ja_blk) - 1, 0))
     mask = slots < counts[:, None]
     ja_ell = np.zeros((rows_pad, rmax), idx_dtype)
-    va_ell = np.zeros((rows_pad, rmax), va_blk.dtype)
+    va_ell = np.zeros((rows_pad, rmax), val_dtype or va_blk.dtype)
     if len(ja_blk):
         ja_ell[:rows] = np.where(mask, ja_blk[idx], 0).astype(idx_dtype)
         va_ell[:rows] = np.where(mask, va_blk[idx], 0)
@@ -136,7 +156,7 @@ def _ell_fill(starts: np.ndarray, counts: np.ndarray,
 
 def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
            min_rows: int = 8, rmax: int = 0, rows_pad: int = 0,
-           idx_dtype=np.int32):
+           idx_dtype=np.int32, val_dtype=None):
     """Convert a CSR row block to padded ELL (reference stores blocks CSR
     and calls MKL per block, csrmm_task.h; the ELL layout is the
     TPU-friendly equivalent).  Returns (ja_ell, va_ell) of shape
@@ -151,12 +171,12 @@ def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
     base = int(ia_blk[0])
     starts = ia_blk[:-1] - base
     return _ell_fill(starts, counts, ja_blk, va_blk, min_rows, rmax,
-                     rows_pad, idx_dtype)
+                     rows_pad, idx_dtype, val_dtype)
 
 
 def to_ell_rows(ia_blk: np.ndarray, ja_blk: np.ndarray,
                 va_blk: np.ndarray, rows_sel: np.ndarray,
-                min_rows: int = 8, idx_dtype=np.int32):
+                min_rows: int = 8, idx_dtype=np.int32, val_dtype=None):
     """ELL of an arbitrary row SELECTION of a block (rows_sel indexes
     into the block's rows).  Used by count-sorted ELL banding: sorting
     rows by nnz before ranging makes each band's rmax tight to its own
@@ -167,7 +187,7 @@ def to_ell_rows(ia_blk: np.ndarray, ja_blk: np.ndarray,
     base = int(ia_blk[0])
     starts = (ia_blk[:-1] - base)[rows_sel]
     return _ell_fill(starts, counts, ja_blk, va_blk, min_rows, 0, 0,
-                     idx_dtype)
+                     idx_dtype, val_dtype)
 
 
 def ell_row_ranges(counts: np.ndarray, entry_cap: int):

@@ -97,7 +97,7 @@ def spmm_ell_pallas(b_panel, ja_ell, va_ell, *, rt: int = 8,
             bytes_accessed=(k * cb + rows * rmax * 2 + rows * cb) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(b_panel, ja_ell.astype(jnp.int32), va_ell)
+    )(b_panel, ja_ell.astype(jnp.int32), va_ell.astype(b_panel.dtype))
 
 
 def pallas_feasible(k: int, cb: int, rmax: int, rows: int) -> bool:

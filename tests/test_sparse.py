@@ -392,3 +392,67 @@ def test_ell_idx_narrow(ctx, rng):
     finally:
         ctx.config.ell_idx_narrow = True
         ctx.config.sparse_compute = "auto"
+
+def test_sparse_bf16_value_transfer(ctx, rng):
+    """transfer_dtype='bfloat16' ships the va half of ELL uploads as
+    bf16 (promoted to panel dtype in HBM before the reduce); results
+    track f32 within bf16 input-rounding tolerance."""
+    import scipy.sparse as sps
+    from bof_tpu import mem_array
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm, csrgemv
+    from bof_tpu.sparse import spmm_device as sdev
+
+    class _C:  # minimal cfg stand-ins
+        transfer_dtype = "bfloat16"
+
+    class _C32:
+        transfer_dtype = "float32"
+
+    class _CQ:
+        transfer_dtype = "int8"
+
+    import ml_dtypes
+    assert sdev.ell_val_dtype(np.float32, _C) == np.dtype(ml_dtypes.bfloat16)
+    assert sdev.ell_val_dtype(np.float32, _C32) == np.float32
+    assert sdev.ell_val_dtype(np.float64, _C) == np.float64  # opt-out
+    assert sdev.ell_val_dtype(np.float32, _CQ) == np.float32  # int8 -> f32
+
+    # unit: to_ell with bf16 val_dtype produces a 2-byte array and the
+    # device reduce matches the f32 path to input-rounding error
+    k, n = 256, 32
+    ia = np.array([0, 4, 9, 9, 16], np.int64)
+    ja = rng.integers(0, k, 16).astype(np.int64)
+    va = rng.standard_normal(16).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    jb, vb = sdev.to_ell(ia, ja, va, val_dtype=np.dtype(ml_dtypes.bfloat16))
+    assert vb.dtype == ml_dtypes.bfloat16 and vb.itemsize == 2
+    out_b = np.asarray(sdev.spmm_ell_block(b, jb, vb))
+    j32, v32 = sdev.to_ell(ia, ja, va)
+    out_32 = np.asarray(sdev.spmm_ell_block(b, j32, v32))
+    assert out_b.dtype == out_32.dtype == np.float32
+    np.testing.assert_allclose(out_b, out_32, rtol=2e-2, atol=2e-2)
+
+    # end-to-end csrmm + csrgemv under the opt-in flag
+    ctx.config.sparse_compute = "device"
+    ctx.config.max_nnzs = 1 << 14
+    ctx.config.transfer_dtype = "bfloat16"
+    try:
+        m, kk, nn = 300, 200, 24
+        a_sp = sps.random(m, kk, density=0.05, format="csr",
+                          dtype=np.float32,
+                          random_state=np.random.RandomState(9))
+        A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+        b_np = rng.standard_normal((kk, nn)).astype(np.float32)
+        B = mem_array((kk, nn), np.float32, data=b_np, ctx=ctx)
+        C = mem_array((m, nn), np.float32, ctx=ctx)
+        csrmm(A, B, C, ctx=ctx)
+        want = a_sp @ b_np
+        scale = max(float(np.abs(want).max()), 1.0)
+        assert float(np.abs(C.read_all() - want).max()) / scale < 2e-2
+        x = rng.standard_normal(kk).astype(np.float32)
+        y = csrgemv(A, x, ctx=ctx)
+        yscale = max(float(np.abs(a_sp @ x).max()), 1.0)
+        assert float(np.abs(y - a_sp @ x).max()) / yscale < 2e-2
+    finally:
+        ctx.config.transfer_dtype = "float32"
+        ctx.config.sparse_compute = "auto"
