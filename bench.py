@@ -19,7 +19,9 @@ the run saturates, and the link probe is sampled before AND after the run
 
 Env overrides: BOF_BENCH_N, BOF_BENCH_BLK, BOF_BENCH_BUDGET_S,
 BOF_BENCH_PREC (highest|default), BOF_BENCH_SKIP_VERIFY=1, BOF_BENCH_DEPTH,
-BOF_BENCH_CACHE, BOF_BENCH_CSRMM=0 (skip sparse).
+BOF_BENCH_CACHE, BOF_BENCH_CSRMM=0 (skip sparse), BOF_BENCH_XFER
+(int8|bf16|0 — compressed-transfer gemm secondary at the same n, run when
+budget remains; default int8).
 
 BOF_BENCH_KERNEL selects standalone modes covering every
 BASELINE.json.configs entry (each prints its own one-JSON-line result):
@@ -874,6 +876,46 @@ def main():
             save_state()
         except Exception as e:  # tertiary must not sink the line
             result["tertiary_error"] = f"{tert}: {type(e).__name__}: {e}"
+
+    # compressed-transfer gemm secondary at the SAME n: int8 quarters the
+    # A/B link bytes on the link-bound path (2.3x measured,
+    # docs/PERFORMANCE.md) — the recorded artifact should carry that win,
+    # not just the docs.  Time-gated: predicted wall ~= headline wall x
+    # link-byte ratio, because both runs are link-bound.
+    xfer2 = os.environ.get("BOF_BENCH_XFER", "int8")
+    byte_ratio = {"int8": 0.5, "bf16": 0.667}.get(xfer2)
+    if (xfer == "fp32" and byte_ratio is not None
+            and os.environ.get("BOF_BENCH_SKIP_VERIFY") != "1"
+            and elapsed() + byte_ratio * dt + 20 < 0.9 * budget_s):
+        _progress(f"{xfer2}-transfer gemm secondary at n={n}")
+        ctx.config.transfer_dtype = xfer_map[xfer2]
+        try:
+            gemm(Aw, Bw, Cw, blk=sb, ctx=ctx)  # compile warm-up
+            C.write_block(0, np.zeros((64, 64), np.float32))  # scrub
+            mb2 = METRICS.snapshot()
+            t0 = time.perf_counter()
+            gemm(A, B, C, blk=sb, ctx=ctx)
+            dt2 = time.perf_counter() - t0
+            ma2 = METRICS.snapshot()
+            got2 = C.read_block(0, 64, 0, 64).astype(np.float64)
+            rel2 = float(np.abs(got2 - want).max()
+                         / (np.abs(want).max() or 1.0))
+            tol2 = {"bf16": 2e-2, "int8": 5e-2}[xfer2]
+            result["gemm_xfer"] = {
+                "mode": xfer2,
+                "gflops": round(flops / dt2 / 1e9, 2),
+                "seconds": round(dt2, 2),
+                "h2d_gb": round((ma2.get("gemm.h2d_bytes", 0)
+                                 - mb2.get("gemm.h2d_bytes", 0)) / 1e9, 3),
+                "speedup_vs_fp32": round(dt / dt2, 3),
+                "max_rel_err": round(rel2, 5),
+                "verified": rel2 < tol2,
+            }
+            ok = ok and rel2 < tol2
+        except Exception as e:  # secondary must not sink the line
+            result["gemm_xfer_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            ctx.config.transfer_dtype = "float32"
     result = {**headline, **result, "verified": ok,
               "device_attach_s": device_attach_s,
               "wall_s": round(elapsed(), 1)}

@@ -18,7 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MODES = {
     "sgemm": {"BOF_BENCH_N": "1024", "BOF_BENCH_BLK": "512",
-              "BOF_BENCH_CSRMM": "0", "BOF_BENCH_TERTIARY": "0"},
+              "BOF_BENCH_CSRMM": "0", "BOF_BENCH_TERTIARY": "0",
+              "BOF_BENCH_XFER": "0"},
     # full default artifact shape at toy size: gemm headline + csrmm
     # secondary + one tertiary kernel in a single JSON line
     "sgemm_full": {"BOF_BENCH_N": "1024", "BOF_BENCH_BLK": "512",
@@ -78,6 +79,8 @@ def test_bench_mode(bench_results, mode):
         # tertiary kernel alongside the gemm headline (VERDICT r2 #1/#7)
         assert "csrmm_gbps" in r, r
         assert r.get("csrmm_verified") is True
+        # ...and the compressed-transfer gemm secondary (int8 link bytes)
+        assert r.get("gemm_xfer", {}).get("verified") is True, r
         assert "tertiary_kernel" in r, r
         assert "tertiary_error" not in r, r
         # truthful-telemetry invariant: synced per-stage rates are real
