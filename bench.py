@@ -25,7 +25,7 @@ budget remains; default int8).
 
 BOF_BENCH_KERNEL selects standalone modes covering every
 BASELINE.json.configs entry (each prints its own one-JSON-line result):
-  sgemm (default) | csrmm | csrgemv | kmeans | csrcsc_sort
+  sgemm (default) | csrmm | csrgemv | kmeans | csrcsc_sort | map_reduce
 """
 from __future__ import annotations
 
@@ -461,6 +461,53 @@ def run_csrcsc_sort(ctx) -> dict:
             "csrcsc_sort_verified": t_ok and s_ok}
 
 
+def run_map_reduce(ctx) -> dict:
+    """Streamed elementwise map (sqrt∘abs) + reduce (sum) GB/s over a
+    disk-resident vector vs a numpy in-memory twin (BASELINE.json
+    configs[4]; reference: drivers/map_reduce.cpp runs map=sqrt then
+    reduce=sum over the mapped file)."""
+    import jax.numpy as jnp
+
+    import bof_tpu as bt
+    from bof_tpu.ops.map_reduce import bof_map, bof_reduce
+
+    n_el = int(os.environ.get("BOF_BENCH_MR_N", 1 << 24))
+    spath = os.path.join(CACHE_DIR, f"mr_{n_el}.bin")
+    ensure_operand_1d(spath, n_el, seed=17)
+    src = bt.map_array(spath, (n_el,), np.float32, ctx=ctx)
+    dst = bt.map_array(os.path.join(ctx.config.scratch_dir, "mapped.bin"),
+                       (n_el,), np.float32, create=True, ctx=ctx)
+    dst.write_block(0, np.zeros(4096, np.float32))  # scrub stale cache
+
+    t0 = time.perf_counter()
+    bof_map(src, dst, lambda x: jnp.sqrt(jnp.abs(x)), ctx=ctx)
+    dt_m = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    got_sum = bof_reduce(dst, "sum", ctx=ctx)
+    dt_r = time.perf_counter() - t0
+
+    host = src.read_all()
+    t0 = time.perf_counter()
+    want = np.sqrt(np.abs(host))
+    want_sum = want.sum(dtype=np.float64)
+    dt_in = time.perf_counter() - t0
+
+    # verify random windows across the whole output plus the reduction
+    ok = True
+    rng_w = np.random.default_rng(19)
+    for w0 in [0] + [int(v) for v in rng_w.integers(0, n_el - 4096, 4)]:
+        ok = ok and bool(np.allclose(dst.read_block(w0, 4096),
+                                     want[w0:w0 + 4096], rtol=1e-6))
+    ok = ok and bool(abs(got_sum - want_sum)
+                     / max(abs(want_sum), 1.0) < 1e-6)
+    return {"map_gbps": round(2.0 * n_el * 4 / dt_m / 1e9, 4),
+            "reduce_gbps": round(n_el * 4 / dt_r / 1e9, 4),
+            "map_reduce_seconds": [round(dt_m, 2), round(dt_r, 2)],
+            "map_reduce_n": n_el,
+            "map_reduce_vs_inmem": round(dt_in / (dt_m + dt_r), 4),
+            "map_reduce_verified": ok}
+
+
 def ensure_operand_1d(path: str, n_elems: int, seed: int):
     nbytes = n_elems * 4
     if os.path.exists(path) and os.path.getsize(path) == nbytes:
@@ -492,11 +539,13 @@ def main():
     from bof_tpu.utils import METRICS
 
     kernel = os.environ.get("BOF_BENCH_KERNEL", "sgemm")
-    if kernel not in ("sgemm", "csrmm", "csrgemv", "kmeans", "csrcsc_sort"):
+    if kernel not in ("sgemm", "csrmm", "csrgemv", "kmeans", "csrcsc_sort",
+                      "map_reduce"):
         print(json.dumps({"metric": "error", "value": 0, "unit": "",
                           "vs_baseline": 0,
                           "error": f"unknown BOF_BENCH_KERNEL={kernel!r}; "
-                          "use sgemm|csrmm|csrgemv|kmeans|csrcsc_sort"}))
+                          "use sgemm|csrmm|csrgemv|kmeans|csrcsc_sort|"
+                          "map_reduce"}))
         return 2
     budget_s = float(os.environ.get("BOF_BENCH_BUDGET_S", "240"))
     prec_name = os.environ.get("BOF_BENCH_PREC", "highest")
@@ -551,6 +600,16 @@ def main():
         ok = r.pop("kmeans_verified")
         result = {"metric": "ooc_kmeans_gbps", "value": r.pop("kmeans_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("kmeans_vs_inmem"),
+                  **r, "verified": ok}
+        print(json.dumps(result))
+        return 0 if ok else 1
+    if kernel == "map_reduce":  # streamed map + reduce mode
+        r = run_map_reduce(ctx)
+        ctx.destroy()
+        ok = r.pop("map_reduce_verified")
+        result = {"metric": "ooc_map_gbps", "value": r.pop("map_gbps"),
+                  "unit": "GB/s",
+                  "vs_baseline": r.pop("map_reduce_vs_inmem"),
                   **r, "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
@@ -859,14 +918,15 @@ def main():
     # tertiary kernel rotation (csrgemv -> kmeans -> csrcsc_sort): every
     # kernel accumulates real-chip history across rounds instead of
     # one-off anecdotes (VERDICT r2 #7)
-    rotation = ["csrgemv", "kmeans", "csrcsc_sort"]
+    rotation = ["csrgemv", "kmeans", "csrcsc_sort", "map_reduce"]
     if (os.environ.get("BOF_BENCH_TERTIARY", "1") == "1"
             and elapsed() < 0.8 * budget_s):
         tert = rotation[int(state.get("rotation_idx", 0)) % len(rotation)]
         _progress(f"tertiary kernel: {tert}")
         try:
             r = {"csrgemv": run_csrgemv, "kmeans": run_kmeans,
-                 "csrcsc_sort": run_csrcsc_sort}[tert](ctx)
+                 "csrcsc_sort": run_csrcsc_sort,
+                 "map_reduce": run_map_reduce}[tert](ctx)
             tert_ok = r.pop(f"{tert}_verified", True)
             result.update(r)
             result["tertiary_kernel"] = tert
@@ -893,6 +953,8 @@ def main():
             gemm(Aw, Bw, Cw, blk=sb, ctx=ctx)  # compile warm-up
             C.write_block(0, np.zeros((64, 64), np.float32))  # scrub
             mb2 = METRICS.snapshot()
+            nh2 = len(METRICS.samples("gemm.h2d_tile_gbps"))
+            nd2 = len(METRICS.samples("gemm.d2h_tile_gbps"))
             t0 = time.perf_counter()
             gemm(A, B, C, blk=sb, ctx=ctx)
             dt2 = time.perf_counter() - t0
@@ -901,13 +963,29 @@ def main():
             rel2 = float(np.abs(got2 - want).max()
                          / (np.abs(want).max() or 1.0))
             tol2 = {"bf16": 2e-2, "int8": 5e-2}[xfer2]
+
+            def xd(key):
+                return ma2.get(key, 0.0) - mb2.get(key, 0.0)
             result["gemm_xfer"] = {
                 "mode": xfer2,
                 "gflops": round(flops / dt2 / 1e9, 2),
                 "seconds": round(dt2, 2),
-                "h2d_gb": round((ma2.get("gemm.h2d_bytes", 0)
-                                 - mb2.get("gemm.h2d_bytes", 0)) / 1e9, 3),
+                "h2d_gb": round(xd("gemm.h2d_bytes") / 1e9, 3),
+                "d2h_gb": round(xd("gemm.d2h_bytes") / 1e9, 3),
                 "speedup_vs_fp32": round(dt / dt2, 3),
+                # same truth-telemetry as the headline: stage seconds and
+                # in-run per-tile link samples attribute any slowdown to
+                # tunnel drift vs pipeline bubble from the JSON alone
+                "stall_s": {"disk": round(xd("gemm.disk_wait_s"), 2),
+                            "h2d": round(xd("gemm.h2d_s"), 2),
+                            "d2h": round(xd("gemm.d2h_s"), 2),
+                            "accum_wait": round(xd("gemm.accum_wait_s"), 2),
+                            "tile_wait": round(xd("gemm.tile_wait_s"), 2),
+                            "write_wait": round(xd("gemm.write_wait_s"), 2)},
+                "h2d_tile_gbps": tile_stats(
+                    METRICS.samples("gemm.h2d_tile_gbps")[nh2:]),
+                "d2h_tile_gbps": tile_stats(
+                    METRICS.samples("gemm.d2h_tile_gbps")[nd2:]),
                 "max_rel_err": round(rel2, 5),
                 "verified": rel2 < tol2,
             }

@@ -40,6 +40,7 @@ MODES = {
                "BOF_BENCH_KM_K": "8"},
     "csrcsc_sort": {"BOF_BENCH_SP_M": "3000", "BOF_BENCH_SP_K": "500",
                     "BOF_BENCH_SP_NNZ": "8", "BOF_BENCH_SORT_N": "65536"},
+    "map_reduce": {"BOF_BENCH_MR_N": "65536"},
 }
 
 
