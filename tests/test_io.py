@@ -188,12 +188,15 @@ def test_memstore_grows_on_write():
     np.testing.assert_array_equal(got, vals)
 
 
-def test_kernel_aio_strided_path(tmp_path, rng):
+def test_kernel_aio_strided_path(tmp_path, rng, monkeypatch):
     """Fully-aligned O_DIRECT strided access takes the io_submit path
-    (observable via the engine's aio op counter) and returns exact data."""
+    (observable via the engine's aio op counter) and returns exact data.
+    Span coalescing is disabled so the AIO path itself stays covered (this
+    access pattern is span-eligible since r3)."""
     import ctypes
     from bof_tpu.io.native import (NativeFileStore, alloc_aligned,
                                    load_library)
+    monkeypatch.setenv("BOF_NO_SPAN_COALESCE", "1")
     lib = load_library()
     if lib is None:
         pytest.skip("native engine unavailable")
@@ -224,6 +227,48 @@ def test_kernel_aio_strided_path(tmp_path, rng):
     for i in range(128):
         shadow[i * 1024:i * 1024 + 256] = vals[i * 256:(i + 1) * 256]
     np.testing.assert_array_equal(got, shadow)
+    st.close()
+
+
+def test_span_coalesced_strided_read(tmp_path, rng):
+    """Dense small-run strided O_DIRECT reads (fill >= 25%) are served by
+    one sequential span read + host scatter (bof_io.cpp span_read) — the
+    read-side analog of the reference's write-time stride merging
+    (flash_file_handle.cpp:508-716).  Exact data, including a span whose
+    tail stride gap crosses EOF, and unaligned offsets."""
+    import ctypes
+    from bof_tpu.io.native import NativeFileStore, load_library
+    lib = load_library()
+    if lib is None:
+        pytest.skip("native engine unavailable")
+    lib.bof_span_ops.restype = ctypes.c_longlong
+    n = (12 << 20) // 4
+    data = rng.integers(0, 2**32, n, dtype=np.uint32)
+    path = str(tmp_path / "span.bin")
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+    st = NativeFileStore(path, o_direct=True, n_threads=4)
+    before = lib.bof_span_ops()
+    # matrix-tile shape: 16 KiB rows, 48 KiB apart (fill 1/3)
+    sinfo = StrideInfo(stride=48 << 10, n_strides=64,
+                       len_per_stride=16 << 10)
+    got = st.read_sync(0, sinfo).view(np.uint32)
+    expect = np.concatenate([
+        data[i * (48 << 10) // 4: i * (48 << 10) // 4 + (16 << 10) // 4]
+        for i in range(64)])
+    np.testing.assert_array_equal(got, expect)
+    assert lib.bof_span_ops() > before, "span path did not engage"
+    # unaligned offset + last run's span tail extending past EOF
+    file_end = n * 4
+    off = file_end - 63 * (48 << 10) - 100  # 64th run ends 100 B shy of EOF
+    sinfo2 = StrideInfo(stride=48 << 10, n_strides=64, len_per_stride=4096)
+    got2 = st.read_sync(off, sinfo2).view(np.uint8)
+    raw = data.view(np.uint8)
+    pieces = []
+    for i in range(64):  # bytes past EOF read back as zeros
+        part = raw[off + i * (48 << 10): off + i * (48 << 10) + 4096]
+        pieces.append(np.pad(part, (0, 4096 - len(part))))
+    np.testing.assert_array_equal(got2, np.concatenate(pieces))
     st.close()
 
 
@@ -335,11 +380,13 @@ def test_write_verify_catches_injected_corruption(kind, tmp_path, rng):
     st.close()
 
 
-def test_aio_depth_knob_plumbed(tmp_path, rng):
+def test_aio_depth_knob_plumbed(tmp_path, rng, monkeypatch):
     """FlashConfig.max_simul_reqs reaches the kernel-AIO submit loop: a
-    depth-2 engine still completes a 64-run aligned strided op correctly."""
+    depth-2 engine still completes a 64-run aligned strided op correctly.
+    (Span coalescing off: this access is span-eligible since r3.)"""
     import ctypes
     from bof_tpu.io.native import NativeFileStore, alloc_aligned, load_library
+    monkeypatch.setenv("BOF_NO_SPAN_COALESCE", "1")
     lib = load_library()
     if lib is None:
         pytest.skip("native engine unavailable")
