@@ -893,6 +893,8 @@ def main():
         if lib is not None:
             lib.bof_aio_ops.restype = ctypes.c_longlong
             headline["kernel_aio_runs"] = int(lib.bof_aio_ops())
+            lib.bof_span_ops.restype = ctypes.c_longlong
+            headline["span_reads"] = int(lib.bof_span_ops())
         nat = getattr(ctx.pin_cache(), "_nat", None)
         if nat is not None:
             headline["tile_cache"] = nat.stats()
@@ -943,12 +945,15 @@ def main():
     # not just the docs.  Time-gated: predicted wall ~= headline wall x
     # link-byte ratio, because both runs are link-bound.
     xfer2 = os.environ.get("BOF_BENCH_XFER", "int8")
-    byte_ratio = {"int8": 0.5, "bf16": 0.667}.get(xfer2)
+    # A/B ship quantized AND the C download ships bf16, so link bytes per
+    # superblock sweep drop to (2*1+2)/12 for int8, (2*2+2)/12 for bf16
+    byte_ratio = {"int8": 0.34, "bf16": 0.5}.get(xfer2)
     if (xfer == "fp32" and byte_ratio is not None
             and os.environ.get("BOF_BENCH_SKIP_VERIFY") != "1"
             and elapsed() + byte_ratio * dt + 20 < 0.9 * budget_s):
         _progress(f"{xfer2}-transfer gemm secondary at n={n}")
         ctx.config.transfer_dtype = xfer_map[xfer2]
+        ctx.config.c_transfer_dtype = "bfloat16"
         try:
             gemm(Aw, Bw, Cw, blk=sb, ctx=ctx)  # compile warm-up
             C.write_block(0, np.zeros((64, 64), np.float32))  # scrub
@@ -967,7 +972,7 @@ def main():
             def xd(key):
                 return ma2.get(key, 0.0) - mb2.get(key, 0.0)
             result["gemm_xfer"] = {
-                "mode": xfer2,
+                "mode": xfer2, "c_transfer": "bfloat16",
                 "gflops": round(flops / dt2 / 1e9, 2),
                 "seconds": round(dt2, 2),
                 "h2d_gb": round(xd("gemm.h2d_bytes") / 1e9, 3),
@@ -994,6 +999,7 @@ def main():
             result["gemm_xfer_error"] = f"{type(e).__name__}: {e}"
         finally:
             ctx.config.transfer_dtype = "float32"
+            ctx.config.c_transfer_dtype = "float32"
     result = {**headline, **result, "verified": ok,
               "device_attach_s": device_attach_s,
               "wall_s": round(elapsed(), 1)}

@@ -53,6 +53,16 @@ class FlashConfig:
     #   accumulator) keep full precision, and "int8" means f32 for
     #   sparse — max-abs tile quantization doesn't compose with a
     #   gather-reduce.
+    c_transfer_dtype: str = "float32"  # "bfloat16" halves the DEVICE->host
+    #   bytes of finished C superblocks in gemm (cast on device, promoted
+    #   back to fp32 on the host before write-back; storage stays fp32).
+    #   The K accumulation is untouched — only the final download rounds,
+    #   so the error is one bf16 output rounding (~4e-3 relative), which
+    #   is noise next to transfer_dtype="int8"'s input rounding.  On
+    #   link-bound paths where A/B already ship compressed, the C
+    #   download is the remaining link term (reference analog: the
+    #   write-back path of evict, cache.cpp:72-113 — the reference always
+    #   pays full-width writes; a TPU link tier can cheat).
 
     # ---- dense kernels (reference: GEMM_BLK_SIZE=8192) ----
     gemm_blk_size: int = 8192          # superblock edge for out-of-core gemm

@@ -128,6 +128,14 @@ def zeros_block(shape, dtype=jnp.float32):
     return jnp.zeros(shape, dtype)
 
 
+@jax.jit
+def to_bf16(x):
+    """Device-side cast for c_transfer_dtype='bfloat16': finished C
+    superblocks round once on device so the D2H transfer ships half the
+    bytes; the host promotes back to fp32 before write-back."""
+    return x.astype(jnp.bfloat16)
+
+
 def to_device(x: np.ndarray):
     return jax.device_put(x)
 

@@ -137,6 +137,9 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     if (xfer_bf16 or xfer_int8) and c.dtype != np.float32:
         raise ValueError(f"{xfer_mode} transfer mode needs float32 "
                          "operands")
+    c_xfer_bf16 = getattr(cfg, "c_transfer_dtype", "float32") == "bfloat16"
+    if c_xfer_bf16 and c.dtype != np.float32:
+        raise ValueError("bfloat16 C transfer mode needs float32 C")
     impl = cfg.device_compute
     if impl == "auto":
         # layout-general since r3: the Pallas MXU kernel absorbs km/nk/nm
@@ -339,6 +342,10 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                     break
                 i, j, bi, bj, c_dev = item
                 ci_shape = _storage_shape(c, (bi, bj))
+                if c_xfer_bf16:
+                    # round the finished block on DEVICE so half the bytes
+                    # cross the link; the accumulate above ran fully fp32
+                    c_dev = dev.to_bf16(c_dev)
                 t0 = time.perf_counter()
                 if sync_mode:
                     # split pipeline wait from transfer: sync() returns
@@ -360,6 +367,8 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                                                     :ci_shape[1]]
                     METRICS.add("gemm.d2h_s", time.perf_counter() - t0)
                 METRICS.add("gemm.d2h_bytes", c_host.nbytes)
+                if c_xfer_bf16:  # promote back for fp32 storage
+                    c_host = c_host.astype(np.float32)
                 write_tickets.append(c.write_block_storage_async(
                     i * sb, j * sb, bi, bj, c_host))
             t0 = time.perf_counter()

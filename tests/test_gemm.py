@@ -132,6 +132,48 @@ def test_gemm_bfloat16_transfer_mode(ctx, rng):
         ctx.config.transfer_dtype = "float32"
 
 
+def test_gemm_bf16_c_transfer_mode(ctx, rng):
+    """c_transfer_dtype='bfloat16' halves the C D2H bytes: the K
+    accumulation stays fp32 and only the final download rounds once, so
+    the error is a single bf16 output rounding — much tighter than the
+    bf16 INPUT mode's band.  Composes with transfer_dtype='int8'."""
+    from bof_tpu import mem_array
+    from bof_tpu.ops import gemm
+    from bof_tpu.utils import METRICS
+    ctx.config.c_transfer_dtype = "bfloat16"
+    try:
+        m, n, k = 96, 80, 112
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        b = rng.standard_normal((k, n)).astype(np.float32)
+        c0 = rng.standard_normal((m, n)).astype(np.float32)
+        A = mem_array((m, k), np.float32, data=a, ctx=ctx)
+        B = mem_array((k, n), np.float32, data=b, ctx=ctx)
+        C = mem_array((m, n), np.float32, data=c0, ctx=ctx)
+        before = METRICS.snapshot().get("gemm.d2h_bytes", 0)
+        gemm(A, B, C, beta=0.5, blk=64, ctx=ctx)
+        after = METRICS.snapshot().get("gemm.d2h_bytes", 0)
+        want = a.astype(np.float64) @ b.astype(np.float64) \
+            + 0.5 * c0.astype(np.float64)
+        got = C.read_all().astype(np.float64)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-2, rel          # one bf16 output rounding
+        assert rel > 1e-7               # and it really did round
+        # link accounting: D2H shipped 2-byte elements, not 4
+        assert after - before == m * n * 2
+
+        # composes with int8 A/B transfer: output rounding is noise
+        # next to the int8 input rounding band
+        ctx.config.transfer_dtype = "int8"
+        C2 = mem_array((m, n), np.float32, ctx=ctx)
+        gemm(A, B, C2, blk=64, ctx=ctx)
+        want2 = a.astype(np.float64) @ b.astype(np.float64)
+        rel2 = np.abs(C2.read_all() - want2).max() / np.abs(want2).max()
+        assert rel2 < 5e-2, rel2
+    finally:
+        ctx.config.c_transfer_dtype = "float32"
+        ctx.config.transfer_dtype = "float32"
+
+
 def test_telemetry_sync_mode(ctx, rng):
     """telemetry_sync=True routes every transfer through the channel lock
     with an in-window sync: results identical, and per-tile rate samples +
