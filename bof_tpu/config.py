@@ -54,7 +54,8 @@ class FlashConfig:
     #   sparse — max-abs tile quantization doesn't compose with a
     #   gather-reduce.
     c_transfer_dtype: str = "float32"  # "bfloat16" halves the DEVICE->host
-    #   bytes of finished C superblocks in gemm (cast on device, promoted
+    #   bytes of finished C superblocks in gemm AND of csrmm device
+    #   result blocks (cast on device, promoted
     #   back to fp32 on the host before write-back; storage stays fp32).
     #   The K accumulation is untouched — only the final download rounds,
     #   so the error is one bf16 output rounding (~4e-3 relative), which

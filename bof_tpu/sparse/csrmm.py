@@ -246,6 +246,13 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
         # writer: D2H of results -> alpha/beta -> async disk write
         out_q: queue.Queue = queue.Queue(maxsize=max(2, cfg.pipeline_depth))
         errors: list = []
+        # bf16 C download (c_transfer_dtype): result blocks round once on
+        # device and ship half the D2H bytes.  NB: under K-splitting each
+        # range's partial rounds before the on-disk beta=1 accumulate, so
+        # the error grows ~sqrt(n_ranges) * 4e-3 — still far inside the
+        # device-vs-host dispatch tolerance for practical split counts.
+        c_bf16 = (getattr(cfg, "c_transfer_dtype", "float32") == "bfloat16"
+                  and vdt == np.float32 and not host_compute)
 
         def producer():
             import time as _time
@@ -327,6 +334,9 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                                 va_d = jnp.asarray(va_ell)
                             out = sdev.spmm_ell_block_dispatch(
                                 b_panel, ja_d, va_d, impl=impl)
+                            if c_bf16:
+                                from ..ops import device as dev
+                                out = dev.to_bf16(out)
                             outs.append((rows_sel, out))
                     pf.done(2 * bi)
                     pf.done(2 * bi + 1)

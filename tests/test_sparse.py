@@ -456,3 +456,38 @@ def test_sparse_bf16_value_transfer(ctx, rng):
     finally:
         ctx.config.transfer_dtype = "float32"
         ctx.config.sparse_compute = "auto"
+
+
+def test_sparse_bf16_c_transfer(ctx, rng):
+    """c_transfer_dtype='bfloat16' rounds csrmm device result blocks once
+    on device before D2H: error is one bf16 output rounding; the host
+    path and fp64 are untouched."""
+    import scipy.sparse as sps
+    from bof_tpu import mem_array
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+    ctx.config.sparse_compute = "device"
+    ctx.config.max_nnzs = 1 << 14
+    ctx.config.c_transfer_dtype = "bfloat16"
+    try:
+        m, kk, nn = 300, 200, 24
+        a_sp = sps.random(m, kk, density=0.05, format="csr",
+                          dtype=np.float32,
+                          random_state=np.random.RandomState(11))
+        A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+        b_np = rng.standard_normal((kk, nn)).astype(np.float32)
+        B = mem_array((kk, nn), np.float32, data=b_np, ctx=ctx)
+        C = mem_array((m, nn), np.float32, ctx=ctx)
+        csrmm(A, B, C, alpha=1.5, ctx=ctx)
+        want = 1.5 * (a_sp @ b_np)
+        scale = max(float(np.abs(want).max()), 1.0)
+        rel = float(np.abs(C.read_all() - want).max()) / scale
+        assert rel < 1e-2, rel          # one bf16 output rounding
+        # host placement ignores the flag entirely (exact f32 path)
+        ctx.config.sparse_compute = "host"
+        C2 = mem_array((m, nn), np.float32, ctx=ctx)
+        csrmm(A, B, C2, alpha=1.5, ctx=ctx)
+        np.testing.assert_allclose(C2.read_all(), want, rtol=2e-4,
+                                   atol=1e-4)
+    finally:
+        ctx.config.c_transfer_dtype = "float32"
+        ctx.config.sparse_compute = "auto"
