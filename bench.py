@@ -235,7 +235,7 @@ def run_csrmm(ctx) -> dict:
     m_after = METRICS.snapshot()
     stall = {k: round(m_after.get(f"csrmm.{k}", 0.0)
                       - m_before.get(f"csrmm.{k}", 0.0), 2)
-             for k in ("disk_wait_s", "h2d_s", "dispatch_s",
+             for k in ("disk_wait_s", "prep_s", "h2d_s", "dispatch_s",
                        "accum_wait_s", "d2h_s")}
     dev_ok = check()
 

@@ -8,7 +8,9 @@ pipeline.
 """
 from .config import DEFAULT_CONFIG, FlashConfig
 from .context import FlashContext, flash_destroy, flash_setup, get_context
-from .core import FlashArray, flash_empty, flash_free, map_array, mem_array
+from .core import (FlashArray, TiledFlashArray, flash_empty, flash_free,
+                   map_array, map_tiled_array, mem_array)
+from .core.tiled_array import repack, unpack
 from .io import MemStore, StrideInfo
 from .ops import bof_map, bof_reduce, bof_sort, gemm, gemm_in_mem
 from .ops.kmeans import kmeans_fit, lloyds_iter
@@ -22,6 +24,7 @@ __all__ = [
     "DEFAULT_CONFIG", "FlashConfig", "FlashContext", "flash_destroy",
     "flash_setup", "get_context", "FlashArray", "flash_empty", "flash_free",
     "map_array", "mem_array", "MemStore", "StrideInfo",
+    "TiledFlashArray", "map_tiled_array", "repack", "unpack",
     "bof_map", "bof_reduce", "bof_sort", "gemm", "gemm_in_mem",
     "kmeans_fit", "lloyds_iter",
     "CsrFlashMatrix", "csrcsc", "csrcsc_scratch", "csrgemv", "csrmm",

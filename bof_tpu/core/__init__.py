@@ -1,3 +1,5 @@
+from .tiled_array import (TiledFlashArray, map_tiled_array, repack,
+                          unpack)
 from .flash_array import (FlashArray, flash_empty, flash_free, map_array,
                           mem_array)
 from .task import FnTask, Task, TaskStatus, access_key

@@ -102,6 +102,12 @@ class NativeTileCache:
 
     def close(self):
         if self._h:
+            # borrows are released by view GC (zero-copy numpy views hold
+            # a borrow count); collect first so legitimately-dead views in
+            # reference cycles return theirs and only REAL leaks trip the
+            # destroy-time "live borrows" warning
+            import gc
+            gc.collect()
             self._lib.bof_cache_destroy(self._h)
             self._h = 0
 

@@ -126,6 +126,17 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 "or jax.config.update('jax_enable_x64', True)); on TPU use "
                 "float32 with matmul_precision='highest' instead")
 
+    # tile-major operands (core/tiled_array.py): every superblock access
+    # is one contiguous run, but only when the kernel blocking matches
+    # the stored tile grid
+    for nm_, arr_ in (("a", a), ("b", b), ("c", c)):
+        t_ = getattr(arr_, "tile", None)
+        if t_ is not None and t_ != sb:
+            raise ValueError(
+                f"operand {nm_} is tile-major with tile {t_}; gemm blk "
+                f"must match (got {sb})")
+    c_tiled = getattr(c, "tile", None) is not None
+
     mB, nB, kB = cdiv(m, sb), cdiv(n, sb), cdiv(k, sb)
     a_access, a_km = _op_block_reader(a, ta)
     b_access, b_nk = _op_block_reader(b, tb)  # storage is (n,k)-major?
@@ -341,7 +352,10 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 if item is None:
                     break
                 i, j, bi, bj, c_dev = item
-                ci_shape = _storage_shape(c, (bi, bj))
+                # tile-major C stores the full padded tile — hand the
+                # whole buffer over instead of slicing the logical tail
+                ci_shape = ((sb, sb) if c_tiled
+                            else _storage_shape(c, (bi, bj)))
                 if c_xfer_bf16:
                     # round the finished block on DEVICE so half the bytes
                     # cross the link; the accumulate above ran fully fp32

@@ -241,10 +241,14 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
         flat = [acc for pair in seq_accesses for acc in pair]
         pf = PrefetchSeq(cache, flat, depth=2 * cfg.pipeline_depth)
 
-        # 3-stage pipeline per column panel (mirrors ops/gemm.py):
-        # producer: disk tiles -> ELL prep (CPU) -> H2D + dispatch
+        # 4-stage pipeline per column panel (mirrors ops/gemm.py):
+        # prepper: disk tiles -> ELL prep (CPU)
+        # uploader: H2D + device dispatch  (device path only — prep of
+        #   block b+1 overlaps the uploads of block b; they were serial
+        #   in one thread before r3, costing ~30% of csrmm wall)
         # writer: D2H of results -> alpha/beta -> async disk write
         out_q: queue.Queue = queue.Queue(maxsize=max(2, cfg.pipeline_depth))
+        prep_q: queue.Queue = queue.Queue(maxsize=max(2, cfg.pipeline_depth))
         errors: list = []
         # bf16 C download (c_transfer_dtype): result blocks round once on
         # device and ship half the D2H bytes.  NB: under K-splitting each
@@ -254,7 +258,31 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
         c_bf16 = (getattr(cfg, "c_transfer_dtype", "float32") == "bfloat16"
                   and vdt == np.float32 and not host_compute)
 
-        def producer():
+        def _put(q, item) -> bool:
+            """timeout-put guarded by the shared error flag: a dead
+            consumer can't hang the pipeline."""
+            while not errors:
+                try:
+                    q.put(item, timeout=1.0)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _put_sentinel(q):
+            while True:
+                try:
+                    q.put(None, timeout=1.0)
+                    return
+                except queue.Full:
+                    if errors:
+                        return
+
+        # host path: prepper feeds the writer directly (the scipy block
+        # product IS the compute); device path: prepper feeds the uploader
+        prep_dest = out_q if host_compute else prep_q
+
+        def prepper():
             import time as _time
             try:
                 for bi, (r, e) in enumerate(blocks):
@@ -288,11 +316,10 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                              blk_ia.astype(np.int64)),
                             shape=(rows_b, k_sub))
                         # reference-style CPU block product (MKL's role)
-                        outs = [(None, blk_sp @ b_panel_np)]
+                        payload = (r, rows_b, [(None, blk_sp @ b_panel_np)])
                     else:
                         counts = np.diff(blk_ia)
-                        outs = []
-                        impl = getattr(cfg, "sparse_device_impl", "auto")
+                        bands = []
                         # count-sorted ELL banding: range over rows
                         # SORTED by nnz so each band's rmax is tight to
                         # its own rows, not the block max — on skewed
@@ -313,50 +340,68 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                             ja_ell, va_ell = sdev.to_ell_rows(
                                 blk_ia, blk_ja, blk_va, rows_sel,
                                 idx_dtype=ell_idt, val_dtype=ell_vdt)
-                            if sync_mode:
-                                # truthful ELL upload: exclusive channel
-                                # + in-window sync (see ops/gemm.py)
-                                from ..ops import device as dev
-                                with dev.XFER_LOCK:
-                                    th = _time.perf_counter()
-                                    ja_d = jnp.asarray(ja_ell)
-                                    va_d = jnp.asarray(va_ell)
-                                    dev.sync(ja_d)
-                                    dev.sync(va_d)
-                                    th2 = _time.perf_counter()
-                                METRICS.add("csrmm.h2d_s", th2 - th)
-                                METRICS.observe(
-                                    "csrmm.h2d_tile_gbps",
-                                    (ja_ell.nbytes + va_ell.nbytes)
-                                    / max(th2 - th, 1e-9) / 1e9)
-                            else:
-                                ja_d = jnp.asarray(ja_ell)
-                                va_d = jnp.asarray(va_ell)
-                            out = sdev.spmm_ell_block_dispatch(
-                                b_panel, ja_d, va_d, impl=impl)
-                            if c_bf16:
-                                from ..ops import device as dev
-                                out = dev.to_bf16(out)
-                            outs.append((rows_sel, out))
+                            bands.append((rows_sel, ja_ell, va_ell))
+                        payload = (r, rows_b, bands)
                     pf.done(2 * bi)
                     pf.done(2 * bi + 1)
-                    METRICS.add("csrmm.dispatch_s",
-                                _time.perf_counter() - t1)
-                    while not errors:  # timeout-put: dead writer can't hang us
-                        try:
-                            out_q.put((r, rows_b, outs), timeout=1.0)
-                            break
-                        except queue.Full:
-                            continue
-                    if errors:
-                        break
+                    METRICS.add("csrmm.prep_s", _time.perf_counter() - t1)
+                    if not _put(prep_dest, payload):
+                        return
+                _put_sentinel(prep_dest)
+            except BaseException as e:  # pragma: no cover
+                errors.append(e)
+                try:
+                    prep_dest.put_nowait(None)
+                except queue.Full:
+                    pass
+
+        def uploader():
+            import time as _time
+            try:
+                impl = getattr(cfg, "sparse_device_impl", "auto")
                 while True:
-                    try:
-                        out_q.put(None, timeout=1.0)
-                        break
-                    except queue.Full:
+                    try:  # timeout-get: a dead prepper can't hang us
+                        item = prep_q.get(timeout=1.0)
+                    except queue.Empty:
                         if errors:
                             break
+                        continue
+                    if item is None:
+                        break
+                    r, rows_b, bands = item
+                    t1 = _time.perf_counter()
+                    outs = []
+                    for rows_sel, ja_ell, va_ell in bands:
+                        if sync_mode:
+                            # truthful ELL upload: exclusive channel
+                            # + in-window sync (see ops/gemm.py)
+                            from ..ops import device as dev
+                            with dev.XFER_LOCK:
+                                th = _time.perf_counter()
+                                ja_d = jnp.asarray(ja_ell)
+                                va_d = jnp.asarray(va_ell)
+                                dev.sync(ja_d)
+                                dev.sync(va_d)
+                                th2 = _time.perf_counter()
+                            METRICS.add("csrmm.h2d_s", th2 - th)
+                            METRICS.observe(
+                                "csrmm.h2d_tile_gbps",
+                                (ja_ell.nbytes + va_ell.nbytes)
+                                / max(th2 - th, 1e-9) / 1e9)
+                        else:
+                            ja_d = jnp.asarray(ja_ell)
+                            va_d = jnp.asarray(va_ell)
+                        out = sdev.spmm_ell_block_dispatch(
+                            b_panel, ja_d, va_d, impl=impl)
+                        if c_bf16:
+                            from ..ops import device as dev
+                            out = dev.to_bf16(out)
+                        outs.append((rows_sel, out))
+                    METRICS.add("csrmm.dispatch_s",
+                                _time.perf_counter() - t1)
+                    if not _put(out_q, (r, rows_b, outs)):
+                        return
+                _put_sentinel(out_q)
             except BaseException as e:  # pragma: no cover
                 errors.append(e)
                 try:
@@ -417,22 +462,20 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
             except BaseException as e:  # pragma: no cover
                 errors.append(e)
 
-        prod_t = threading.Thread(target=producer, daemon=True)
-        writ_t = threading.Thread(target=writer, daemon=True)
-        prod_t.start()
-        writ_t.start()
+        threads = [threading.Thread(target=prepper, daemon=True),
+                   threading.Thread(target=writer, daemon=True)]
+        if not host_compute:
+            threads.insert(1, threading.Thread(target=uploader, daemon=True))
+        for t in threads:
+            t.start()
         # unbounded joins on the healthy path (writers legitimately take
         # long on slow disks); bounded only once an error is recorded
-        while prod_t.is_alive():
-            prod_t.join(timeout=1.0)
-            if errors:
-                prod_t.join(timeout=30)
-                break
-        while writ_t.is_alive():
-            writ_t.join(timeout=1.0)
-            if errors:
-                writ_t.join(timeout=30)
-                break
+        for t in threads:
+            while t.is_alive():
+                t.join(timeout=1.0)
+                if errors:
+                    t.join(timeout=30)
+                    break
         pf.close()
         if errors:
             raise errors[0]
