@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--beta", type=float, default=0.0)
     p.add_argument("--blk", type=int, default=None)
+    p.add_argument("--tile", type=int, default=None,
+                   help="operands are tile-major files with this tile edge "
+                        "(drivers/repack); implies blk=tile so every "
+                        "superblock read is one contiguous run")
     p.add_argument("--create-c", action="store_true")
     p.add_argument("--sharded", action="store_true",
                    help="run the multi-chip path over all local devices "
@@ -36,10 +40,20 @@ def main(argv=None):
     m, n, k = args.m, args.n, args.k
     a_shape = (k, m) if args.ta == "T" else (m, k)
     b_shape = (n, k) if args.tb == "T" else (k, n)
-    A = map_array(args.a_path, a_shape, np.float32, args.order, ctx=ctx)
-    B = map_array(args.b_path, b_shape, np.float32, args.order, ctx=ctx)
-    C = map_array(args.c_path, (m, n), np.float32, args.order,
-                  create=args.create_c, ctx=ctx)
+    if args.tile:
+        from ..core.tiled_array import map_tiled_array
+        args.blk = args.tile
+        A = map_tiled_array(args.a_path, a_shape, np.float32, args.order,
+                            tile=args.tile, ctx=ctx)
+        B = map_tiled_array(args.b_path, b_shape, np.float32, args.order,
+                            tile=args.tile, ctx=ctx)
+        C = map_tiled_array(args.c_path, (m, n), np.float32, args.order,
+                            tile=args.tile, create=args.create_c, ctx=ctx)
+    else:
+        A = map_array(args.a_path, a_shape, np.float32, args.order, ctx=ctx)
+        B = map_array(args.b_path, b_shape, np.float32, args.order, ctx=ctx)
+        C = map_array(args.c_path, (m, n), np.float32, args.order,
+                      create=args.create_c, ctx=ctx)
     with Timed("gemm", flops=2.0 * m * n * k):
         if args.sharded:
             from ..parallel import gemm_sharded, make_mesh

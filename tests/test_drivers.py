@@ -260,3 +260,29 @@ def test_xml_rank_driver(tmp_path, scratch):
     rows = np.arange(docs)[:, None]
     np.testing.assert_allclose(want[rows, got_l], got_s,
                                rtol=2e-4, atol=1e-4)
+
+
+def test_repack_and_tiled_gemm_driver(tmp_path, scratch):
+    """repack CLI converts flat<->tiled; gemm --tile matches the flat run
+    (core/tiled_array.py; extension — reference files are always flat,
+    misc/dense_create.cpp)."""
+    m, n, k, ts = 96, 80, 88, 32
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    at, bt, ct = (str(tmp_path / x) for x in ("at", "bt", "ct"))
+    run_driver("dense_create", a, m, k, "--fill", "random")
+    run_driver("dense_create", b, k, n, "--fill", "random", "--seed", 1)
+    r = run_driver("repack", a, at, m, k, "--tile", ts,
+                   "--scratch", scratch, "--verify")
+    assert "OK" in r.stdout
+    run_driver("repack", b, bt, k, n, "--tile", ts, "--scratch", scratch)
+    r = run_driver("gemm", at, bt, ct, m, n, k, "--tile", ts,
+                   "--create-c", "--scratch", scratch)
+    assert "checksum" in r.stdout
+    # unpack the tiled C and compare against the numpy golden
+    cf = str(tmp_path / "cf")
+    run_driver("repack", cf, ct, m, n, "--tile", ts, "--scratch", scratch,
+               "--unpack")
+    got = np.fromfile(cf, np.float32).reshape(m, n)
+    a_np = np.fromfile(a, np.float32).reshape(m, k)
+    b_np = np.fromfile(b, np.float32).reshape(k, n)
+    np.testing.assert_allclose(got, a_np @ b_np, rtol=2e-4, atol=1e-4)
