@@ -213,13 +213,25 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
     n = b.shape[1]
     k_sub = k1 - k0
     full_k = (k0 == 0 and k1 == a.shape[1])
+    # tile-major dense operands (core/tiled_array.py): csrmm's row blocks
+    # are nnz-adaptive, so tile-aligned storage access can't apply — the
+    # general-window paths decompose into contiguous tile visits instead
+    # (still sequential runs on disk; the flat column-panel read is k_sub
+    # tiny strided runs)
+    b_tiled = getattr(b, "tile", None) is not None
+    c_tiled = getattr(c, "tile", None) is not None
     for c0 in range(0, n, cb):
         bc = min(cb, n - c0)
         # B column sub-panel, shaped (k_sub, cb); pad both dims
-        b_host = b.read_block_storage(k0, k_sub, c0, bc)
+        if b_tiled:
+            b_host = b.read_block(k0, k_sub, c0, bc)  # logical row-major
+            b_order = "R"
+        else:
+            b_host = b.read_block_storage(k0, k_sub, c0, bc)
+            b_order = b.order
         sync_mode = getattr(cfg, "telemetry_sync", False)
         if host_compute:
-            b_panel_np = (b_host if b.order == "R"
+            b_panel_np = (b_host if b_order == "R"
                           else np.ascontiguousarray(b_host.T))
             b_panel = None
         else:
@@ -227,7 +239,7 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
 
             from ..ops import device as dev
             t_up = _time.perf_counter()
-            if b.order == "C":
+            if b_order == "C":
                 b_panel = jnp.asarray(b_host).T  # (k_sub, bc)
             else:
                 b_panel = jnp.asarray(b_host)
@@ -454,6 +466,12 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                     c_np *= alpha
                     if beta != 0.0:
                         c_np += beta * c.read_block(r, rows_b, c0, bc)
+                    if c_tiled:
+                        # general-window RMW through the tile grid (sync;
+                        # no ticket — the k-range barrier is implicit)
+                        c.write_block(
+                            r, np.ascontiguousarray(c_np, dtype=vdt), c0)
+                        continue
                     c_np = np.ascontiguousarray(c_np, dtype=vdt)
                     if c.order != "R":
                         c_np = np.ascontiguousarray(c_np.T)

@@ -146,3 +146,74 @@ def test_map_tiled_array_file(ctx, rng, tmp_path):
     assert os.path.getsize(path) == 3 * 3 * 16 * 16 * 4
     T2 = map_tiled_array(path, shape, np.float32, tile=16, ctx=ctx)
     np.testing.assert_array_equal(T2.read_all(), data)
+
+
+@pytest.mark.parametrize("mode", ["device", "host"])
+def test_csrmm_tiled_dense_operands(ctx, rng, mode):
+    """csrmm over tile-major B and C matches the flat run — the adaptive
+    row blocks go through the general-window tile paths (sparse/csrmm.py;
+    reference csrmm is flat-only, csrmm.cpp:64-126)."""
+    import scipy.sparse as sps
+
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+    ctx.config.max_nnzs = 2048
+    ctx.config.csrmm_cblk_size = 32
+    ctx.config.sparse_compute = mode
+    m, k, n, ts = 300, 200, 70, 64
+    a_sp = sps.random(m, k, density=0.03, format="csr", dtype=np.float32,
+                      random_state=3)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    c_np = rng.standard_normal((m, n)).astype(np.float32)
+    B = _mem_tiled((k, n), tile=ts, ctx=ctx)
+    C = _mem_tiled((m, n), tile=ts, ctx=ctx)
+    B.write_block(0, b_np)
+    C.write_block(0, c_np)
+    csrmm(A, B, C, alpha=1.5, beta=0.5, ctx=ctx)
+    want = 1.5 * (a_sp @ b_np) + 0.5 * c_np
+    np.testing.assert_allclose(C.read_all(), want, rtol=1e-4, atol=1e-4)
+
+
+def test_csrmm_tiled_k_split(ctx, rng):
+    """K-range splitting accumulates into tiled C (RMW tile writes under
+    the range barrier)."""
+    import scipy.sparse as sps
+
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+    ctx.config.max_nnzs = 1024
+    ctx.config.csrmm_cblk_size = 16
+    ctx.config.hbm_budget = 3 * 4096 * 16 * 4
+    m, k, n, ts = 150, 10_000, 24, 64
+    a_sp = sps.random(m, k, density=0.003, format="csr", dtype=np.float32,
+                      random_state=4)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    c_np = rng.standard_normal((m, n)).astype(np.float32)
+    B = _mem_tiled((k, n), tile=ts, ctx=ctx)
+    C = _mem_tiled((m, n), tile=ts, ctx=ctx)
+    B.write_block(0, b_np)
+    C.write_block(0, c_np)
+    csrmm(A, B, C, alpha=1.25, beta=0.5, ctx=ctx)
+    want = 1.25 * (a_sp @ b_np) + 0.5 * c_np
+    np.testing.assert_allclose(C.read_all(), want, rtol=1e-4, atol=1e-4)
+
+
+def test_csrmm_trans_tiled(ctx, rng):
+    """'T' streaming path reads tiled B / writes tiled C via the general
+    windows."""
+    import scipy.sparse as sps
+
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm
+    ctx.config.sparse_compute = "host"
+    m, k, n, ts = 200, 150, 40, 64
+    a_sp = sps.random(m, k, density=0.03, format="csr", dtype=np.float32,
+                      random_state=5)
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((m, n)).astype(np.float32)
+    B = _mem_tiled((m, n), tile=ts, ctx=ctx)
+    C = _mem_tiled((k, n), tile=ts, ctx=ctx)
+    B.write_block(0, b_np)
+    C.write_block(0, np.zeros((k, n), np.float32))
+    csrmm(A, B, C, transa="T", ctx=ctx)
+    want = a_sp.T @ b_np
+    np.testing.assert_allclose(C.read_all(), want, rtol=1e-4, atol=1e-4)
