@@ -328,6 +328,26 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             or b.shape != ((n, k) if tb else (k, n))):
         raise ValueError("operand shapes inconsistent with transposes")
 
+    # tile-major operands (core/tiled_array.py): fine on the single-host
+    # path when the stored tile grid matches the (lcm-rounded) blocking;
+    # the multi-host shard paths read/write sub-tile boxes, which the
+    # tile-aligned access contract cannot serve
+    for nm_, arr_ in (("a", a), ("b", b), ("c", c)):
+        t_ = getattr(arr_, "tile", None)
+        if t_ is None:
+            continue
+        if t_ != sb:
+            raise ValueError(
+                f"operand {nm_} is tile-major with tile {t_}; "
+                f"gemm_sharded blk resolved to {sb} (lcm-rounded to the "
+                f"{px}x{py} mesh) — repack with tile={sb}")
+        import jax as _jax
+        if _jax.process_count() > 1 or _FORCE_SHARDED_READS:
+            raise ValueError(
+                "tile-major operands are single-host only (multi-host "
+                "sharded reads/writes access sub-tile boxes); unpack to "
+                "a flat layout first")
+
     a_access, a_km = _op_block_reader(a, ta)
     b_access, b_nk = _op_block_reader(b, tb)
     c_nm = c.order == "C"

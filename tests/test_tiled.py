@@ -217,3 +217,28 @@ def test_csrmm_trans_tiled(ctx, rng):
     csrmm(A, B, C, transa="T", ctx=ctx)
     want = a_sp.T @ b_np
     np.testing.assert_allclose(C.read_all(), want, rtol=1e-4, atol=1e-4)
+
+
+def test_gemm_sharded_tiled_operands(ctx, rng):
+    """Single-host gemm_sharded over tile-major operands (tile == the
+    lcm-rounded blk) matches the numpy golden; mismatched tiles raise."""
+    import jax
+
+    from bof_tpu.parallel import gemm_sharded, make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(8)
+    m, n, k, blk = 96, 80, 112, 32  # lcm(4,2)=4 divides 32: no rounding
+    a_np = rng.standard_normal((m, k)).astype(np.float32)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    A = _mem_tiled((m, k), tile=blk, ctx=ctx)
+    B = _mem_tiled((k, n), tile=blk, ctx=ctx)
+    C = _mem_tiled((m, n), tile=blk, ctx=ctx)
+    A.write_block(0, a_np)
+    B.write_block(0, b_np)
+    gemm_sharded(A, B, C, blk=blk, mesh=mesh, ctx=ctx)
+    want = a_np.astype(np.float64) @ b_np.astype(np.float64)
+    np.testing.assert_allclose(C.read_all(), want.astype(np.float32),
+                               rtol=2e-4, atol=1e-4)
+    with pytest.raises(ValueError, match="tile-major"):
+        gemm_sharded(A, B, C, blk=16, mesh=mesh, ctx=ctx)
