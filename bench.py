@@ -678,15 +678,14 @@ def main():
     # runs before the gemm headline — the artifact can no longer lose
     # the sparse number to a mid-gemm tunnel collapse, and the gemm can
     # size itself from the budget actually remaining.  The pending
-    # marker still arms crash-resume ordering metadata for readers.
+    # marker records an in-flight csrmm for post-mortem readers of
+    # bench_state.json (a crash/timeout leaves it set).
     ok = True
-    csrmm_ran = False
     if csrmm_enabled:
         state["csrmm_pending"] = True
         save_state()
         _progress("csrmm secondary (runs before the headline)")
         ok = do_csrmm("before_gemm") and ok
-        csrmm_ran = True
 
     # 8192 (not sb): close enough to the large-N matmul asymptote that an
     # extrapolated vs_baseline is honest when the full-N twin is skipped
@@ -804,28 +803,47 @@ def main():
                 "last": round(samples[-1], 4),
                 "min": round(s[0], 4), "max": round(s[-1], 4)}
 
-    # honest in-memory twin at the SAME problem size: only when the jit
-    # for this exact N is known-cached (a fresh N is a 30-170s remote
-    # compile — the round-2 overrun).  First sighting of an N records it
-    # so the NEXT round can afford the full-size twin.
+    # honest in-memory twin at the SAME problem size.  `inmem_measured`
+    # holds ONLY values genuinely measured at that N (so the jit is in
+    # the persistent compile cache); first sightings go to `inmem_seen`
+    # and stay labelled as extrapolations — a prior_run_at_N provenance
+    # claim is never attached to an 8192-probe extrapolation.
     measured = state.setdefault("inmem_measured", {})
-    in_mem_source = f"measured_at_{inmem_probe_n}"
+    seen = state.setdefault("inmem_seen", {})
+    if state.get("inmem_prov_v", 0) < 2:
+        # pre-v2 state mixed real measurements with first-sighting
+        # extrapolations in `inmem_measured`; demote everything to `seen`
+        # (re-measuring is cheap wherever the compile cache has the shape)
+        seen.update(measured)
+        measured.clear()
+        state["inmem_prov_v"] = 2
+    in_mem_source = f"extrapolated_from_{inmem_probe_n}"
     if 3 * n * n * 4 <= 12 << 30:
         if str(n) in measured and elapsed() < 0.75 * budget_s:
+            try:  # warm: a prior run paid the compile for this exact N
+                inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
+                measured[str(n)] = round(inmem_tflops, 2)
+                in_mem_source = f"measured_at_{n}"
+            except Exception:
+                inmem_tflops = float(measured[str(n)])
+                in_mem_source = f"prior_run_at_{n}"
+        elif str(n) in measured:
+            inmem_tflops = float(measured[str(n)])
+            in_mem_source = f"prior_run_at_{n}"
+        elif str(n) in seen and elapsed() < 0.45 * budget_s:
+            # second sighting with real headroom: pay the one-time cold
+            # remote compile (30-170s) now so every later run gets a true
+            # full-N twin from the persistent compile cache
             try:
                 inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
                 measured[str(n)] = round(inmem_tflops, 2)
                 in_mem_source = f"measured_at_{n}"
             except Exception:
                 pass
-        elif str(n) in measured:
-            inmem_tflops = float(measured[str(n)])
-            in_mem_source = f"prior_run_at_{n}"
         else:
-            # not compiled yet: mark for next round rather than risk the
-            # wall budget on a cold remote compile now
-            measured[str(n)] = round(inmem_tflops, 2)
-            in_mem_source = f"measured_at_{inmem_probe_n}"
+            # first sighting: record it so the NEXT run can decide to
+            # invest in the full-size twin; value stays an extrapolation
+            seen[str(n)] = round(inmem_tflops, 2)
     save_state()
     probe_after = measure_link_gbps()
     probes = [probe_before["h2d"], probe_before["d2h"],
@@ -878,6 +896,8 @@ def main():
                                   / (link or 1), 4),
         "link_busy_frac": round((h2d_s + d2h_s) / dt, 4),
         "stall_s": {"disk": round(md("gemm.disk_wait_s"), 2),
+                    "prep": round(md("gemm.prep_s"), 2),
+                    "lock_wait": round(md("gemm.lock_wait_s"), 2),
                     "h2d": round(h2d_s, 2), "d2h": round(d2h_s, 2),
                     "accum_wait": round(md("gemm.accum_wait_s"), 2),
                     "tile_wait": round(md("gemm.tile_wait_s"), 2),
@@ -903,19 +923,6 @@ def main():
     # persist the measured sustained rate for next-run sizing
     state["sustained_gbps"] = headline["combined_link_gbps"]
     save_state()
-
-    # sparse secondary AFTER the headline (unless it already ran first
-    # because the previous artifact dropped it)
-    if csrmm_enabled and not csrmm_ran:
-        if elapsed() < 0.85 * budget_s:
-            _progress("csrmm secondary")
-            ok = do_csrmm("after_gemm") and ok
-            csrmm_ran = True
-        else:
-            # budget spent (tunnel degraded mid-run): record the headline
-            # rather than risk the whole line timing out; csrmm_pending
-            # stays set so the NEXT run fronts it
-            result["csrmm_skipped"] = f"wall budget spent ({elapsed():.0f}s)"
 
     # tertiary kernel rotation (csrgemv -> kmeans -> csrcsc_sort): every
     # kernel accumulates real-chip history across rounds instead of
@@ -982,6 +989,8 @@ def main():
                 # in-run per-tile link samples attribute any slowdown to
                 # tunnel drift vs pipeline bubble from the JSON alone
                 "stall_s": {"disk": round(xd("gemm.disk_wait_s"), 2),
+                            "prep": round(xd("gemm.prep_s"), 2),
+                            "lock_wait": round(xd("gemm.lock_wait_s"), 2),
                             "h2d": round(xd("gemm.h2d_s"), 2),
                             "d2h": round(xd("gemm.d2h_s"), 2),
                             "accum_wait": round(xd("gemm.accum_wait_s"), 2),

@@ -71,9 +71,10 @@ def _topk_step_sharded(mesh, k: int):
     same layout as parallel/csrmm_sp.py) and only (rows x k) crosses
     ICI/host."""
     import jax
-    import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from ..sparse.spmm_device import ell_gather_reduce
 
     axes = mesh.axis_names
 
@@ -82,12 +83,9 @@ def _topk_step_sharded(mesh, k: int):
         in_specs=(P(), P(axes, None), P(axes, None), P()),
         out_specs=(P(axes, None), P(axes, None)))
     def step(b_panel, ja_ell, va_ell, label_mask):
-        # indices may arrive uint16 (narrow link transfer) — widen in HBM
-        g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1),
-                     axis=0)
-        g = g.reshape(ja_ell.shape + (b_panel.shape[1],))
-        s = (jnp.sum(va_ell.astype(b_panel.dtype)[:, :, None] * g, axis=1)
-             + label_mask[None, :])
+        # per-shard body = the single-chip ELL kernel (one definition;
+        # uint16 widening / bf16 promotion live in spmm_device.py)
+        s = ell_gather_reduce(b_panel, ja_ell, va_ell) + label_mask[None, :]
         vals, idx = jax.lax.top_k(s, k)
         return vals, idx  # explicit tuple: top_k yields a list, which
         # would mismatch the tuple out_specs pytree

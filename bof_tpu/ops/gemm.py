@@ -251,7 +251,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 pin = desc[6]
                 t0 = time.perf_counter()
                 cache.wait_ready(pin)
-                t1 = time.perf_counter()
+                t_disk = time.perf_counter()
                 host = cache.buf(pin).view(a.dtype).reshape(st_shape)
                 scale = None
                 if xfer_bf16:
@@ -269,10 +269,13 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                     scale = amax / 127.0
                     host = np.rint(host * (1.0 / scale)).astype(np.int8)
                 padded = pad_to(host, (sb, sb))
+                t_prep = time.perf_counter()
                 if sync_mode:
                     # truthful telemetry: exclusive channel + in-window
                     # sync makes (t2 - t1) a real transfer time and the
-                    # per-tile rate a live link-health sample
+                    # per-tile rate a live link-health sample; the lock
+                    # wait (channel contention vs the writer's D2H) is
+                    # its own stage, NOT disk or transfer time
                     with dev.XFER_LOCK:
                         t1 = time.perf_counter()
                         arr = dev.to_device(padded)
@@ -280,10 +283,13 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                         t2 = time.perf_counter()
                     METRICS.observe("gemm.h2d_tile_gbps",
                                     arr.nbytes / max(t2 - t1, 1e-9) / 1e9)
+                    METRICS.add("gemm.lock_wait_s", t1 - t_prep)
                 else:
+                    t1 = t_prep
                     arr = dev.to_device(padded)
                     t2 = time.perf_counter()
-                METRICS.add("gemm.disk_wait_s", t1 - t0)
+                METRICS.add("gemm.disk_wait_s", t_disk - t0)
+                METRICS.add("gemm.prep_s", t_prep - t_disk)
                 METRICS.add("gemm.h2d_s", t2 - t1)
                 METRICS.add("gemm.h2d_bytes", arr.nbytes)
                 if kind == "hbm":
@@ -298,6 +304,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                     t0 = time.perf_counter()
                     c_host = c.read_block_storage(i * sb, bi, j * sb, bj)
                     c_pad = pad_to(c_host, c_full_storage)
+                    t_prep = time.perf_counter()
                     if sync_mode:
                         with dev.XFER_LOCK:
                             th = time.perf_counter()
@@ -305,9 +312,12 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                             dev.sync(c_init)
                             METRICS.add("gemm.h2d_s",
                                         time.perf_counter() - th)
+                        METRICS.add("gemm.lock_wait_s", th - t_prep)
                     else:
                         c_init = dev.to_device(c_pad)
-                    METRICS.add("gemm.c_read_s", time.perf_counter() - t0)
+                    # read+pad span only — the upload seconds were already
+                    # booked to h2d_s/lock_wait_s above (stages partition)
+                    METRICS.add("gemm.c_read_s", t_prep - t0)
                     METRICS.add("gemm.h2d_bytes", c_init.nbytes)
                 da, db = pinned.popleft()
                 try:

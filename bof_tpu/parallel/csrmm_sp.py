@@ -30,25 +30,19 @@ def sharded_spmm_step(mesh):
     mesh axis, B replicated.  lru_cached so repeated planner calls reuse
     jax.jit's trace cache (a fresh closure per call would retrace)."""
     import jax
-    import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    from ..sparse.spmm_device import ell_gather_reduce
+
     axes = mesh.axis_names
 
-    @functools.partial(
+    # per-shard body IS the single-chip ELL kernel (one definition:
+    # uint16 widening / bf16 promotion changes land here automatically)
+    step = functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(axes, None), P(axes, None)),
-        out_specs=P(axes, None))
-    def step(b_panel, ja_ell, va_ell):
-        # indices may arrive uint16 (narrow link transfer) — widen in HBM
-        g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1),
-                     axis=0)
-        g = g.reshape(ja_ell.shape + (b_panel.shape[1],))
-        # values may arrive bf16 — promote so the reduce runs at panel
-        # precision
-        return jnp.sum(va_ell.astype(b_panel.dtype)[:, :, None] * g,
-                       axis=1)
+        out_specs=P(axes, None))(ell_gather_reduce)
 
     return jax.jit(step)
 

@@ -19,8 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def spmm_ell_block(b_panel, ja_ell, va_ell):
+def ell_gather_reduce(b_panel, ja_ell, va_ell):
     """(rows, cb) = sum_r va_ell[row, r] * B[ja_ell[row, r]].
 
     ELL-blocked SpMM: rows padded to the block's max row length, so the
@@ -35,6 +34,11 @@ def spmm_ell_block(b_panel, ja_ell, va_ell):
     va_ell may arrive bfloat16 (transfer_dtype='bfloat16') — promoted to
     the panel dtype in HBM so the reduction always accumulates at full
     panel precision.
+
+    This raw (un-jitted) body is THE single definition of the ELL
+    product: the sharded step bodies (parallel/csrmm_sp.py,
+    apps/xml_rank.py) trace it inside shard_map, so a transfer-dtype
+    change lands everywhere at once.
     """
     g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1), axis=0)
     g = g.reshape(ja_ell.shape + (b_panel.shape[1],))   # (rows, rmax, cb)
@@ -42,6 +46,9 @@ def spmm_ell_block(b_panel, ja_ell, va_ell):
     # explicit multiply + reduce (VPU): an einsum here would lower to a
     # rows-batched matmul, which compiles/executes poorly at 10k+ batches
     return jnp.sum(va_ell[:, :, None] * g, axis=1)
+
+
+spmm_ell_block = jax.jit(ell_gather_reduce)
 
 
 def spmm_ell_block_dispatch(b_panel, ja_ell, va_ell, impl: str = "auto"):
