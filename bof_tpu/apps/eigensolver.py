@@ -159,6 +159,105 @@ def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
     return U
 
 
+def _replicate_step(mesh):
+    """jitted identity that reshards a row-sharded array to replicated —
+    XLA lowers it to ONE all-gather riding ICI.  Cached per mesh so every
+    operator application reuses the jit trace cache."""
+    import functools as _ft
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if not hasattr(_replicate_step, "_cache"):
+        _replicate_step._cache = {}
+    got = _replicate_step._cache.get(mesh)
+    if got is None:
+        got = jax.jit(lambda x: x,
+                      out_shardings=NamedSharding(mesh, P()))
+        _replicate_step._cache[mesh] = got
+    return got
+
+
+def _apply_ata_one_pass_sharded(a: CsrFlashMatrix, v_np: np.ndarray,
+                                mesh, ctx) -> np.ndarray:
+    """One-pass U = A^T (A V) with BOTH ELL halves row-sharded over the
+    device mesh.  Per nnz-budgeted row block: the forward product
+    row-shards A's rows (pure row data parallelism, the csrmm_sp layout);
+    the W panel is then resharded replicated by a single XLA all-gather
+    over ICI; the transposed half row-shards A's columns against the
+    replicated W.  A's bytes still cross the disk exactly once, the fp64
+    U accumulator stays on the host, and count-sorted ELL banding applies
+    on both (power-law) axes.  Single-process meshes only: the host
+    accumulate needs every U shard addressable — multi-host eigensolving
+    uses the two-csrmm composition (one_pass=False).
+    Reference semantics: csrmm 'T' dispatch (csrmm.cpp:364-420) fused
+    with the 'N' product per block, distributed."""
+    import jax
+    import scipy.sparse as sps
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.csrmm_sp import sharded_spmm_step
+    from ..parallel.mesh import device_put_sharded
+    from ..sparse import spmm_device as sdev
+    from ..sparse.csr import fill_row_blocks, stream_row_blocks
+
+    if jax.process_count() > 1:
+        raise ValueError("sharded one_pass needs every device addressable "
+                         "(single process); use one_pass=False on "
+                         "multi-host meshes")
+    cfg = ctx.config
+    m, k = a.shape
+    axes = mesh.axis_names
+    n_dev = int(np.prod(mesh.devices.shape))
+    min_rows = max(8, n_dev)
+    sh_rep = NamedSharding(mesh, P())
+    sh_rows = NamedSharding(mesh, P(axes, None))
+    step = sharded_spmm_step(mesh)
+    replicate = _replicate_step(mesh)
+    ia_np = a.read_ia()
+    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
+    v32 = np.ascontiguousarray(v_np, np.float32)
+    b = v32.shape[1]
+    v_dev = device_put_sharded(v32, sh_rep)
+    entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (b * 4)))
+    sort_rows = getattr(cfg, "ell_sort_rows", True)
+    narrow = getattr(cfg, "ell_idx_narrow", True)
+    fwd_idt = sdev.ell_idx_dtype(k, narrow)
+    U = np.zeros((k, b), np.float64)
+    for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
+        blk_ia = ia_np[r:e + 1] - int(ia_np[r])
+        counts = np.diff(blk_ia)
+        order = (np.argsort(counts, kind="stable") if sort_rows
+                 else np.arange(e - r))
+        blk_sp = sps.csr_matrix(
+            (va_blk, ja_blk.astype(np.int64), blk_ia.astype(np.int64)),
+            shape=(e - r, k))
+        for s0, s1 in sdev.ell_row_ranges(counts[order], entry_cap):
+            rows_sel = order[s0:s1]
+            ja_e, va_e = sdev.to_ell_rows(blk_ia, ja_blk, va_blk, rows_sel,
+                                          min_rows=min_rows,
+                                          idx_dtype=fwd_idt)
+            w_sub = step(v_dev, device_put_sharded(ja_e, sh_rows),
+                         device_put_sharded(va_e, sh_rows))
+            w_rep = replicate(w_sub)  # one all-gather on ICI
+            # transpose the selected rows in DRAM (already resident); the
+            # CSC row indices are positions within rows_sel — exactly
+            # w_rep's row order
+            sub = blk_sp[rows_sel].tocsc()
+            ccounts = np.diff(sub.indptr)
+            csort = np.argsort(ccounts, kind="stable")
+            t_idt = sdev.ell_idx_dtype(len(rows_sel), narrow)
+            for c0, c1 in sdev.ell_row_ranges(ccounts[csort], entry_cap):
+                cols_sel = csort[c0:c1]
+                cja, cva = sdev.to_ell_rows(
+                    sub.indptr.astype(np.int64), sub.indices, sub.data,
+                    cols_sel, min_rows=min_rows, idx_dtype=t_idt)
+                u_part = step(w_rep, device_put_sharded(cja, sh_rows),
+                              device_put_sharded(cva, sh_rows))
+                U[cols_sel] += np.asarray(u_part)[:len(cols_sel)]
+    METRICS.add("eig.op_applies")
+    return U
+
+
 def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
                     seed: int = 0, tol: float = 1e-6,
                     one_pass: Optional[bool] = None, ctx=None
@@ -251,12 +350,15 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     kernel-boundary durability (SURVEY §5 checkpoint/resume) to this
     hours-long solver's host state.  The file is removed on convergence.
 
-    With `mesh`, both csrmm passes of every operator application run
-    row-sharded over the device mesh (parallel/csrmm_sp.py); the small
-    host-side Krylov algebra is unchanged.  `one_pass` (default on when
-    no mesh is given) applies the operator in a single streaming pass
-    over A (_apply_ata_one_pass) instead of materializing A^T + the W
-    panel — strictly less I/O per application.
+    With `mesh`, every operator application runs row-sharded over the
+    device mesh: by default the two csrmm passes (parallel/csrmm_sp.py,
+    works multi-host); with an explicit one_pass=True, the single
+    streaming pass with both ELL halves sharded and one ICI all-gather
+    between them (_apply_ata_one_pass_sharded, single-process meshes).
+    The small host-side Krylov algebra is unchanged either way.
+    `one_pass` (default on when no mesh is given) applies the operator
+    in a single streaming pass over A (_apply_ata_one_pass) instead of
+    materializing A^T + the W panel — strictly less I/O per application.
 
     Returns (sigma (L,) descending, V (k, L))."""
     import os
@@ -270,14 +372,16 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     rng = np.random.default_rng(seed)
     timer = Timer()
 
-    if one_pass and mesh is not None:
-        raise ValueError("one_pass=True is single-device; it cannot be "
-                         "combined with mesh= (the sharded operator uses "
-                         "the csrmm composition)")
     if one_pass is None:
         one_pass = mesh is None
     at = W = None
-    if one_pass and mesh is None:
+    if one_pass and mesh is not None:
+        # explicit opt-in: one streaming pass over A with both ELL halves
+        # row-sharded over the mesh (single process — multi-host must use
+        # the csrmm composition; _apply_ata_one_pass_sharded raises there)
+        def apply_op(v_np: np.ndarray) -> np.ndarray:
+            return _apply_ata_one_pass_sharded(a, v_np, mesh, ctx)
+    elif one_pass:
         def apply_op(v_np: np.ndarray) -> np.ndarray:
             """B v = A^T (A v) in one streaming pass over A."""
             return _apply_ata_one_pass(a, v_np, ctx)

@@ -304,3 +304,47 @@ def test_block_power_svd_device_one_pass(ctx, rng):
     want = np.sort(spla.svds(a_sp.astype(np.float64), k=L,
                              return_singular_vectors=False))[::-1]
     np.testing.assert_allclose(sigma, want, rtol=1e-3)
+
+
+def test_one_pass_sharded_matches_host(ctx, rng):
+    """The mesh-sharded one-pass operator (forward rows sharded, one ICI
+    all-gather, transposed columns sharded) must match the host scipy
+    path at fp32 tolerance, including multi-subrange skewed blocks."""
+    from bof_tpu.apps.eigensolver import (_apply_ata_one_pass,
+                                          _apply_ata_one_pass_sharded)
+    from bof_tpu.parallel.mesh import make_mesh
+    ctx.config.max_nnzs = 2048
+    ctx.config.hbm_budget = 1 << 21  # small entry cap -> many subranges
+    m, k, b = 500, 130, 7
+    a_sp = sps.random(m, k, density=0.06, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(7)).tolil()
+    a_sp[77, :] = rng.standard_normal(k)    # mega-row skews ELL ranges
+    a_sp[401, :90] = -0.5                   # mega-column block too
+    a_sp = a_sp.tocsr()
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    v_np = rng.standard_normal((k, b))
+    mesh = make_mesh()
+
+    ctx.config.sparse_compute = "host"
+    u_host = _apply_ata_one_pass(A, v_np, ctx)
+    u_sh = _apply_ata_one_pass_sharded(A, v_np, mesh, ctx)
+    want = a_sp.T.astype(np.float64) @ (a_sp.astype(np.float64) @ v_np)
+    np.testing.assert_allclose(u_host, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(u_sh, want, rtol=1e-4, atol=1e-4)
+
+
+def test_block_lanczos_svd_sharded_one_pass(ctx, rng):
+    """End-to-end lanczos with mesh= AND one_pass=True (the sharded
+    streaming operator) matches scipy svds."""
+    from bof_tpu.apps import block_lanczos_svd
+    from bof_tpu.parallel.mesh import make_mesh
+    ctx.config.max_nnzs = 2048
+    m, k, L = 300, 120, 5
+    a_sp = sps.random(m, k, density=0.05, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(3))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    sigma, v = block_lanczos_svd(A, L, tol=1e-9, one_pass=True,
+                                 mesh=make_mesh(), ctx=ctx)
+    want = np.sort(spla.svds(a_sp.astype(np.float64), k=L,
+                             return_singular_vectors=False))[::-1]
+    np.testing.assert_allclose(sigma, want, rtol=1e-3)
