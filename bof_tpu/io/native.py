@@ -114,8 +114,46 @@ def load_library():
         lib.bof_wait.argtypes = [ctypes.c_longlong]
         lib.bof_set_aio_depth.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.bof_set_verify_writes.argtypes = [ctypes.c_int]
+        try:  # host prep kernels (absent from pre-built stale .so copies)
+            lib.bof_quantize_i8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_longlong]
+            lib.bof_quantize_i8.restype = ctypes.c_double
+            lib.bof_cast_bf16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_longlong]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
+
+
+def quantize_i8(src: np.ndarray):
+    """(int8 array, scale): per-tile max-abs quantization for the int8
+    transfer mode.  Native engine when available — parallel fused passes,
+    ~10x the numpy rint chain, which was the dominant stage (`prep_s`) of
+    the compressed gemm path — with a bit-compatible numpy fallback."""
+    src = np.ascontiguousarray(src, np.float32)
+    lib = load_library()
+    if lib is not None and hasattr(lib, "bof_quantize_i8"):
+        dst = np.empty(src.shape, np.int8)
+        scale = lib.bof_quantize_i8(src.ctypes.data, dst.ctypes.data,
+                                    src.size)
+        return dst, float(scale)
+    amax = float(np.abs(src).max()) or 1.0
+    scale = amax / 127.0
+    return np.rint(src * (1.0 / scale)).astype(np.int8), scale
+
+
+def cast_bf16(src: np.ndarray) -> np.ndarray:
+    """float32 -> bfloat16 (round-to-nearest-even) for the bf16 transfer
+    mode; native parallel cast with ml_dtypes fallback."""
+    import ml_dtypes
+    src = np.ascontiguousarray(src, np.float32)
+    lib = load_library()
+    if lib is not None and hasattr(lib, "bof_cast_bf16"):
+        dst = np.empty(src.shape, np.uint16)
+        lib.bof_cast_bf16(src.ctypes.data, dst.ctypes.data, src.size)
+        return dst.view(ml_dtypes.bfloat16)
+    return src.astype(ml_dtypes.bfloat16)
 
 
 def apply_engine_config(cfg):

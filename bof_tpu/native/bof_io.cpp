@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <cmath>
 #include <cstring>
 #include <deque>
 #include <mutex>
@@ -592,9 +593,83 @@ void Engine::worker() {
   }
 }
 
+// ---------- host prep kernels (transfer compression) ----------
+// One-off thread fan-out, NOT the I/O worker pool: prep must not queue
+// behind in-flight disk ops (and vice versa).  Thread spawn (~50 us)
+// is noise next to the tens-of-ms passes being split.  fn(lo, hi, tid),
+// tid < 16.
+template <typename Fn>
+static void prep_parallel(int64_t n, Fn fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nt = std::min<int64_t>(hw ? hw : 4, 8);
+  constexpr int64_t kMinPerThread = 1 << 20;  // elements
+  nt = std::min<int64_t>(nt, (n + kMinPerThread - 1) / kMinPerThread);
+  if (nt <= 1) {
+    fn((int64_t)0, n, (int64_t)0);
+    return;
+  }
+  int64_t per = (n + nt - 1) / nt;
+  std::vector<std::thread> ts;
+  for (int64_t t = 1; t < nt; ++t) {
+    int64_t lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back(fn, lo, hi, t);
+  }
+  fn((int64_t)0, std::min(per, n), (int64_t)0);
+  for (auto& th : ts) th.join();
+}
+
 }  // namespace
 
 extern "C" {
+
+// Per-tile max-abs int8 quantization (transfer_dtype='int8' host prep,
+// ops/gemm.py): dst[i] = rint(src[i]/scale) clamped to [-127,127] with
+// scale = maxabs/127 (maxabs 0 -> 1, matching the python fallback).
+// Two parallel passes; lrintf under the default FE_TONEAREST mode is
+// round-half-even like np.rint.  Returns scale.
+double bof_quantize_i8(const float* src, signed char* dst, long long n) {
+  float part[16] = {0};
+  prep_parallel(n, [&](int64_t lo, int64_t hi, int64_t tid) {
+    float m = 0.0f;
+    for (int64_t i = lo; i < hi; ++i) {
+      float a = std::fabs(src[i]);
+      if (a > m) m = a;
+    }
+    part[tid] = m;
+  });
+  float amax = 0.0f;
+  for (float p : part) amax = std::max(amax, p);
+  if (amax == 0.0f) amax = 1.0f;
+  const float scale = amax / 127.0f;
+  const float inv = 1.0f / scale;
+  prep_parallel(n, [&](int64_t lo, int64_t hi, int64_t) {
+    for (int64_t i = lo; i < hi; ++i) {
+      long v = lrintf(src[i] * inv);
+      if (v > 127) v = 127;
+      if (v < -127) v = -127;
+      dst[i] = (signed char)v;
+    }
+  });
+  return (double)scale;
+}
+
+// float32 -> bfloat16 (round-to-nearest-even, NaN kept quiet): the
+// native twin of ml_dtypes' astype for transfer_dtype='bfloat16' prep.
+void bof_cast_bf16(const float* src, unsigned short* dst, long long n) {
+  prep_parallel(n, [&](int64_t lo, int64_t hi, int64_t) {
+    for (int64_t i = lo; i < hi; ++i) {
+      uint32_t u;
+      std::memcpy(&u, &src[i], 4);
+      if ((u & 0x7fffffffu) > 0x7f800000u) {  // NaN: force the quiet bit
+        dst[i] = (unsigned short)((u >> 16) | 0x0040u);
+      } else {
+        uint32_t r = u + 0x7fffu + ((u >> 16) & 1u);
+        dst[i] = (unsigned short)(r >> 16);
+      }
+    }
+  });
+}
 
 int bof_engine_start(int n_threads) {
   if (g_engine) return 0;

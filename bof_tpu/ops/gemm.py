@@ -257,17 +257,18 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 if xfer_bf16:
                     # round on the host so HALF the bytes cross the link
                     # (the accumulate step keeps an fp32 accumulator)
-                    import ml_dtypes
-                    host = host.astype(ml_dtypes.bfloat16)
+                    from ..io.native import cast_bf16
+                    host = cast_bf16(host)
                 elif xfer_int8:
                     # per-tile max-abs quantization: a QUARTER of the
                     # fp32 bytes cross the link; the device multiplies
                     # int8 x int8 -> int32 exactly (MXU-native) and one
                     # f32 rescale per tile restores magnitude — the only
-                    # error is input rounding (~0.4% of the tile max)
-                    amax = float(np.abs(host).max()) or 1.0
-                    scale = amax / 127.0
-                    host = np.rint(host * (1.0 / scale)).astype(np.int8)
+                    # error is input rounding (~0.4% of the tile max).
+                    # Native parallel kernel: the numpy rint chain was
+                    # the compressed path's dominant prep_s stage
+                    from ..io.native import quantize_i8
+                    host, scale = quantize_i8(host)
                 padded = pad_to(host, (sb, sb))
                 t_prep = time.perf_counter()
                 if sync_mode:

@@ -122,3 +122,35 @@ def test_explicit_native_tile_cache_requires_native_io(tmp_path):
             ctx.pin_cache()
     finally:
         ctx.destroy()
+
+
+def test_native_prep_kernels_match_numpy():
+    """bof_quantize_i8 / bof_cast_bf16 (parallel host prep for the
+    compressed transfer modes) must match the numpy/ml_dtypes goldens:
+    bf16 bit-exact (both RTNE), int8 within one quantum (f32-vs-f64
+    product rounding can flip an exact tie)."""
+    import ml_dtypes
+    from bof_tpu.io.native import cast_bf16, quantize_i8
+
+    rng = np.random.default_rng(42)
+    h = (rng.standard_normal((333, 257)) * 1e3).astype(np.float32)
+
+    q, scale = quantize_i8(h)
+    amax = float(np.abs(h).max())
+    scale_ref = amax / 127.0
+    q_ref = np.rint(h * (1.0 / scale_ref)).astype(np.int8)
+    assert abs(scale - scale_ref) / scale_ref < 1e-6
+    assert np.abs(q.astype(np.int16) - q_ref.astype(np.int16)).max() <= 1
+
+    b = cast_bf16(h)
+    assert b.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(b.view(np.uint16),
+                                  h.astype(ml_dtypes.bfloat16)
+                                  .view(np.uint16))
+
+    # edges: zero tile (scale 1/127, all-zero output); NaN/inf preserved
+    z, sz = quantize_i8(np.zeros((16, 16), np.float32))
+    assert abs(sz - 1.0 / 127.0) < 1e-9 and not z.any()
+    nn = np.array([np.nan, 1.0, -np.inf], np.float32)
+    bn = cast_bf16(nn)
+    assert np.isnan(np.float32(bn[0])) and np.isneginf(np.float32(bn[2]))
