@@ -996,11 +996,12 @@ def main():
     # (its rotation index only advances on a completed run, so the
     # skipped kernel goes first next time)
     rotation = ["csrgemv", "kmeans", "csrcsc_sort", "map_reduce"]
-    # gate against the ~300s wall target (1.25x the 240s budget), not the
-    # budget itself: a tertiary is ~15-30s incl. compile, and it is the
-    # last chip work before the line prints
+    # gate against the hard ~6-min wall (1.5x the 240s budget), reserving
+    # the worst tertiary observed (cold compile 30s+ on a degraded tunnel
+    # can stretch a 15-30s tertiary to ~90s) so the artifact never
+    # overruns the CLAUDE.md bench invariant
     if (os.environ.get("BOF_BENCH_TERTIARY", "1") == "1"
-            and elapsed() + 35 < 1.25 * budget_s):
+            and elapsed() + 90 < 1.5 * budget_s):
         tert = rotation[int(state.get("rotation_idx", 0)) % len(rotation)]
         _progress(f"tertiary kernel: {tert}")
         try:

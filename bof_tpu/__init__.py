@@ -16,9 +16,10 @@ from .ops import bof_map, bof_reduce, bof_sort, gemm, gemm_in_mem
 from .ops.kmeans import kmeans_fit, lloyds_iter
 from .sparse import (CsrFlashMatrix, csrcsc, csrcsc_scratch, csrgemv,
                      csrmm)
-from .apps import block_power_svd, topic_model
+from .apps import (block_lanczos_svd, block_power_svd, topic_model,
+                   xml_rank)
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "DEFAULT_CONFIG", "FlashConfig", "FlashContext", "flash_destroy",
@@ -28,5 +29,5 @@ __all__ = [
     "bof_map", "bof_reduce", "bof_sort", "gemm", "gemm_in_mem",
     "kmeans_fit", "lloyds_iter",
     "CsrFlashMatrix", "csrcsc", "csrcsc_scratch", "csrgemv", "csrmm",
-    "block_power_svd", "topic_model",
+    "block_lanczos_svd", "block_power_svd", "topic_model", "xml_rank",
 ]

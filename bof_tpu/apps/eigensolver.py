@@ -25,6 +25,7 @@ flash scratch.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -159,22 +160,15 @@ def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
     return U
 
 
+@functools.lru_cache(maxsize=None)
 def _replicate_step(mesh):
     """jitted identity that reshards a row-sharded array to replicated —
     XLA lowers it to ONE all-gather riding ICI.  Cached per mesh so every
     operator application reuses the jit trace cache."""
-    import functools as _ft
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if not hasattr(_replicate_step, "_cache"):
-        _replicate_step._cache = {}
-    got = _replicate_step._cache.get(mesh)
-    if got is None:
-        got = jax.jit(lambda x: x,
-                      out_shardings=NamedSharding(mesh, P()))
-        _replicate_step._cache[mesh] = got
-    return got
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
 
 
 def _apply_ata_one_pass_sharded(a: CsrFlashMatrix, v_np: np.ndarray,
@@ -377,8 +371,16 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     at = W = None
     if one_pass and mesh is not None:
         # explicit opt-in: one streaming pass over A with both ELL halves
-        # row-sharded over the mesh (single process — multi-host must use
-        # the csrmm composition; _apply_ata_one_pass_sharded raises there)
+        # row-sharded over the mesh.  Single process only (the host U
+        # accumulate needs every shard addressable) — validate at the API
+        # boundary instead of failing from inside the first operator
+        # application deep in the restart loop
+        import jax as _jax
+        if _jax.process_count() > 1:
+            raise ValueError("sharded one_pass needs every device "
+                             "addressable (single process); use "
+                             "one_pass=False on multi-host meshes")
+
         def apply_op(v_np: np.ndarray) -> np.ndarray:
             return _apply_ata_one_pass_sharded(a, v_np, mesh, ctx)
     elif one_pass:

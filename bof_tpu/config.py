@@ -45,14 +45,15 @@ class FlashConfig:
     #   accept ~1e-3 relative input rounding.  "int8" QUARTERS them:
     #   per-tile max-abs quantization on the host, exact int8 MXU
     #   products with one f32 rescale per tile (~0.4%-of-tile-max input
-    #   rounding).  Sparse kernels honor "bfloat16" too: the streamed va
-    #   half of every ELL upload ships bf16 and is promoted back to the
-    #   panel dtype in HBM before the reduce (B panels are amortized per
-    #   column panel, so they stay f32 and set the accumulate precision);
-    #   fp64 values and the Lanczos one-pass operator (fp64 host
-    #   accumulator) keep full precision, and "int8" means f32 for
-    #   sparse — max-abs tile quantization doesn't compose with a
-    #   gather-reduce.
+    #   rounding).  Sparse kernels honor both: the streamed va half of
+    #   every ELL upload ships bf16 ("bfloat16") or int8 with a per-ROW
+    #   max-abs scale ("int8" — row-wise because block-wide scales crush
+    #   power-law rows; ~0.4% row-relative band) and is promoted back to
+    #   the panel dtype in HBM before the reduce (B panels are amortized
+    #   per column panel, so they stay f32 and set the accumulate
+    #   precision); fp64 values, the Lanczos one-pass operator (fp64
+    #   host accumulator), and the shard_map (sharded/xml_rank) paths
+    #   keep plain full-precision arrays.
     c_transfer_dtype: str = "float32"  # "bfloat16" halves the DEVICE->host
     #   bytes of finished C superblocks in gemm AND of csrmm device
     #   result blocks (cast on device, promoted

@@ -129,8 +129,9 @@ def load_library():
 def quantize_i8(src: np.ndarray):
     """(int8 array, scale): per-tile max-abs quantization for the int8
     transfer mode.  Native engine when available — parallel fused passes,
-    ~10x the numpy rint chain, which was the dominant stage (`prep_s`) of
-    the compressed gemm path — with a bit-compatible numpy fallback."""
+    5.2x the numpy rint chain (327 -> 63 ms per 4096^2 tile, measured),
+    which was the dominant stage (`prep_s`) of the compressed gemm path —
+    with a bit-compatible numpy fallback."""
     src = np.ascontiguousarray(src, np.float32)
     lib = load_library()
     if lib is not None and hasattr(lib, "bof_quantize_i8"):

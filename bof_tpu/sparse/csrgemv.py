@@ -51,6 +51,7 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
         ell_idt = sdev.ell_idx_dtype(k,
                                      getattr(cfg, "ell_idx_narrow", True))
         ell_vdt = sdev.ell_val_dtype(vdt, cfg)
+        v_quant = sdev.ell_val_quantize(vdt, cfg)
         for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks,
                                                       ctx):
             blk_ia = ia_np[r:e + 1] - int(ia_np[r])
@@ -65,8 +66,13 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
                                                   rows_sel,
                                                   idx_dtype=ell_idt,
                                                   val_dtype=ell_vdt)
+                if v_quant:  # int8 + per-row scale link compression
+                    q, sc = sdev.quantize_ell_i8(va_ell)
+                    va_dev = (jnp.asarray(q), jnp.asarray(sc))
+                else:
+                    va_dev = jnp.asarray(va_ell)
                 out = sdev.spmv_ell_block(x_dev, jnp.asarray(ja_ell),
-                                          jnp.asarray(va_ell))
+                                          va_dev)
                 y[r + rows_sel] = np.asarray(out)[:len(rows_sel)]
         return y
 

@@ -346,12 +346,17 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                         ell_idt = sdev.ell_idx_dtype(
                             k_sub, getattr(cfg, "ell_idx_narrow", True))
                         ell_vdt = sdev.ell_val_dtype(vdt, cfg)
+                        v_quant = sdev.ell_val_quantize(vdt, cfg)
                         for (s0, s1) in sdev.ell_row_ranges(
                                 counts[order], entry_cap):
                             rows_sel = order[s0:s1]
                             ja_ell, va_ell = sdev.to_ell_rows(
                                 blk_ia, blk_ja, blk_va, rows_sel,
                                 idx_dtype=ell_idt, val_dtype=ell_vdt)
+                            if v_quant:  # int8 + per-row scale (prep
+                                # stage: quantization cost lands in
+                                # prep_s, overlapped with dispatch)
+                                va_ell = sdev.quantize_ell_i8(va_ell)
                             bands.append((rows_sel, ja_ell, va_ell))
                         payload = (r, rows_b, bands)
                     pf.done(2 * bi)
@@ -384,6 +389,11 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                     t1 = _time.perf_counter()
                     outs = []
                     for rows_sel, ja_ell, va_ell in bands:
+                        # va may be an (int8, row-scale) pair
+                        # (transfer_dtype='int8'): upload each leaf
+                        va_parts = (va_ell if isinstance(va_ell, tuple)
+                                    else (va_ell,))
+                        va_bytes = sum(v.nbytes for v in va_parts)
                         if sync_mode:
                             # truthful ELL upload: exclusive channel
                             # + in-window sync (see ops/gemm.py)
@@ -391,18 +401,23 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                             with dev.XFER_LOCK:
                                 th = _time.perf_counter()
                                 ja_d = jnp.asarray(ja_ell)
-                                va_d = jnp.asarray(va_ell)
+                                va_d = tuple(jnp.asarray(v)
+                                             for v in va_parts)
                                 dev.sync(ja_d)
-                                dev.sync(va_d)
+                                for v in va_d:
+                                    dev.sync(v)
                                 th2 = _time.perf_counter()
                             METRICS.add("csrmm.h2d_s", th2 - th)
                             METRICS.observe(
                                 "csrmm.h2d_tile_gbps",
-                                (ja_ell.nbytes + va_ell.nbytes)
+                                (ja_ell.nbytes + va_bytes)
                                 / max(th2 - th, 1e-9) / 1e9)
                         else:
                             ja_d = jnp.asarray(ja_ell)
-                            va_d = jnp.asarray(va_ell)
+                            va_d = tuple(jnp.asarray(v)
+                                         for v in va_parts)
+                        va_d = va_d if isinstance(va_ell, tuple) \
+                            else va_d[0]
                         out = sdev.spmm_ell_block_dispatch(
                             b_panel, ja_d, va_d, impl=impl)
                         if c_bf16:

@@ -42,10 +42,22 @@ def ell_gather_reduce(b_panel, ja_ell, va_ell):
     """
     g = jnp.take(b_panel, ja_ell.astype(jnp.int32).reshape(-1), axis=0)
     g = g.reshape(ja_ell.shape + (b_panel.shape[1],))   # (rows, rmax, cb)
-    va_ell = va_ell.astype(b_panel.dtype)
+    va_ell = promote_ell_vals(va_ell, b_panel.dtype)
     # explicit multiply + reduce (VPU): an einsum here would lower to a
     # rows-batched matmul, which compiles/executes poorly at 10k+ batches
     return jnp.sum(va_ell[:, :, None] * g, axis=1)
+
+
+def promote_ell_vals(va_ell, dtype):
+    """Widen link-compressed ELL values to the panel dtype IN HBM, so
+    the reduce always accumulates at full panel precision.  va_ell is
+    either an array (f32 / bf16 link dtypes) or an
+    (int8 values, f32 per-row scale) pair from `quantize_ell_i8`
+    (transfer_dtype='int8')."""
+    if isinstance(va_ell, tuple):
+        va_i8, row_scale = va_ell
+        return va_i8.astype(dtype) * row_scale[:, None].astype(dtype)
+    return va_ell.astype(dtype)
 
 
 spmm_ell_block = jax.jit(ell_gather_reduce)
@@ -56,8 +68,9 @@ def spmm_ell_block_dispatch(b_panel, ja_ell, va_ell, impl: str = "auto"):
     explicit Pallas VMEM-gather kernel (sparse/spmm_pallas.py).
     impl: 'xla' | 'pallas' | 'auto' (FlashConfig.sparse_device_impl) —
     'auto' uses the measured v5e heuristic (pallas_eligible) on TPU and
-    XLA everywhere else."""
-    if impl != "xla":
+    XLA everywhere else.  Quantized (tuple) values always take the XLA
+    body — the Pallas kernel consumes plain arrays."""
+    if impl != "xla" and not isinstance(va_ell, tuple):
         from .spmm_pallas import (pallas_eligible, pallas_feasible,
                                   spmm_ell_pallas)
         rows, rmax = ja_ell.shape
@@ -77,7 +90,7 @@ def spmv_ell_block(x, ja_ell, va_ell):
     """y_blk[row] = sum_r va_ell[row, r] * x[ja_ell[row, r]] (csrgemv 'N')."""
     g = jnp.take(x, ja_ell.astype(jnp.int32).reshape(-1)
                  ).reshape(ja_ell.shape)
-    return jnp.sum(va_ell.astype(x.dtype) * g, axis=1)
+    return jnp.sum(promote_ell_vals(va_ell, x.dtype) * g, axis=1)
 
 
 def pad_to_cap(arr: np.ndarray, cap: int, fill=0):
@@ -130,14 +143,40 @@ def ell_val_dtype(storage_dtype, cfg):
     rounded to bf16 on the host and promoted back to the panel dtype in
     HBM — halving the va half of every ELL upload for deployments that
     accept ~4e-3 relative input rounding.  fp64 storage opts out (the
-    CPU x64 path is chosen FOR precision), and 'int8' is treated as
-    float32 here: per-tile max-abs quantization doesn't compose with a
-    gather-reduce whose B rows are reused across many scales."""
+    CPU x64 path is chosen FOR precision).  'int8' fills at float32 and
+    quantizes AFTER the ELL build (`ell_val_quantize` + `quantize_ell_i8`
+    — scales are per ROW, so they need the padded layout first)."""
     if (getattr(cfg, "transfer_dtype", "float32") == "bfloat16"
             and np.dtype(storage_dtype) == np.float32):
         import ml_dtypes
         return np.dtype(ml_dtypes.bfloat16)
     return np.dtype(storage_dtype)
+
+
+def ell_val_quantize(storage_dtype, cfg) -> bool:
+    """True when ELL values should ship int8 (transfer_dtype='int8',
+    f32 storage): va bytes/nnz drop 4 -> 1 (vs bf16's 2), the last
+    honest compression step on a link-bound sparse upload.  Unlike
+    gemm's per-tile scale, the scale here is per ROW — on power-law
+    (bag-of-words) rows a block-wide max-abs would crush small rows'
+    values to zero, while a row's own max keeps every value within
+    1/254 of ITS row max (~0.4% row-relative band).  The promoted
+    product still accumulates at panel precision (`promote_ell_vals`).
+    fp64 opts out like bf16; the sharded/xml_rank shard_map paths keep
+    array values (their in_specs are per-array)."""
+    return (getattr(cfg, "transfer_dtype", "float32") == "int8"
+            and np.dtype(storage_dtype) == np.float32)
+
+
+def quantize_ell_i8(va_ell: np.ndarray):
+    """(int8 values, f32 per-row scale) for a padded ELL value block.
+    Padding entries are exact zeros and stay exact; an all-zero row gets
+    scale 1.0 (nothing to represent).  Roundtrip: va ~= i8 * scale[:,None]
+    with error <= scale/2 per entry."""
+    amax = np.abs(va_ell).max(axis=1)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.rint(va_ell / scale[:, None]).astype(np.int8)
+    return q, scale
 
 
 def _ell_fill(starts: np.ndarray, counts: np.ndarray,

@@ -348,3 +348,19 @@ def test_block_lanczos_svd_sharded_one_pass(ctx, rng):
     want = np.sort(spla.svds(a_sp.astype(np.float64), k=L,
                              return_singular_vectors=False))[::-1]
     np.testing.assert_allclose(sigma, want, rtol=1e-3)
+
+
+def test_sharded_one_pass_multihost_raises_at_entry(ctx, rng, monkeypatch):
+    """one_pass=True + mesh= under a multi-host runtime must fail at the
+    block_lanczos_svd API boundary (the host U accumulate needs every
+    shard addressable), not from inside the first operator application."""
+    import jax
+
+    from bof_tpu.apps import block_lanczos_svd
+    from bof_tpu.parallel.mesh import make_mesh
+    a_sp = sps.random(60, 40, density=0.1, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(11))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="addressable"):
+        block_lanczos_svd(A, 4, one_pass=True, mesh=make_mesh(), ctx=ctx)

@@ -458,6 +458,79 @@ def test_sparse_bf16_value_transfer(ctx, rng):
         ctx.config.sparse_compute = "auto"
 
 
+def test_sparse_int8_value_transfer(ctx, rng):
+    """transfer_dtype='int8' ships ELL values as int8 with a per-ROW
+    max-abs scale (4 -> 1 byte/nnz on the link); the device promote
+    rebuilds row-relative values within the 1/254 quantization band and
+    the reduce still accumulates at panel precision."""
+    import scipy.sparse as sps
+    from bof_tpu import mem_array
+    from bof_tpu.sparse import CsrFlashMatrix, csrmm, csrgemv
+    from bof_tpu.sparse import spmm_device as sdev
+
+    class _CQ:
+        transfer_dtype = "int8"
+
+    assert sdev.ell_val_quantize(np.float32, _CQ)
+    assert not sdev.ell_val_quantize(np.float64, _CQ)  # precision opt-out
+
+    # unit: roundtrip bands, zero rows, negative maxima, power-law skew
+    va = np.zeros((4, 8), np.float32)
+    va[0, :3] = [1000.0, -0.5, 2.0]          # wide dynamic range row
+    va[1] = 0.0                              # all-zero (padding-only) row
+    va[2, :2] = [-3.0, -254.0]               # negative max-abs
+    va[3, :8] = 1e-4                         # tiny-but-uniform row
+    q, sc = sdev.quantize_ell_i8(va)
+    assert q.dtype == np.int8 and sc.dtype == np.float32
+    assert sc[1] == 1.0 and not q[1].any()   # zero row stays exact
+    rt = q.astype(np.float32) * sc[:, None]
+    # per-entry error bounded by half a quantum of the ROW's scale
+    assert np.abs(rt - va).max(axis=1).max() <= (sc / 2 + 1e-9).max()
+    np.testing.assert_allclose(rt[3], va[3], rtol=1 / 127)  # tiny row kept
+
+    # device reduce with tuple values matches the f32 path in-band
+    k, n = 256, 32
+    ia = np.array([0, 4, 9, 9, 16], np.int64)
+    ja = rng.integers(0, k, 16).astype(np.int64)
+    vv = rng.standard_normal(16).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    j32, v32 = sdev.to_ell(ia, ja, vv)
+    out_32 = np.asarray(sdev.spmm_ell_block(b, j32, v32))
+    out_q = np.asarray(sdev.spmm_ell_block(b, j32,
+                                           sdev.quantize_ell_i8(v32)))
+    assert out_q.dtype == np.float32
+    np.testing.assert_allclose(out_q, out_32, rtol=3e-2, atol=3e-2)
+    # dispatch routes tuple values to the XLA body (pallas can't)
+    out_d = np.asarray(sdev.spmm_ell_block_dispatch(
+        b, j32, sdev.quantize_ell_i8(v32), impl="pallas"))
+    np.testing.assert_allclose(out_d, out_q, rtol=0, atol=0)
+
+    # end-to-end csrmm + csrgemv under the opt-in flag
+    ctx.config.sparse_compute = "device"
+    ctx.config.max_nnzs = 1 << 14
+    ctx.config.transfer_dtype = "int8"
+    try:
+        m, kk, nn = 300, 200, 24
+        a_sp = sps.random(m, kk, density=0.05, format="csr",
+                          dtype=np.float32,
+                          random_state=np.random.RandomState(10))
+        A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+        b_np = rng.standard_normal((kk, nn)).astype(np.float32)
+        B = mem_array((kk, nn), np.float32, data=b_np, ctx=ctx)
+        C = mem_array((m, nn), np.float32, ctx=ctx)
+        csrmm(A, B, C, ctx=ctx)
+        want = a_sp @ b_np
+        scale = max(float(np.abs(want).max()), 1.0)
+        assert float(np.abs(C.read_all() - want).max()) / scale < 3e-2
+        x = rng.standard_normal(kk).astype(np.float32)
+        y = csrgemv(A, x, ctx=ctx)
+        yscale = max(float(np.abs(a_sp @ x).max()), 1.0)
+        assert float(np.abs(y - a_sp @ x).max()) / yscale < 3e-2
+    finally:
+        ctx.config.transfer_dtype = "float32"
+        ctx.config.sparse_compute = "auto"
+
+
 def test_sparse_bf16_c_transfer(ctx, rng):
     """c_transfer_dtype='bfloat16' rounds csrmm device result blocks once
     on device before D2H: error is one bf16 output rounding; the host
