@@ -68,6 +68,16 @@ class FlashConfig:
 
     # ---- dense kernels (reference: GEMM_BLK_SIZE=8192) ----
     gemm_blk_size: int = 8192          # superblock edge for out-of-core gemm
+    fp64_device: str = "auto"          # float64 gemm on accelerators with
+    #   no fp64 unit: "sliced" = Ozaki-style error-free int8 mantissa
+    #   slicing on the MXU (ops/gemm64.py — exact int8 products, fp64
+    #   host accumulation; no jax x64 needed) | "native" = require a
+    #   backend with real fp64 (JAX x64 on CPU) | "auto" = sliced on TPU,
+    #   native elsewhere.  Reference FP_DOUBLE_PRECISION parity
+    #   (bof_types.h:24-42).
+    fp64_slices: int = 8               # int8 mantissa slices for the
+    #   sliced fp64 path: 6+7(s-1) bits; 8 covers the full 53-bit fp64
+    #   mantissa (truncation 2^-56 of the row/col scale)
     gemm_tile: tuple = (512, 512, 512)  # pallas (bm, bn, bk) MXU tile
     matmul_precision: str = "highest"  # "highest" = fp32 parity (6-pass
     #   MXU emulation) | "high" | "default" (bf16 passes, ~3-6x faster);

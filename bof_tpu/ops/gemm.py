@@ -119,11 +119,21 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     if not (a.dtype == b.dtype == c.dtype):
         raise ValueError("mixed dtypes not supported")
     if c.dtype == np.float64:
+        mode = getattr(cfg, "fp64_device", "auto")
+        if mode == "sliced" or (mode == "auto" and dev.on_tpu()):
+            # TPU has no fp64 unit: route through the Ozaki-style exact
+            # int8-slicing path (ops/gemm64.py) — no jax x64 needed, the
+            # device only sees int8/int32 (reference FP_DOUBLE_PRECISION
+            # parity, bof_types.h:24-42)
+            from .gemm64 import gemm64
+            return gemm64(a, b, c, alpha=alpha, beta=beta, transa=transa,
+                          transb=transb, blk=blk, ctx=ctx)
         import jax
         if not jax.config.jax_enable_x64:
             raise ValueError(
                 "float64 operands need JAX x64 mode (set JAX_ENABLE_X64=1 "
-                "or jax.config.update('jax_enable_x64', True)); on TPU use "
+                "or jax.config.update('jax_enable_x64', True)); on TPU set "
+                "fp64_device='sliced' (exact int8-slicing emulation) or use "
                 "float32 with matmul_precision='highest' instead")
 
     # tile-major operands (core/tiled_array.py): every superblock access

@@ -1,0 +1,174 @@
+"""Differential tests for the sliced fp64 GEMM path (ops/gemm64.py).
+
+The reference runs every kernel in FP_DOUBLE_PRECISION by recompiling
+with FPTYPE=double (reference: include/bof_types.h:24-42); here float64
+gemm on fp64-less accelerators goes through exact int8 mantissa slicing.
+Golden model is numpy float64 matmul; because the slicing is error-free
+up to 2^-56 of the per-row/column scale, tolerances are near machine-eps
+— far tighter than the fp32 suite's 2e-4.
+"""
+import itertools
+
+import numpy as np
+import pytest
+
+from bof_tpu import map_array, mem_array
+from bof_tpu.ops import gemm
+from bof_tpu.ops.gemm64 import _pow2_scale, _split_slices, gemm64
+
+
+@pytest.fixture
+def ctx64(ctx):
+    ctx.config.fp64_device = "sliced"  # force off-CPU-native path in tests
+    return ctx
+
+
+def golden(a, b, c, alpha, beta, ta, tb):
+    opa = a.T if ta == "T" else a
+    opb = b.T if tb == "T" else b
+    out = alpha * (opa @ opb)
+    if beta != 0.0:
+        out = out + beta * c
+    return out
+
+
+def run64(ctx, rng, order, ta, tb, alpha=1.0, beta=0.0,
+          m=37, n=29, k=41, blk=16, rtol=1e-12, scale_rows=None,
+          scale_cols=None, k_flush=None, mixed_orders=None,
+          file_backed=False, tmp_path=None):
+    a_shape = (k, m) if ta == "T" else (m, k)
+    b_shape = (n, k) if tb == "T" else (k, n)
+    a_np = rng.standard_normal(a_shape)
+    b_np = rng.standard_normal(b_shape)
+    c_np = rng.standard_normal((m, n))
+    if scale_rows is not None:  # per-row-of-op(A) dynamic range
+        a_np = a_np * (scale_rows[:, None] if ta == "N"
+                       else scale_rows[None, :])
+    if scale_cols is not None:  # per-col-of-op(B) dynamic range
+        b_np = b_np * (scale_cols[None, :] if tb == "N"
+                       else scale_cols[:, None])
+
+    orders = mixed_orders or (order, order, order)
+    if file_backed:
+        arrs = []
+        for nm, shape, data in (("A", a_shape, a_np), ("B", b_shape, b_np),
+                                ("C", (m, n), c_np)):
+            arr = map_array(str(tmp_path / f"{nm}64.bin"), shape,
+                            np.float64, orders[len(arrs)], create=True,
+                            ctx=ctx)
+            arr.write_all(data)
+            arrs.append(arr)
+        A, B, C = arrs
+    else:
+        A = mem_array(a_shape, np.float64, orders[0], data=a_np, ctx=ctx)
+        B = mem_array(b_shape, np.float64, orders[1], data=b_np, ctx=ctx)
+        C = mem_array((m, n), np.float64, orders[2], data=c_np, ctx=ctx)
+
+    if k_flush is None:
+        gemm(A, B, C, alpha=alpha, beta=beta, transa=ta, transb=tb,
+             blk=blk, ctx=ctx)  # exercises the fp64 dispatch in gemm()
+    else:
+        gemm64(A, B, C, alpha=alpha, beta=beta, transa=ta, transb=tb,
+               blk=blk, ctx=ctx, k_flush=k_flush)
+    got = C.read_all()
+    want = golden(a_np, b_np, c_np, alpha, beta, ta, tb)
+    assert got.dtype == np.float64
+    # error bound: ~k * 2^-55 of sigma_r * tau_c; normalize per element
+    scale = (np.abs(a_np if ta == "N" else a_np.T).max(axis=1)[:, None]
+             * np.abs(b_np if tb == "N" else b_np.T).max(axis=0)[None, :])
+    err = np.abs(got - want) / np.maximum(scale * k, 1e-300)
+    assert err.max() < rtol, f"max scaled err {err.max():.3e}"
+
+
+@pytest.mark.parametrize("order,ta,tb",
+                         list(itertools.product("RC", "NT", "NT")))
+def test_all_eight_configs(ctx64, rng, order, ta, tb):
+    run64(ctx64, rng, order, ta, tb)
+
+
+def test_alpha_beta(ctx64, rng):
+    run64(ctx64, rng, "R", "N", "N", alpha=-2.5, beta=0.75)
+    run64(ctx64, rng, "C", "T", "T", alpha=1.25, beta=-0.5)
+
+
+def test_mixed_layouts(ctx64, rng):
+    run64(ctx64, rng, "R", "N", "T", beta=0.5,
+          mixed_orders=("R", "C", "C"))
+
+
+def test_file_backed_multiblock(ctx64, rng, tmp_path):
+    run64(ctx64, rng, "R", "N", "N", beta=0.3, m=70, n=50, k=90, blk=32,
+          file_backed=True, tmp_path=tmp_path)
+
+
+def test_extreme_dynamic_range(ctx64, rng):
+    """Per-row sigma / per-column tau keep relative accuracy when rows
+    and columns span hundreds of orders of magnitude — a flat fp32 or
+    single-scale int8 scheme would flush most of the matrix to zero."""
+    rows = 10.0 ** rng.uniform(-120, 120, size=37)
+    cols = 10.0 ** rng.uniform(-80, 80, size=29)
+    run64(ctx64, rng, "R", "N", "N", scale_rows=rows, scale_cols=cols)
+
+
+def test_multi_flush_overflow_guard(ctx64, rng):
+    """k_flush below k forces mid-K int32 plane flushes (the overflow
+    guard that large-K runs hit for real); every flush cadence must stay
+    within the same near-eps bound vs the golden model."""
+    kwargs = dict(m=24, n=20, k=128, blk=16)
+    for kf in (16, 64, 10 ** 9):
+        run64(ctx64, np.random.default_rng(7), "R", "N", "N",
+              k_flush=kf, **kwargs)
+
+
+def test_zero_and_constant_blocks(ctx64, rng):
+    m = n = k = 20
+    A = mem_array((m, k), np.float64, "R", data=np.zeros((m, k)), ctx=ctx64)
+    B = mem_array((k, n), np.float64, "R",
+                  data=np.full((k, n), 3.0), ctx=ctx64)
+    C = mem_array((m, n), np.float64, "R", data=np.ones((m, n)), ctx=ctx64)
+    gemm(A, B, C, alpha=2.0, beta=5.0, blk=8, ctx=ctx64)
+    np.testing.assert_array_equal(C.read_all(), np.full((m, n), 5.0))
+
+
+def test_split_slices_exactness():
+    """The split is an error-free transformation: reconstructing from all
+    slices plus the residual weight bound recovers the input to 2^-7s of
+    the scale."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((40, 30)) * 10.0 ** rng.uniform(-6, 6, (40, 1))
+    sigma = _pow2_scale(np.abs(x).max(axis=1, keepdims=True))
+    s = 8
+    q = _split_slices(x, sigma, s)
+    assert q.dtype == np.int8
+    recon = np.zeros_like(x)
+    for i in range(s):
+        recon += q[i].astype(np.float64) * 2.0 ** (-6 - 7 * i)
+    np.testing.assert_allclose(recon * sigma, x,
+                               atol=float((2.0 ** -56) * sigma.max()),
+                               rtol=0)
+
+
+def test_exceeds_fp32_accuracy(ctx64, rng):
+    """The whole point of the fp64 path: a problem fp32 cannot represent.
+    Hilbert-like ill-conditioned sums whose fp32 result is wrong in the
+    6th digit come out fp64-accurate."""
+    k = 512
+    a_np = (1.0 / (1.0 + np.arange(k)))[None, :] * np.ones((8, 1))
+    b_np = (1.0 / (1.0 + np.arange(k)))[:, None] * np.ones((1, 8))
+    A = mem_array((8, k), np.float64, "R", data=a_np, ctx=ctx64)
+    B = mem_array((k, 8), np.float64, "R", data=b_np, ctx=ctx64)
+    C = mem_array((8, 8), np.float64, "R", data=np.zeros((8, 8)), ctx=ctx64)
+    gemm(A, B, C, blk=64, ctx=ctx64)
+    want = a_np @ b_np
+    np.testing.assert_allclose(C.read_all(), want, rtol=1e-13)
+    f32 = (a_np.astype(np.float32) @ b_np.astype(np.float32))
+    assert np.abs(f32 - want).max() > np.abs(C.read_all() - want).max()
+
+
+def test_native_path_still_default_on_cpu(ctx, rng):
+    """fp64_device='auto' on a CPU backend keeps the native x64 path (no
+    slicing); outputs match numpy to fp64 matmul accuracy."""
+    import jax
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled in this env")
+    run64(ctx, rng, "R", "N", "N")
