@@ -32,6 +32,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "the MXU/VPU, host = scipy on the pinned tile "
                         "(the reference's MKL-on-host model), auto = by "
                         "measured link rate")
+    p.add_argument("--fp64-device", default="auto",
+                   choices=["auto", "sliced", "native"],
+                   help="float64 compute on fp64-less accelerators: "
+                        "sliced = exact int8 mantissa slicing on the MXU "
+                        "(ops/gemm64.py), native = require backend fp64 "
+                        "(jax x64), auto = sliced on TPU")
     return p
 
 
@@ -42,7 +48,8 @@ def make_context(args) -> FlashContext:
         n_io_threads=args.io_threads,
         n_compute_threads=args.compute_threads,
         use_o_direct=args.o_direct,
-        sparse_compute=getattr(args, "sparse_compute", "auto"))
+        sparse_compute=getattr(args, "sparse_compute", "auto"),
+        fp64_device=getattr(args, "fp64_device", "auto"))
     cfg.matmul_precision = args.precision
     return FlashContext(cfg)
 

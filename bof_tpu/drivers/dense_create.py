@@ -19,23 +19,26 @@ def main(argv=None):
                    choices=["random", "sequential", "zero"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"])
     args = p.parse_args(argv)
     rng = np.random.default_rng(args.seed)
+    dt = np.dtype(args.dtype)
     with open(args.out_path, "wb") as f:
         done = 0
         while done < args.rows:
             r = min(args.chunk_rows, args.rows - done)
             if args.fill == "random":
-                blk = rng.standard_normal((r, args.cols)).astype(np.float32)
+                blk = rng.standard_normal((r, args.cols)).astype(dt)
             elif args.fill == "sequential":
                 base = done * args.cols
                 blk = (base + np.arange(r * args.cols)).astype(
-                    np.float32).reshape(r, args.cols)
+                    dt).reshape(r, args.cols)
             else:
-                blk = np.zeros((r, args.cols), np.float32)
+                blk = np.zeros((r, args.cols), dt)
             f.write(blk.tobytes())
             done += r
-    print(f"wrote {args.rows}x{args.cols} fp32 to {args.out_path}")
+    print(f"wrote {args.rows}x{args.cols} {dt.name} to {args.out_path}")
 
 
 if __name__ == "__main__":

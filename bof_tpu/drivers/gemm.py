@@ -31,6 +31,10 @@ def main(argv=None):
                         "(drivers/repack); implies blk=tile so every "
                         "superblock read is one contiguous run")
     p.add_argument("--create-c", action="store_true")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="float64 runs the exact int8-slicing path on TPU "
+                        "(FP_DOUBLE_PRECISION parity, ops/gemm64.py)")
     p.add_argument("--sharded", action="store_true",
                    help="run the multi-chip path over all local devices "
                         "(jax mesh + psum_scatter; new capability beyond "
@@ -38,21 +42,22 @@ def main(argv=None):
     args = p.parse_args(argv)
     ctx = make_context(args)
     m, n, k = args.m, args.n, args.k
+    dt = np.dtype(args.dtype)
     a_shape = (k, m) if args.ta == "T" else (m, k)
     b_shape = (n, k) if args.tb == "T" else (k, n)
     if args.tile:
         from ..core.tiled_array import map_tiled_array
         args.blk = args.tile
-        A = map_tiled_array(args.a_path, a_shape, np.float32, args.order,
+        A = map_tiled_array(args.a_path, a_shape, dt, args.order,
                             tile=args.tile, ctx=ctx)
-        B = map_tiled_array(args.b_path, b_shape, np.float32, args.order,
+        B = map_tiled_array(args.b_path, b_shape, dt, args.order,
                             tile=args.tile, ctx=ctx)
-        C = map_tiled_array(args.c_path, (m, n), np.float32, args.order,
+        C = map_tiled_array(args.c_path, (m, n), dt, args.order,
                             tile=args.tile, create=args.create_c, ctx=ctx)
     else:
-        A = map_array(args.a_path, a_shape, np.float32, args.order, ctx=ctx)
-        B = map_array(args.b_path, b_shape, np.float32, args.order, ctx=ctx)
-        C = map_array(args.c_path, (m, n), np.float32, args.order,
+        A = map_array(args.a_path, a_shape, dt, args.order, ctx=ctx)
+        B = map_array(args.b_path, b_shape, dt, args.order, ctx=ctx)
+        C = map_array(args.c_path, (m, n), dt, args.order,
                       create=args.create_c, ctx=ctx)
     with Timed("gemm", flops=2.0 * m * n * k):
         if args.sharded:
