@@ -70,6 +70,61 @@ def test_gemm_fuzz(case, ctx):
         f"alpha{alpha:.3f} beta{beta:.3f} blk{blk}")
 
 
+def _padded_operand64(rng, rows, cols, order, ctx):
+    """float64 twin of _padded_operand (ld-padded sub-matrix)."""
+    lines, width = (rows, cols) if order == "R" else (cols, rows)
+    pad = int(rng.integers(0, 7))
+    off_lines = int(rng.integers(0, 3))
+    off_in = int(rng.integers(0, pad + 1))
+    ld = width + pad
+    parent = mem_array(((lines + off_lines) * ld,), np.float64, ctx=ctx,
+                       data=rng.standard_normal((lines + off_lines) * ld))
+    arr = FlashArray(parent.store, (rows, cols), np.float64, order,
+                     offset=(off_lines * ld + off_in) * 8, ld=ld, ctx=ctx)
+    data = rng.standard_normal((rows, cols))
+    # per-row decade swings exercise the per-row/col sigma machinery
+    data = data * 10.0 ** rng.uniform(-8, 8, (rows, 1))
+    arr.write_block(0, data)
+    return arr, data
+
+
+@pytest.mark.parametrize("case", range(_N or 8))
+def test_gemm64_fuzz(case, ctx):
+    """Sliced fp64 path under the same planner fuzz: random shapes, ld
+    padding, layouts, transposes, alpha/beta, block sizes — near-eps
+    accuracy everywhere (ops/gemm64.py)."""
+    ctx.config.fp64_device = "sliced"
+    rng = np.random.default_rng(7000 + case)
+    m = int(rng.integers(3, 120))
+    n = int(rng.integers(3, 120))
+    k = int(rng.integers(3, 120))
+    ta, tb = bool(rng.integers(2)), bool(rng.integers(2))
+    orders = [("R", "C")[rng.integers(2)] for _ in range(3)]
+    alpha = float(rng.uniform(-2, 2))
+    beta = float(rng.choice([0.0, 1.0, rng.uniform(-1, 1)]))
+    blk = int(rng.choice([16, 32, 64]))
+
+    A, a_np = _padded_operand64(rng, *((k, m) if ta else (m, k)),
+                                orders[0], ctx)
+    B, b_np = _padded_operand64(rng, *((n, k) if tb else (k, n)),
+                                orders[1], ctx)
+    C, c_np = _padded_operand64(rng, m, n, orders[2], ctx)
+
+    gemm(A, B, C, alpha=alpha, beta=beta,
+         transa="T" if ta else "N", transb="T" if tb else "N",
+         blk=blk, ctx=ctx)
+    opa = a_np.T if ta else a_np
+    opb = b_np.T if tb else b_np
+    want = alpha * (opa @ opb) + beta * c_np
+    got = C.read_block(0, m, 0, n)
+    scale = (np.abs(opa).max(axis=1)[:, None]
+             * np.abs(opb).max(axis=0)[None, :]) * k
+    err = float((np.abs(got - want) / np.maximum(scale, 1e-300)).max())
+    assert err < 1e-12, (
+        f"case {case}: m{m} n{n} k{k} ta{ta} tb{tb} orders{orders} "
+        f"alpha{alpha:.3f} beta{beta:.3f} blk{blk} err{err:.2e}")
+
+
 @pytest.mark.parametrize("case", range(_N or 8))
 def test_csrmm_fuzz(case, ctx):
     import scipy.sparse as sps
