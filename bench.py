@@ -26,6 +26,7 @@ budget remains; default int8).
 BOF_BENCH_KERNEL selects standalone modes covering every
 BASELINE.json.configs entry (each prints its own one-JSON-line result):
   sgemm (default) | csrmm | csrgemv | kmeans | csrcsc_sort | map_reduce
+  | io (native-engine disk GB/s, tunnel-independent; BOF_BENCH_IO_GB)
 """
 from __future__ import annotations
 
@@ -508,6 +509,128 @@ def run_map_reduce(ctx) -> dict:
             "map_reduce_verified": ok}
 
 
+def run_io(ctx) -> dict:
+    """Native I/O engine throughput, tunnel-independent (reference analog:
+    misc/flash_file_handle_test.cpp is this path's correctness twin; the
+    paper's premise is that these GB/s bound the whole library).  Measures
+    the access shapes the kernels actually issue — sequential write,
+    sequential read, small-run strided tile reads (span-coalesce regime),
+    and random 1 MiB kernel-AIO reads at queue depth — all O_DIRECT, so
+    the page cache is out of the loop.  vs_baseline = engine sequential
+    read / plain buffered python read of the same file (the no-engine
+    path, which additionally enjoys whatever cache the hypervisor has)."""
+    import bof_tpu as bt
+    from bof_tpu.io.native import alloc_aligned
+    from bof_tpu.io.stride import StrideInfo
+
+    gib = float(os.environ.get("BOF_BENCH_IO_GB", "1"))
+    nbytes = max(64 << 20, int(gib * (1 << 30)) // (64 << 20) * (64 << 20))
+    path = os.path.join(ctx.config.scratch_dir, "io_bench.bin")
+    arr = bt.map_array(path, (nbytes // 4,), np.float32, create=True,
+                       ctx=ctx)
+    store = arr.store
+    rng = np.random.default_rng(23)
+    # incompressible payload (thin/compressed backing stores flatter
+    # zeros); 512-aligned so O_DIRECT ops take the zero-copy kernel-AIO
+    # path; per-offset views stay alive in each ticket until completion
+    buf = alloc_aligned(nbytes)
+    buf[:] = rng.integers(0, 256, nbytes, dtype=np.uint8)
+    req = 64 << 20  # engine splits at max_chunk_bytes internally
+
+    _progress(f"io: sequential write {nbytes >> 20} MiB")
+    t0 = time.perf_counter()
+    ts = [store.write(off, StrideInfo.contiguous(min(req, nbytes - off)),
+                      buf[off:off + min(req, nbytes - off)])
+          for off in range(0, nbytes, req)]
+    for t in ts:
+        t.wait()
+    store.flush()
+    seq_w = nbytes / (time.perf_counter() - t0) / 1e9
+
+    _progress("io: sequential read")
+    out = alloc_aligned(nbytes)
+    t0 = time.perf_counter()
+    ts = [store.read(off, StrideInfo.contiguous(min(req, nbytes - off)),
+                     out[off:off + min(req, nbytes - off)])
+          for off in range(0, nbytes, req)]
+    for t in ts:
+        t.wait()
+    seq_r = nbytes / (time.perf_counter() - t0) / 1e9
+    ok = bool(np.array_equal(out[: 1 << 20], buf[: 1 << 20])
+              and np.array_equal(out[-(1 << 20):], buf[-(1 << 20):]))
+
+    # strided tile reads: the gemm producer's shape — a (tr x tc) f32
+    # tile of a row-major (., width) matrix; 8 KiB runs at 25% fill is
+    # exactly the span-coalesce regime (io/native.py)
+    width = 8192
+    tr = tc = 2048
+    rows_total = nbytes // (width * 4)
+    n_tiles, tile_bytes = 0, tr * tc * 4
+    tile_out = np.empty(tile_bytes, np.uint8)
+    _progress("io: strided tile reads")
+    t0 = time.perf_counter()
+    budget_t = time.perf_counter() + 20
+    tile_rng = np.random.default_rng(29)
+    while time.perf_counter() < budget_t and n_tiles < 24:
+        r0 = int(tile_rng.integers(0, max(rows_total - tr, 1)))
+        c0 = int(tile_rng.integers(0, max(width - tc, 1)))
+        sinfo = StrideInfo(stride=width * 4, n_strides=tr,
+                           len_per_stride=tc * 4)
+        store.read_sync((r0 * width + c0) * 4, sinfo)
+        n_tiles += 1
+    tile_r = n_tiles * tile_bytes / (time.perf_counter() - t0) / 1e9
+
+    # random 1 MiB aligned reads at the engine's AIO queue depth
+    _progress("io: random 1 MiB reads")
+    n_rand = 128
+    offs = (tile_rng.integers(0, nbytes // (1 << 20), n_rand)
+            * (1 << 20)).astype(np.int64)
+    outs = np.empty((n_rand, 1 << 20), np.uint8)
+    t0 = time.perf_counter()
+    ts = [store.read(int(o), StrideInfo.contiguous(1 << 20), outs[i])
+          for i, o in enumerate(offs)]
+    for t in ts:
+        t.wait()
+    rand_r = n_rand * (1 << 20) / (time.perf_counter() - t0) / 1e9
+    ok = ok and all(bool(np.array_equal(outs[i],
+                                        buf[int(o):int(o) + (1 << 20)]))
+                    for i, o in list(enumerate(offs))[:4])
+
+    # no-engine baseline: buffered python sequential read
+    _progress("io: buffered python baseline")
+    t0 = time.perf_counter()
+    with open(path, "rb") as f:
+        while f.read(req):
+            pass
+    buffered = nbytes / (time.perf_counter() - t0) / 1e9
+
+    # drift re-probe (the link-probe-before/after pattern): cloud vdisks
+    # throttle to a baseline rate once burst credits drain, so a phase's
+    # GB/s depends on how many bytes the EARLIER phases moved; a re-probe
+    # far below seq_read_gbps means the later phases ran throttled and
+    # the per-phase numbers are not comparable with each other
+    t0 = time.perf_counter()
+    ts = [store.read(off, StrideInfo.contiguous(req), out[off:off + req])
+          for off in range(0, min(nbytes, 4 * req), req)]
+    for t in ts:
+        t.wait()
+    reprobe = min(nbytes, 4 * req) / (time.perf_counter() - t0) / 1e9
+
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+    return {"seq_read_gbps": round(seq_r, 4),
+            "seq_write_gbps": round(seq_w, 4),
+            "tile_read_gbps": round(tile_r, 4),
+            "rand1m_read_gbps": round(rand_r, 4),
+            "buffered_read_gbps": round(buffered, 4),
+            "reprobe_read_gbps": round(reprobe, 4),
+            "io_bytes": nbytes,
+            "io_vs_buffered": round(seq_r / max(buffered, 1e-9), 4),
+            "io_verified": ok}
+
+
 def ensure_operand_1d(path: str, n_elems: int, seed: int):
     nbytes = n_elems * 4
     if os.path.exists(path) and os.path.getsize(path) == nbytes:
@@ -540,12 +663,12 @@ def main():
 
     kernel = os.environ.get("BOF_BENCH_KERNEL", "sgemm")
     if kernel not in ("sgemm", "csrmm", "csrgemv", "kmeans", "csrcsc_sort",
-                      "map_reduce"):
+                      "map_reduce", "io"):
         print(json.dumps({"metric": "error", "value": 0, "unit": "",
                           "vs_baseline": 0,
                           "error": f"unknown BOF_BENCH_KERNEL={kernel!r}; "
                           "use sgemm|csrmm|csrgemv|kmeans|csrcsc_sort|"
-                          "map_reduce"}))
+                          "map_reduce|io"}))
         return 2
     budget_s = float(os.environ.get("BOF_BENCH_BUDGET_S", "240"))
     prec_name = os.environ.get("BOF_BENCH_PREC", "highest")
@@ -574,6 +697,16 @@ def main():
     cfg.matmul_precision = prec_name
     ctx = bt.FlashContext(cfg)
 
+    if kernel == "io":  # native-engine disk mode: never touches the device
+        r = run_io(ctx)
+        ctx.destroy()
+        ok = r.pop("io_verified")
+        result = {"metric": "native_io_seq_read_gbps",
+                  "value": r.pop("seq_read_gbps"), "unit": "GB/s",
+                  "vs_baseline": r.pop("io_vs_buffered"), **r,
+                  "verified": ok}
+        print(json.dumps(result))
+        return 0 if ok else 1
     if kernel == "csrmm":  # sparse-only mode
         h2d_1 = measure_h2d_gbps()
         r = run_csrmm(ctx)

@@ -41,6 +41,7 @@ MODES = {
     "csrcsc_sort": {"BOF_BENCH_SP_M": "3000", "BOF_BENCH_SP_K": "500",
                     "BOF_BENCH_SP_NNZ": "8", "BOF_BENCH_SORT_N": "65536"},
     "map_reduce": {"BOF_BENCH_MR_N": "65536"},
+    "io": {"BOF_BENCH_IO_GB": "0.1"},  # clamps to the 64 MiB floor
 }
 
 
