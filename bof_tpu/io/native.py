@@ -120,6 +120,9 @@ def load_library():
             lib.bof_quantize_i8.restype = ctypes.c_double
             lib.bof_cast_bf16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_longlong]
+            lib.bof_split_f64_i8.argtypes = [
+                ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         except AttributeError:
             pass
         _lib = lib
@@ -142,6 +145,26 @@ def quantize_i8(src: np.ndarray):
     amax = float(np.abs(src).max()) or 1.0
     scale = amax / 127.0
     return np.rint(src * (1.0 / scale)).astype(np.int8), scale
+
+
+def split_f64_i8(src: np.ndarray, exps: np.ndarray, per_line: bool,
+                 s: int):
+    """s int8 mantissa slices of a row-major 2-D float64 tile (the sliced
+    fp64 gemm's host prep, ops/gemm64.py): one fused parallel pass over
+    the tile instead of the numpy chain's s round-and-subtract passes
+    with full-size temporaries.  `exps` = frexp exponents of the scale
+    vector (per line when per_line else per column); returns None when
+    the engine is unavailable (caller falls back to numpy)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "bof_split_f64_i8"):
+        return None
+    src = np.ascontiguousarray(src, np.float64)
+    e = np.ascontiguousarray(exps, np.int32)
+    out = np.empty((s,) + src.shape, np.int8)
+    lib.bof_split_f64_i8(src.ctypes.data, src.shape[0], src.shape[1],
+                         e.ctypes.data, int(bool(per_line)), s,
+                         out.ctypes.data)
+    return out
 
 
 def cast_bf16(src: np.ndarray) -> np.ndarray:

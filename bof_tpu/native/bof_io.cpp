@@ -671,6 +671,35 @@ void bof_cast_bf16(const float* src, unsigned short* dst, long long n) {
   });
 }
 
+// fp64 -> s int8 mantissa slices (ops/gemm64.py host prep): one fused
+// parallel pass replacing the numpy round-and-subtract chain (s passes
+// with full-size temporaries).  r = ldexp(x, -exp) is the EXACT division
+// by the per-row/column power-of-two scale (exps = frexp exponents of the
+// amax vector, per line when per_line else per column of the row-major
+// (n_lines, width) tile); then s error-free extract steps
+// (q = nearbyint(r*mult), r = r*mult - q; mult 64 then 128), nearbyint
+// under the default FE_TONEAREST mode matching np.rint.  dst holds s
+// contiguous planes of n_lines*width int8.
+void bof_split_f64_i8(const double* src, long long n_lines, long long width,
+                      const int* exps, int per_line, int s,
+                      signed char* dst) {
+  const int64_t n = (int64_t)n_lines * width;
+  prep_parallel(n, [&](int64_t lo, int64_t hi, int64_t) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const int e = per_line ? exps[i / width] : exps[i % width];
+      double r = std::ldexp(src[i], -e);
+      double mult = 64.0;
+      for (int p = 0; p < s; ++p) {
+        const double t = r * mult;
+        const double q = nearbyint(t);
+        dst[(int64_t)p * n + i] = (signed char)q;
+        r = t - q;
+        mult = 128.0;
+      }
+    }
+  });
+}
+
 int bof_engine_start(int n_threads) {
   if (g_engine) return 0;
   g_engine = new Engine();

@@ -179,13 +179,18 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     amax_n = _axis_amax(
         b, lambda o, q, bo, bq: b_access(q, o, bq, bo),
         nB, kB, sb, n, k, 1 if b_nk else 0, cache)
-    sig_m = _pow2_scale(amax_m)
-    tau_n = _pow2_scale(amax_n)
+    exp_m = np.frexp(amax_m)[1].astype(np.int32)
+    exp_n = np.frexp(amax_n)[1].astype(np.int32)
+    sig_m = np.ldexp(1.0, exp_m)
+    tau_n = np.ldexp(1.0, exp_n)
     w = np.ldexp(1.0, -12 - 7 * np.arange(s))  # pair-plane weights
 
-    def dev_slices(arr, access_fn, o0, q0, bo, bq, sigma_2d):
+    def dev_slices(arr, access_fn, o0, q0, bo, bq, evec, per_line):
         """Split + upload one operand tile as an (s, sb, sb) int8 stack,
-        LRU-cached in HBM (re-sweeps reuse the upload, ops/gemm.py)."""
+        LRU-cached in HBM (re-sweeps reuse the upload, ops/gemm.py).
+        The split runs in the native engine's fused parallel pass when
+        available (io/native.py split_f64_i8), numpy chain otherwise —
+        bit-identical either way (both are exact EFT sequences)."""
         (off, sinfo), st_shape = access_fn(o0, q0, bo, bq)
         key = (store_uid(arr.store), off, sinfo)
         hit = hbm.get(key)
@@ -194,7 +199,12 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         pin = cache.pin_read(arr.store, off, sinfo)
         cache.wait_ready(pin)
         t = cache.buf(pin).view(arr.dtype).reshape(st_shape)
-        q8 = _split_slices(t, sigma_2d, s)
+        from ..io.native import split_f64_i8
+        q8 = split_f64_i8(t, evec, per_line, s)
+        if q8 is None:  # engine unavailable: numpy EFT chain
+            sigma_2d = (np.ldexp(1.0, evec)[:, None] if per_line
+                        else np.ldexp(1.0, evec)[None, :])
+            q8 = _split_slices(t, sigma_2d, s)
         cache.unpin(pin)
         pad = np.zeros((s, sb, sb), np.int8)
         pad[:, :st_shape[0], :st_shape[1]] = q8
@@ -226,12 +236,16 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     c_acc = flush(S, c_acc)
                     S = jnp.zeros((s, sb, sb), jnp.int32)
                     k_acc = 0
-                sig2d = (sig_blk[:, None] if not a_km else sig_blk[None, :])
-                tau2d = (tau_blk[None, :] if not b_nk else tau_blk[:, None])
-                a_sl = dev_slices(a, a_access, i * sb, l * sb, bi, bl, sig2d)
+                # scale vectors run along m (A) / n (B); whether that is
+                # the line or column axis of the STORAGE tile depends on
+                # the layout flags
+                a_sl = dev_slices(a, a_access, i * sb, l * sb, bi, bl,
+                                  exp_m[i * sb:i * sb + bi],
+                                  per_line=not a_km)
                 b_sl = dev_slices(
                     b, lambda o, q, bo, bq: b_access(q, o, bq, bo),
-                    j * sb, l * sb, bj, bl, tau2d)
+                    j * sb, l * sb, bj, bl,
+                    exp_n[j * sb:j * sb + bj], per_line=b_nk)
                 S = _slice_accum(S, a_sl, b_sl,
                                  a_km=a_km, b_nk=b_nk, c_nm=c_nm)
                 k_acc += bl

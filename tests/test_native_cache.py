@@ -154,3 +154,31 @@ def test_native_prep_kernels_match_numpy():
     nn = np.array([np.nan, 1.0, -np.inf], np.float32)
     bn = cast_bf16(nn)
     assert np.isnan(np.float32(bn[0])) and np.isneginf(np.float32(bn[2]))
+
+
+def test_native_split_f64_i8_matches_numpy():
+    """bof_split_f64_i8 (fused fp64 mantissa-slice prep for the sliced
+    fp64 gemm) must be BIT-identical to the numpy EFT chain — both are
+    sequences of exact fp64 operations, so there is no tolerance."""
+    import pytest
+
+    from bof_tpu.io.native import split_f64_i8
+    from bof_tpu.ops.gemm64 import _split_slices
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((64, 48)) * 10.0 ** rng.uniform(-150, 150,
+                                                            (64, 1))
+    x[7, :] = 0.0  # all-zero line: frexp exponent 0, slices all zero
+    for s in (4, 8):
+        # per-line scale (row-major A tiles)
+        e = np.frexp(np.abs(x).max(axis=1))[1].astype(np.int32)
+        got = split_f64_i8(x, e, True, s)
+        if got is None:
+            pytest.skip("native engine unavailable")
+        want = _split_slices(x, np.ldexp(1.0, e)[:, None], s)
+        np.testing.assert_array_equal(got, want)
+        # per-column scale (km-storage tiles)
+        ec = np.frexp(np.abs(x).max(axis=0))[1].astype(np.int32)
+        got_c = split_f64_i8(x, ec, False, s)
+        want_c = _split_slices(x, np.ldexp(1.0, ec)[None, :], s)
+        np.testing.assert_array_equal(got_c, want_c)
