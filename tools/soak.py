@@ -167,8 +167,28 @@ def op_flash_io(ctx, rng):
         flash_free(arr)
 
 
+def op_gemm64(ctx, rng):
+    """Sliced fp64 gemm (ops/gemm64.py) under concurrency: the HBM slice
+    LRU, pin cache, and int32-plane flushes all share the context."""
+    from bof_tpu import mem_array
+    from bof_tpu.ops import gemm
+    ctx.config.fp64_device = "sliced"
+    m, n, k = (int(rng.integers(16, 120)) for _ in range(3))
+    a = rng.standard_normal((m, k)) * 10.0 ** rng.uniform(-6, 6, (m, 1))
+    b = rng.standard_normal((k, n))
+    A = mem_array((m, k), np.float64, data=a, ctx=ctx)
+    B = mem_array((k, n), np.float64, data=b, ctx=ctx)
+    C = mem_array((m, n), np.float64, ctx=ctx)
+    gemm(A, B, C, blk=int(rng.choice([32, 64])), ctx=ctx)
+    want = a @ b
+    scale = (np.abs(a).max(axis=1)[:, None]
+             * np.abs(b).max(axis=0)[None, :]) * k
+    err = (np.abs(C.read_all() - want) / np.maximum(scale, 1e-300)).max()
+    assert err < 1e-12, f"gemm64 scaled err {err:.2e}"
+
+
 OPS = [op_gemm, op_csrmm, op_sort, op_map_reduce, op_flash_io,
-       op_csrgemv, op_csrcsc, op_xml_rank]
+       op_csrgemv, op_csrcsc, op_xml_rank, op_gemm64]
 
 
 def main():
