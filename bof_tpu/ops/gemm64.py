@@ -108,7 +108,7 @@ def _slice_accum(S, a_sl, b_sl, *, a_km: bool, b_nk: bool, c_nm: bool):
 
 def _axis_amax(arr, access_fn, outer_blocks: int, inner_blocks: int,
                sb: int, outer_len: int, inner_len: int, reduce_axis: int,
-               cache) -> np.ndarray:
+               cache, debug: bool = False) -> np.ndarray:
     """Disk-only pre-pass: per-outer-index abs max over the inner (K)
     axis.  One extra read of the operand through the pin cache (host
     bytes, no device link traffic); fixing sigma per GLOBAL row lets the
@@ -122,6 +122,15 @@ def _axis_amax(arr, access_fn, outer_blocks: int, inner_blocks: int,
             pin = cache.pin_read(arr.store, off, sinfo)
             cache.wait_ready(pin)
             t = cache.buf(pin).view(arr.dtype).reshape(st_shape)
+            if debug:
+                # inf/nan silently corrupts the EFT split (reference
+                # DEBUG builds validate kernel inputs the same way,
+                # blas_utils.h:100-141)
+                if not np.isfinite(t).all():
+                    raise ValueError(
+                        "gemm64: non-finite value in operand block "
+                        f"({o * sb},{q * sb}) — the sliced fp64 path "
+                        "requires finite inputs")
             v = np.abs(t).max(axis=reduce_axis)
             cache.unpin(pin)
             np.maximum(amax[o * sb:o * sb + bo], v,
@@ -175,10 +184,11 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     timer = Timer()
     # per-row / per-column power-of-two scales (disk-only pre-pass)
     amax_m = _axis_amax(a, a_access, mB, kB, sb, m, k,
-                        0 if a_km else 1, cache)
+                        0 if a_km else 1, cache, debug=cfg.debug_checks)
     amax_n = _axis_amax(
         b, lambda o, q, bo, bq: b_access(q, o, bq, bo),
-        nB, kB, sb, n, k, 1 if b_nk else 0, cache)
+        nB, kB, sb, n, k, 1 if b_nk else 0, cache,
+        debug=cfg.debug_checks)
     exp_m = np.frexp(amax_m)[1].astype(np.int32)
     exp_n = np.frexp(amax_n)[1].astype(np.int32)
     sig_m = np.ldexp(1.0, exp_m)

@@ -172,3 +172,19 @@ def test_native_path_still_default_on_cpu(ctx, rng):
     if not jax.config.jax_enable_x64:
         pytest.skip("x64 disabled in this env")
     run64(ctx, rng, "R", "N", "N")
+
+
+def test_debug_checks_rejects_nonfinite(ctx64, rng):
+    """debug_checks validates operands before the EFT split (reference
+    DEBUG builds validate kernel inputs, blas_utils.h:100-141): inf/nan
+    would silently corrupt the slicing otherwise."""
+    from bof_tpu import mem_array
+    ctx64.config.debug_checks = True
+    a = rng.standard_normal((20, 20))
+    a[3, 7] = np.inf
+    A = mem_array((20, 20), np.float64, "R", data=a, ctx=ctx64)
+    B = mem_array((20, 20), np.float64, "R",
+                  data=rng.standard_normal((20, 20)), ctx=ctx64)
+    C = mem_array((20, 20), np.float64, "R", ctx=ctx64)
+    with pytest.raises(ValueError, match="non-finite"):
+        gemm(A, B, C, blk=16, ctx=ctx64)
