@@ -229,26 +229,27 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             c_acc += w[p] * planes[p]  # int32 * f64 scalar: exact products
         return c_acc
 
+    import queue
+    import threading
+
     import jax.numpy as jnp
-    tickets = []
-    for i in range(mB):
-        bi = min(sb, m - i * sb)
-        sig_blk = sig_m[i * sb:i * sb + bi]
-        for j in range(nB):
-            bj = min(sb, n - j * sb)
-            tau_blk = tau_n[j * sb:j * sb + bj]
-            S = jnp.zeros((s, sb, sb), jnp.int32)
-            c_acc = np.zeros((sb, sb), np.float64)
-            k_acc = 0
-            for l in range(kB):
+
+    steps = [(i, j, l) for i in range(mB) for j in range(nB)
+             for l in range(kB)]
+    tile_q: queue.Queue = queue.Queue(maxsize=2)
+    errors: list = []
+
+    def producer():
+        """Pins + splits + uploads slice stacks ahead of the dispatch
+        loop (the fp32 pipeline's producer stage, ops/gemm.py): on a real
+        host the fused EFT split is the sliced path's dominant host term,
+        so it must overlap the MXU products and the int32-plane flushes.
+        jax dispatch is already async — the queue only needs depth 2."""
+        try:
+            for (i, j, l) in steps:
+                bi = min(sb, m - i * sb)
+                bj = min(sb, n - j * sb)
                 bl = min(sb, k - l * sb)
-                if k_acc and k_acc + bl > k_flush:
-                    c_acc = flush(S, c_acc)
-                    S = jnp.zeros((s, sb, sb), jnp.int32)
-                    k_acc = 0
-                # scale vectors run along m (A) / n (B); whether that is
-                # the line or column axis of the STORAGE tile depends on
-                # the layout flags
                 a_sl = dev_slices(a, a_access, i * sb, l * sb, bi, bl,
                                   exp_m[i * sb:i * sb + bi],
                                   per_line=not a_km)
@@ -256,25 +257,84 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     b, lambda o, q, bo, bq: b_access(q, o, bq, bo),
                     j * sb, l * sb, bj, bl,
                     exp_n[j * sb:j * sb + bj], per_line=b_nk)
-                S = _slice_accum(S, a_sl, b_sl,
-                                 a_km=a_km, b_nk=b_nk, c_nm=c_nm)
-                k_acc += bl
-            c_acc = flush(S, c_acc)
-            if not c_nm:
-                out = (alpha * (sig_blk[:, None] * tau_blk[None, :])
-                       * c_acc[:bi, :bj])
-            else:
-                out = (alpha * (tau_blk[:, None] * sig_blk[None, :])
-                       * c_acc[:bj, :bi])
-            if beta != 0.0:
-                old = c.read_block_storage(i * sb, bi, j * sb, bj)
-                out = out + beta * old.astype(np.float64)
-            if c_tiled:  # tile-major C stores the full padded tile
-                full = np.zeros((sb, sb), np.float64)
-                full[:out.shape[0], :out.shape[1]] = out
-                out = full
-            tickets.append(c.write_block_storage_async(
-                i * sb, j * sb, bi, bj, np.ascontiguousarray(out)))
+                while not errors:  # timeout-put: survive a dead consumer
+                    try:
+                        tile_q.put((a_sl, b_sl), timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                if errors:
+                    return
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+            try:
+                tile_q.put_nowait(None)
+            except queue.Full:
+                pass
+
+    prod_t = threading.Thread(target=producer, daemon=True)
+    prod_t.start()
+
+    def next_tiles():
+        while True:
+            try:
+                item = tile_q.get(timeout=1.0)
+            except queue.Empty:
+                if errors:
+                    return None
+                continue
+            return item
+
+    tickets = []
+    try:
+        for i in range(mB):
+            bi = min(sb, m - i * sb)
+            sig_blk = sig_m[i * sb:i * sb + bi]
+            for j in range(nB):
+                bj = min(sb, n - j * sb)
+                tau_blk = tau_n[j * sb:j * sb + bj]
+                S = jnp.zeros((s, sb, sb), jnp.int32)
+                c_acc = np.zeros((sb, sb), np.float64)
+                k_acc = 0
+                for l in range(kB):
+                    bl = min(sb, k - l * sb)
+                    if k_acc and k_acc + bl > k_flush:
+                        c_acc = flush(S, c_acc)
+                        S = jnp.zeros((s, sb, sb), jnp.int32)
+                        k_acc = 0
+                    item = next_tiles()
+                    if item is None:
+                        raise errors[0]
+                    a_sl, b_sl = item
+                    S = _slice_accum(S, a_sl, b_sl,
+                                     a_km=a_km, b_nk=b_nk, c_nm=c_nm)
+                    k_acc += bl
+                c_acc = flush(S, c_acc)
+                if not c_nm:
+                    out = (alpha * (sig_blk[:, None] * tau_blk[None, :])
+                           * c_acc[:bi, :bj])
+                else:
+                    out = (alpha * (tau_blk[:, None] * sig_blk[None, :])
+                           * c_acc[:bj, :bi])
+                if beta != 0.0:
+                    old = c.read_block_storage(i * sb, bi, j * sb, bj)
+                    out = out + beta * old.astype(np.float64)
+                if c_tiled:  # tile-major C stores the full padded tile
+                    full = np.zeros((sb, sb), np.float64)
+                    full[:out.shape[0], :out.shape[1]] = out
+                    out = full
+                tickets.append(c.write_block_storage_async(
+                    i * sb, j * sb, bi, bj, np.ascontiguousarray(out)))
+    except BaseException as e:
+        if not errors:
+            errors.append(e)  # stop the producer before re-raising
+        while prod_t.is_alive():
+            prod_t.join(timeout=30)
+            break
+        raise
+    prod_t.join()
+    if errors:
+        raise errors[0]
     for t in tickets:
         t.wait()
     c.store.flush()
