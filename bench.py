@@ -566,7 +566,6 @@ def run_io(ctx) -> dict:
     tr = tc = 2048
     rows_total = nbytes // (width * 4)
     n_tiles, tile_bytes = 0, tr * tc * 4
-    tile_out = np.empty(tile_bytes, np.uint8)
     _progress("io: strided tile reads")
     t0 = time.perf_counter()
     budget_t = time.perf_counter() + 20

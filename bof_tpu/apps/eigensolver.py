@@ -88,20 +88,20 @@ def _apply_ata_one_pass(a: CsrFlashMatrix, v_np: np.ndarray,
     return U
 
 
-def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
-                               ctx) -> np.ndarray:
-    """Device variant of the one-pass operator: per nnz-budgeted row
-    block, BOTH halves run as ELL gather products on the device —
-    W_sub = A_sub V (forward ELL, rows gathered from the V panel) and
-    U += A_sub^T W_sub (the sub-block transposed to block-local CSC on
-    the host — it is already in DRAM — then ELL-ized by column, so the
-    transposed half is just another gather product whose panel is the
-    HBM-resident W_sub).  No scatter anywhere (scatter serializes on
-    TPU), every shape power-of-two bucketed, and the fp64 U accumulator
-    stays on the host.  A's bytes still cross the disk exactly once.
-    Reference semantics: the csrmm 'T' dispatch (csrmm.cpp:364-420)
-    composed with the 'N' product, fused per block."""
-    import jax
+def _one_pass_stream(a: CsrFlashMatrix, v_np: np.ndarray, ctx, put_v,
+                     fwd_product, t_product, min_rows: int = 8
+                     ) -> np.ndarray:
+    """Shared skeleton of the one-pass device operator (impl-dispatch and
+    mesh-sharded variants): stream nnz-budgeted row blocks, count-sorted
+    ELL banding on BOTH axes (documents and word frequencies are each
+    power-law in bag-of-words data — each band's rmax is tight to its own
+    rows/columns, 6.4x measured on zipf blocks, sparse/csrmm.py), the
+    sub-block transposed to block-local CSC on the host (it is already in
+    DRAM), fp64 U accumulator on the host, A's bytes across the disk
+    exactly once.  Variants differ only in how arrays reach the device
+    and what executes one ELL gather product:
+    `fwd_product(v_dev, ja, va)` -> the W panel the transposed half
+    consumes; `t_product(w, ja, va)` -> one U partial."""
     import scipy.sparse as sps
 
     from ..sparse import spmm_device as sdev
@@ -113,20 +113,17 @@ def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
     blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
     v32 = np.ascontiguousarray(v_np, np.float32)
     b = v32.shape[1]
-    v_dev = jax.device_put(v32)
+    v_dev = put_v(v32)
     entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (b * 4)))
-    impl = getattr(cfg, "sparse_device_impl", "auto")
-    U = np.zeros((k, b), np.float64)
     sort_rows = getattr(cfg, "ell_sort_rows", True)
     narrow = getattr(cfg, "ell_idx_narrow", True)
     fwd_idt = sdev.ell_idx_dtype(k, narrow)  # forward panel height = k
+    U = np.zeros((k, b), np.float64)
     for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
         blk_ia = ia_np[r:e + 1] - int(ia_np[r])
         counts = np.diff(blk_ia)
-        # count-sorted ELL banding on BOTH axes (documents and word
-        # frequencies are each power-law in bag-of-words data): forward
-        # rows band by nnz; the transposed build selects the same rows
-        # so its indices line up with W_sub's (sorted) row order
+        # forward rows band by nnz; the transposed build selects the
+        # same rows so its indices line up with W's (sorted) row order
         order = (np.argsort(counts, kind="stable") if sort_rows
                  else np.arange(e - r))
         blk_sp = sps.csr_matrix(
@@ -135,29 +132,48 @@ def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
         for s0, s1 in sdev.ell_row_ranges(counts[order], entry_cap):
             rows_sel = order[s0:s1]
             ja_e, va_e = sdev.to_ell_rows(blk_ia, ja_blk, va_blk,
-                                          rows_sel, idx_dtype=fwd_idt)
-            w_sub = sdev.spmm_ell_block_dispatch(v_dev, ja_e, va_e, impl)
+                                          rows_sel, min_rows=min_rows,
+                                          idx_dtype=fwd_idt)
+            w = fwd_product(v_dev, ja_e, va_e)
             # transpose the selected rows in DRAM; the CSC's row indices
-            # are positions within rows_sel — exactly W_sub's row order
+            # are positions within rows_sel — exactly W's row order
             sub = blk_sp[rows_sel].tocsc()
             ccounts = np.diff(sub.indptr)
-            # count-sorted ELL banding over COLUMNS (word frequencies
-            # are the power-law axis of bag-of-words matrices): each
-            # band's rmax is tight to its own columns — see
-            # sparse/csrmm.py, 6.4x measured on zipf blocks
             csort = np.argsort(ccounts, kind="stable")
-            # transposed panel = W_sub; its row indices < len(rows_sel)
+            # transposed panel = W; its row indices < len(rows_sel)
             t_idt = sdev.ell_idx_dtype(len(rows_sel), narrow)
             for c0, c1 in sdev.ell_row_ranges(ccounts[csort], entry_cap):
                 cols_sel = csort[c0:c1]
                 cja, cva = sdev.to_ell_rows(
                     sub.indptr.astype(np.int64), sub.indices, sub.data,
-                    cols_sel, idx_dtype=t_idt)
-                u_part = sdev.spmm_ell_block_dispatch(w_sub, cja, cva,
-                                                      impl)
+                    cols_sel, min_rows=min_rows, idx_dtype=t_idt)
+                u_part = t_product(w, cja, cva)
                 U[cols_sel] += np.asarray(u_part)[:len(cols_sel)]
     METRICS.add("eig.op_applies")
     return U
+
+
+def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
+                               ctx) -> np.ndarray:
+    """Device variant of the one-pass operator: per nnz-budgeted row
+    block, BOTH halves run as ELL gather products on the device —
+    W_sub = A_sub V (forward ELL, rows gathered from the V panel) and
+    U += A_sub^T W_sub (the transposed half is just another gather
+    product whose panel is the HBM-resident W_sub).  No scatter anywhere
+    (scatter serializes on TPU), every shape power-of-two bucketed.
+    Reference semantics: the csrmm 'T' dispatch (csrmm.cpp:364-420)
+    composed with the 'N' product, fused per block."""
+    import jax
+
+    from ..sparse import spmm_device as sdev
+
+    impl = getattr(ctx.config, "sparse_device_impl", "auto")
+
+    def product(panel, ja, va):
+        return sdev.spmm_ell_block_dispatch(panel, ja, va, impl)
+
+    return _one_pass_stream(a, v_np, ctx, put_v=jax.device_put,
+                            fwd_product=product, t_product=product)
 
 
 @functools.lru_cache(maxsize=None)
@@ -186,70 +202,35 @@ def _apply_ata_one_pass_sharded(a: CsrFlashMatrix, v_np: np.ndarray,
     Reference semantics: csrmm 'T' dispatch (csrmm.cpp:364-420) fused
     with the 'N' product per block, distributed."""
     import jax
-    import scipy.sparse as sps
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.csrmm_sp import sharded_spmm_step
     from ..parallel.mesh import device_put_sharded
-    from ..sparse import spmm_device as sdev
-    from ..sparse.csr import fill_row_blocks, stream_row_blocks
 
     if jax.process_count() > 1:
         raise ValueError("sharded one_pass needs every device addressable "
                          "(single process); use one_pass=False on "
                          "multi-host meshes")
-    cfg = ctx.config
-    m, k = a.shape
     axes = mesh.axis_names
     n_dev = int(np.prod(mesh.devices.shape))
-    min_rows = max(8, n_dev)
     sh_rep = NamedSharding(mesh, P())
     sh_rows = NamedSharding(mesh, P(axes, None))
     step = sharded_spmm_step(mesh)
     replicate = _replicate_step(mesh)
-    ia_np = a.read_ia()
-    blocks = fill_row_blocks(ia_np, cfg.max_nnzs)
-    v32 = np.ascontiguousarray(v_np, np.float32)
-    b = v32.shape[1]
-    v_dev = device_put_sharded(v32, sh_rep)
-    entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (b * 4)))
-    sort_rows = getattr(cfg, "ell_sort_rows", True)
-    narrow = getattr(cfg, "ell_idx_narrow", True)
-    fwd_idt = sdev.ell_idx_dtype(k, narrow)
-    U = np.zeros((k, b), np.float64)
-    for r, e, ja_blk, va_blk in stream_row_blocks(a, ia_np, blocks, ctx):
-        blk_ia = ia_np[r:e + 1] - int(ia_np[r])
-        counts = np.diff(blk_ia)
-        order = (np.argsort(counts, kind="stable") if sort_rows
-                 else np.arange(e - r))
-        blk_sp = sps.csr_matrix(
-            (va_blk, ja_blk.astype(np.int64), blk_ia.astype(np.int64)),
-            shape=(e - r, k))
-        for s0, s1 in sdev.ell_row_ranges(counts[order], entry_cap):
-            rows_sel = order[s0:s1]
-            ja_e, va_e = sdev.to_ell_rows(blk_ia, ja_blk, va_blk, rows_sel,
-                                          min_rows=min_rows,
-                                          idx_dtype=fwd_idt)
-            w_sub = step(v_dev, device_put_sharded(ja_e, sh_rows),
-                         device_put_sharded(va_e, sh_rows))
-            w_rep = replicate(w_sub)  # one all-gather on ICI
-            # transpose the selected rows in DRAM (already resident); the
-            # CSC row indices are positions within rows_sel — exactly
-            # w_rep's row order
-            sub = blk_sp[rows_sel].tocsc()
-            ccounts = np.diff(sub.indptr)
-            csort = np.argsort(ccounts, kind="stable")
-            t_idt = sdev.ell_idx_dtype(len(rows_sel), narrow)
-            for c0, c1 in sdev.ell_row_ranges(ccounts[csort], entry_cap):
-                cols_sel = csort[c0:c1]
-                cja, cva = sdev.to_ell_rows(
-                    sub.indptr.astype(np.int64), sub.indices, sub.data,
-                    cols_sel, min_rows=min_rows, idx_dtype=t_idt)
-                u_part = step(w_rep, device_put_sharded(cja, sh_rows),
-                              device_put_sharded(cva, sh_rows))
-                U[cols_sel] += np.asarray(u_part)[:len(cols_sel)]
-    METRICS.add("eig.op_applies")
-    return U
+
+    def fwd_product(v_dev, ja, va):
+        w_sub = step(v_dev, device_put_sharded(ja, sh_rows),
+                     device_put_sharded(va, sh_rows))
+        return replicate(w_sub)  # one all-gather on ICI
+
+    def t_product(w_rep, ja, va):
+        return step(w_rep, device_put_sharded(ja, sh_rows),
+                    device_put_sharded(va, sh_rows))
+
+    return _one_pass_stream(
+        a, v_np, ctx, put_v=lambda v: device_put_sharded(v, sh_rep),
+        fwd_product=fwd_product, t_product=t_product,
+        min_rows=max(8, n_dev))
 
 
 def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,

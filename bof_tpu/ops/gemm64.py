@@ -122,6 +122,11 @@ def _axis_amax(arr, access_fn, outer_blocks: int, inner_blocks: int,
             pin = cache.pin_read(arr.store, off, sinfo)
             cache.wait_ready(pin)
             t = cache.buf(pin).view(arr.dtype).reshape(st_shape)
+            # tile-major storage returns the full zero-padded tile
+            # (core/tiled_array.py _block_shape_storage); slice to the
+            # logical region so v matches the amax window length
+            lr, lc = (bo, bq) if reduce_axis == 1 else (bq, bo)
+            t = t[:lr, :lc]
             if debug:
                 # inf/nan silently corrupts the EFT split (reference
                 # DEBUG builds validate kernel inputs the same way,
@@ -195,20 +200,31 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     tau_n = np.ldexp(1.0, exp_n)
     w = np.ldexp(1.0, -12 - 7 * np.arange(s))  # pair-plane weights
 
-    def dev_slices(arr, access_fn, o0, q0, bo, bq, evec, per_line):
+    def dev_slices(role, arr, access_fn, o0, q0, bo, bq, evec, per_line):
         """Split + upload one operand tile as an (s, sb, sb) int8 stack,
         LRU-cached in HBM (re-sweeps reuse the upload, ops/gemm.py).
         The split runs in the native engine's fused parallel pass when
         available (io/native.py split_f64_i8), numpy chain otherwise —
-        bit-identical either way (both are exact EFT sequences)."""
+        bit-identical either way (both are exact EFT sequences).
+
+        `role` ('a'/'b') is part of the cache key: unlike the fp32 path,
+        the cached object is NOT the raw tile — it is split with the
+        operand's row/column scales, so when A and B alias the same store
+        the two roles must never share an entry (A uses per-row sigma, B
+        per-column tau)."""
         (off, sinfo), st_shape = access_fn(o0, q0, bo, bq)
-        key = (store_uid(arr.store), off, sinfo)
+        key = (role, store_uid(arr.store), off, sinfo)
         hit = hbm.get(key)
         if hit is not None:
             return hit
         pin = cache.pin_read(arr.store, off, sinfo)
         cache.wait_ready(pin)
         t = cache.buf(pin).view(arr.dtype).reshape(st_shape)
+        # tile-major storage hands back the full zero-padded tile; the
+        # scale vector covers only the logical extent, so slice first
+        # (the zero padding is re-applied below at the stack level)
+        lr, lc = (bo, bq) if per_line else (bq, bo)
+        t = t[:lr, :lc]
         from ..io.native import split_f64_i8
         q8 = split_f64_i8(t, evec, per_line, s)
         if q8 is None:  # engine unavailable: numpy EFT chain
@@ -217,7 +233,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             q8 = _split_slices(t, sigma_2d, s)
         cache.unpin(pin)
         pad = np.zeros((s, sb, sb), np.int8)
-        pad[:, :st_shape[0], :st_shape[1]] = q8
+        pad[:, :q8.shape[1], :q8.shape[2]] = q8
         d = dev.to_device(pad)
         METRICS.add("gemm64.h2d_bytes", pad.nbytes)
         return hbm.put(key, d, pad.nbytes)
@@ -234,8 +250,21 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
 
     import jax.numpy as jnp
 
-    steps = [(i, j, l) for i in range(mB) for j in range(nB)
-             for l in range(kB)]
+    # HBM-aware group schedule (the fp32 path's, ops/gemm.py:177-197,
+    # adapted to slice stacks): partition the j space into groups whose
+    # B stack panel (G * kB stacks) plus G live int32 accumulator planes
+    # fits the budget, then sweep  jg -> i -> l -> j∈jg.  Within a group
+    # every B stack crosses the link once and each A(i, l) stack is read,
+    # EFT-split and uploaded once per group sweep instead of once per j —
+    # total link traffic ≈ |B| + |A| * n_groups.
+    stack_bytes = s * sb * sb          # one int8 slice stack
+    acc_bytes = 4 * stack_bytes        # one live (s, sb, sb) int32 S
+    spare = max(hbm.budget - 4 * stack_bytes, stack_bytes)
+    G = int(max(1, min(nB, spare // (kB * stack_bytes + acc_bytes
+                                     + stack_bytes))))
+    groups = [list(range(g, min(g + G, nB))) for g in range(0, nB, G)]
+    steps = [(i, j, l) for jg in groups for i in range(mB)
+             for l in range(kB) for j in jg]
     tile_q: queue.Queue = queue.Queue(maxsize=2)
     errors: list = []
 
@@ -250,11 +279,11 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 bi = min(sb, m - i * sb)
                 bj = min(sb, n - j * sb)
                 bl = min(sb, k - l * sb)
-                a_sl = dev_slices(a, a_access, i * sb, l * sb, bi, bl,
+                a_sl = dev_slices("a", a, a_access, i * sb, l * sb, bi, bl,
                                   exp_m[i * sb:i * sb + bi],
                                   per_line=not a_km)
                 b_sl = dev_slices(
-                    b, lambda o, q, bo, bq: b_access(q, o, bq, bo),
+                    "b", b, lambda o, q, bo, bq: b_access(q, o, bq, bo),
                     j * sb, l * sb, bj, bl,
                     exp_n[j * sb:j * sb + bj], per_line=b_nk)
                 while not errors:  # timeout-put: survive a dead consumer
@@ -287,44 +316,51 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
 
     tickets = []
     try:
-        for i in range(mB):
-            bi = min(sb, m - i * sb)
-            sig_blk = sig_m[i * sb:i * sb + bi]
-            for j in range(nB):
-                bj = min(sb, n - j * sb)
-                tau_blk = tau_n[j * sb:j * sb + bj]
-                S = jnp.zeros((s, sb, sb), jnp.int32)
-                c_acc = np.zeros((sb, sb), np.float64)
-                k_acc = 0
+        for jg in groups:
+            for i in range(mB):
+                bi = min(sb, m - i * sb)
+                sig_blk = sig_m[i * sb:i * sb + bi]
+                S = {j: jnp.zeros((s, sb, sb), jnp.int32) for j in jg}
+                c_acc = {j: np.zeros((sb, sb), np.float64) for j in jg}
+                k_acc = 0  # shared: every j in the group sees the same l
                 for l in range(kB):
                     bl = min(sb, k - l * sb)
                     if k_acc and k_acc + bl > k_flush:
-                        c_acc = flush(S, c_acc)
-                        S = jnp.zeros((s, sb, sb), jnp.int32)
+                        for j in jg:
+                            c_acc[j] = flush(S[j], c_acc[j])
+                            S[j] = jnp.zeros((s, sb, sb), jnp.int32)
                         k_acc = 0
-                    item = next_tiles()
-                    if item is None:
-                        raise errors[0]
-                    a_sl, b_sl = item
-                    S = _slice_accum(S, a_sl, b_sl,
-                                     a_km=a_km, b_nk=b_nk, c_nm=c_nm)
+                    for j in jg:
+                        item = next_tiles()
+                        if item is None:
+                            raise errors[0]
+                        a_sl, b_sl = item
+                        S[j] = _slice_accum(S[j], a_sl, b_sl,
+                                            a_km=a_km, b_nk=b_nk,
+                                            c_nm=c_nm)
                     k_acc += bl
-                c_acc = flush(S, c_acc)
-                if not c_nm:
-                    out = (alpha * (sig_blk[:, None] * tau_blk[None, :])
-                           * c_acc[:bi, :bj])
-                else:
-                    out = (alpha * (tau_blk[:, None] * sig_blk[None, :])
-                           * c_acc[:bj, :bi])
-                if beta != 0.0:
-                    old = c.read_block_storage(i * sb, bi, j * sb, bj)
-                    out = out + beta * old.astype(np.float64)
-                if c_tiled:  # tile-major C stores the full padded tile
-                    full = np.zeros((sb, sb), np.float64)
-                    full[:out.shape[0], :out.shape[1]] = out
-                    out = full
-                tickets.append(c.write_block_storage_async(
-                    i * sb, j * sb, bi, bj, np.ascontiguousarray(out)))
+                for j in jg:
+                    bj = min(sb, n - j * sb)
+                    tau_blk = tau_n[j * sb:j * sb + bj]
+                    cj = flush(S[j], c_acc[j])
+                    if not c_nm:
+                        out = (alpha * (sig_blk[:, None] * tau_blk[None, :])
+                               * cj[:bi, :bj])
+                    else:
+                        out = (alpha * (tau_blk[:, None] * sig_blk[None, :])
+                               * cj[:bj, :bi])
+                    if beta != 0.0:
+                        old = c.read_block_storage(i * sb, bi, j * sb, bj)
+                        # tile-major C reads back the full padded tile
+                        out = out + beta * (
+                            old[:out.shape[0], :out.shape[1]]
+                            .astype(np.float64))
+                    if c_tiled:  # tile-major C stores the full padded tile
+                        full = np.zeros((sb, sb), np.float64)
+                        full[:out.shape[0], :out.shape[1]] = out
+                        out = full
+                    tickets.append(c.write_block_storage_async(
+                        i * sb, j * sb, bi, bj, np.ascontiguousarray(out)))
     except BaseException as e:
         if not errors:
             errors.append(e)  # stop the producer before re-raising

@@ -165,6 +165,66 @@ def test_exceeds_fp32_accuracy(ctx64, rng):
     assert np.abs(f32 - want).max() > np.abs(C.read_all() - want).max()
 
 
+def test_aliased_operand(ctx64, rng):
+    """A and B backed by the SAME store (C = A @ A): the HBM slice-stack
+    cache must not hand a B-role request a stack built with A's per-row
+    sigma (the roles split the same bytes with different scale vectors) —
+    regression for a silent-wrong-result aliasing bug."""
+    n = 16
+    a_np = rng.standard_normal((n, n)) * (10.0 ** rng.uniform(
+        -40, 40, size=n))[:, None]
+    A = mem_array((n, n), np.float64, "R", data=a_np, ctx=ctx64)
+    C = mem_array((n, n), np.float64, "R", ctx=ctx64)
+    gemm(A, A, C, blk=n, ctx=ctx64)
+    want = a_np @ a_np
+    scale = (np.abs(a_np).max(axis=1)[:, None]
+             * np.abs(a_np).max(axis=0)[None, :])
+    err = np.abs(C.read_all() - want) / np.maximum(scale * n, 1e-300)
+    assert err.max() < 1e-12, f"max scaled err {err.max():.3e}"
+
+
+def test_tiled_operands_with_tail(ctx64, rng, tmp_path):
+    """Tile-major fp64 operands whose dims are NOT tile multiples: the
+    storage layer hands back full zero-padded tiles, which gemm64 must
+    slice to the logical region before the amax pre-pass / EFT split
+    (regression: broadcast crash in _axis_amax), and the beta read-back
+    must tolerate the padded C tile."""
+    from bof_tpu import map_tiled_array
+    m, n, k, ts = 20, 13, 22, 16
+    a_np = rng.standard_normal((m, k))
+    b_np = rng.standard_normal((k, n))
+    c_np = rng.standard_normal((m, n))
+    A = map_tiled_array(str(tmp_path / "a64.t"), (m, k), np.float64,
+                        tile=ts, create=True, ctx=ctx64)
+    B = map_tiled_array(str(tmp_path / "b64.t"), (k, n), np.float64,
+                        tile=ts, create=True, ctx=ctx64)
+    C = map_tiled_array(str(tmp_path / "c64.t"), (m, n), np.float64,
+                        tile=ts, create=True, ctx=ctx64)
+    A.write_block(0, a_np)
+    B.write_block(0, b_np)
+    C.write_block(0, c_np)
+    gemm(A, B, C, beta=0.5, blk=ts, ctx=ctx64)
+    want = a_np @ b_np + 0.5 * c_np
+    scale = (np.abs(a_np).max(axis=1)[:, None]
+             * np.abs(b_np).max(axis=0)[None, :])
+    err = (np.abs(C.read_block(0, m, 0, n) - want)
+           / np.maximum(scale * k, 1e-300))
+    assert err.max() < 1e-12, f"max scaled err {err.max():.3e}"
+
+
+def test_group_schedule_small_hbm(ctx64, rng):
+    """An HBM budget too small to hold one row of slice stacks forces
+    multi-group sweeps (jg -> i -> l -> j); results must match the
+    single-group path bit-for-bit semantics-wise."""
+    old = ctx64.config.hbm_budget
+    ctx64.config.hbm_budget = 2 * 8 * 8 * 16 * 16  # a few stacks only
+    try:
+        run64(ctx64, rng, "R", "N", "T", beta=0.25, m=70, n=60, k=50,
+              blk=16)
+    finally:
+        ctx64.config.hbm_budget = old
+
+
 def test_native_path_still_default_on_cpu(ctx, rng):
     """fp64_device='auto' on a CPU backend keeps the native x64 path (no
     slicing); outputs match numpy to fp64 matmul accuracy."""
