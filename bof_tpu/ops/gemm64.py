@@ -106,6 +106,69 @@ def _slice_accum(S, a_sl, b_sl, *, a_km: bool, b_nk: bool, c_nm: bool):
     return jnp.stack(outs)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_slice_accum(mesh, s: int, a_km: bool, b_nk: bool,
+                         c_nm: bool):
+    """Mesh variant of _slice_accum (the fp64 analog of
+    parallel/mesh.py sharded_accum_step_q): each int8 slice stack shards
+    A's m dim over 'x' and the K dim over 'y'; every int32 plane's
+    partial products psum_scatter their n dim over 'y' — the collective
+    is an EXACT int32 sum riding ICI, so distribution changes nothing
+    about the error-free accumulation (the k_flush overflow guard bounds
+    the summed K rows identically).  lru_cached per (mesh, s, layouts):
+    a fresh shard_map closure would miss jax.jit's cache and retrace."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    a_spec = P(None, "y", "x") if a_km else P(None, "x", "y")
+    b_spec = P(None, None, "y") if b_nk else P(None, "y", None)
+    c_spec = P(None, "y", "x") if c_nm else P(None, "x", "y")
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(c_spec, a_spec, b_spec),
+                       out_specs=c_spec)
+    def step(S_loc, a_loc, b_loc):
+        from jax import lax
+        ka = 0 if a_km else 1
+        kb = 1 if b_nk else 0
+        outs = []
+        for p in range(S_loc.shape[0]):
+            acc = None
+            for i in range(max(0, p - s + 1), min(p + 1, s)):
+                j = p - i
+                if not c_nm:
+                    o = lax.dot_general(a_loc[i], b_loc[j],
+                                        (((ka,), (kb,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                    sd = 1  # n dim of the (m, n) partial
+                else:
+                    o = lax.dot_general(b_loc[j], a_loc[i],
+                                        (((kb,), (ka,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                    sd = 0  # n dim of the (n, m) partial
+                acc = o if acc is None else acc + o
+            red = lax.psum_scatter(acc, "y", scatter_dimension=sd,
+                                   tiled=True)
+            outs.append(S_loc[p] + red)
+        return jnp.stack(outs)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_zeros(mesh, spec, shape):
+    """jitted sharded-zeros initializer (no host upload: XLA materializes
+    each shard on its own device)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    return jax.jit(lambda: jnp.zeros(shape, jnp.int32),
+                   out_shardings=NamedSharding(mesh, spec))
+
+
 def _axis_amax(arr, access_fn, outer_blocks: int, inner_blocks: int,
                sb: int, outer_len: int, inner_len: int, reduce_axis: int,
                cache, debug: bool = False) -> np.ndarray:
@@ -147,20 +210,36 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
            transa: str = "N", transb: str = "N",
            blk: Optional[int] = None, ctx=None,
            slices: Optional[int] = None,
-           k_flush: Optional[int] = None) -> None:
+           k_flush: Optional[int] = None, mesh=None) -> None:
     """C = alpha*op(A)op(B) + beta*C for float64 flash arrays via exact
     int8 slicing (module docstring).  Shapes/layouts as ops/gemm.gemm,
     which dispatches here for float64 operands when
     `FlashConfig.fp64_device` resolves to "sliced" (default on TPU).
 
     `slices`/`k_flush` override `fp64_slices` and the overflow-safe flush
-    interval (tests use small values to exercise multi-flush runs)."""
+    interval (tests use small values to exercise multi-flush runs).
+
+    `mesh` shards every slice stack and int32 plane over the device mesh
+    (gemm_sharded routes float64 here on fp64-less backends): the MXU
+    products run SPMD with exact int32 psum_scatters over ICI.  Single
+    process only — the host fp64 fold needs every plane shard
+    addressable."""
     from ..io.store import store_uid
     from .gemm import HbmCache, _op_block_reader
 
     ctx = ctx or c.ctx or get_context()
     cfg = ctx.config
     sb = blk or cfg.gemm_blk_size
+    if mesh is not None:
+        import jax
+        if jax.process_count() > 1:
+            raise ValueError(
+                "gemm64 over a mesh is single-process only (the fp64 "
+                "fold reads every int32 plane shard); multi-host fp64 "
+                "needs fp64_device='native' on an x64 backend")
+        px, py = mesh.devices.shape
+        lcm = int(np.lcm(px, py))
+        sb = max(lcm, (sb // lcm) * lcm)
     s = int(slices or getattr(cfg, "fp64_slices", 8))
     if not 2 <= s <= 12:
         raise ValueError(f"fp64_slices must be in [2, 12], got {s}")
@@ -185,6 +264,36 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
 
     cache = ctx.pin_cache()
     hbm = HbmCache(max(cfg.hbm_budget // 2, 8 * (s * sb * sb)))
+
+    # single-chip vs mesh execution hooks: how a padded stack reaches the
+    # device, how a plane set accumulates one step, how fresh S planes
+    # materialize.  The rest of the kernel (pre-pass, producer pipeline,
+    # group schedule, flush/fold, write-back) is identical either way.
+    import jax.numpy as jnp
+    if mesh is None:
+        put = {"a": dev.to_device, "b": dev.to_device}
+
+        def accum(S, a_sl, b_sl):
+            return _slice_accum(S, a_sl, b_sl, a_km=a_km, b_nk=b_nk,
+                                c_nm=c_nm)
+
+        def new_S():
+            return jnp.zeros((s, sb, sb), jnp.int32)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import device_put_sharded, sharding_for
+
+        a_sh = sharding_for(mesh, P(None, "y", "x") if a_km
+                            else P(None, "x", "y"))
+        b_sh = sharding_for(mesh, P(None, None, "y") if b_nk
+                            else P(None, "y", None))
+        put = {"a": lambda x: device_put_sharded(x, a_sh),
+               "b": lambda x: device_put_sharded(x, b_sh)}
+        accum = _sharded_slice_accum(mesh, s, a_km, b_nk, c_nm)
+        new_S = _sharded_zeros(
+            mesh, P(None, "y", "x") if c_nm else P(None, "x", "y"),
+            (s, sb, sb))
 
     timer = Timer()
     # per-row / per-column power-of-two scales (disk-only pre-pass)
@@ -234,7 +343,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         cache.unpin(pin)
         pad = np.zeros((s, sb, sb), np.int8)
         pad[:, :q8.shape[1], :q8.shape[2]] = q8
-        d = dev.to_device(pad)
+        d = put[role](pad)
         METRICS.add("gemm64.h2d_bytes", pad.nbytes)
         return hbm.put(key, d, pad.nbytes)
 
@@ -247,8 +356,6 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
 
     import queue
     import threading
-
-    import jax.numpy as jnp
 
     # HBM-aware group schedule (the fp32 path's, ops/gemm.py:177-197,
     # adapted to slice stacks): partition the j space into groups whose
@@ -320,7 +427,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             for i in range(mB):
                 bi = min(sb, m - i * sb)
                 sig_blk = sig_m[i * sb:i * sb + bi]
-                S = {j: jnp.zeros((s, sb, sb), jnp.int32) for j in jg}
+                S = {j: new_S() for j in jg}
                 c_acc = {j: np.zeros((sb, sb), np.float64) for j in jg}
                 k_acc = 0  # shared: every j in the group sees the same l
                 for l in range(kB):
@@ -328,16 +435,14 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     if k_acc and k_acc + bl > k_flush:
                         for j in jg:
                             c_acc[j] = flush(S[j], c_acc[j])
-                            S[j] = jnp.zeros((s, sb, sb), jnp.int32)
+                            S[j] = new_S()
                         k_acc = 0
                     for j in jg:
                         item = next_tiles()
                         if item is None:
                             raise errors[0]
                         a_sl, b_sl = item
-                        S[j] = _slice_accum(S[j], a_sl, b_sl,
-                                            a_km=a_km, b_nk=b_nk,
-                                            c_nm=c_nm)
+                        S[j] = accum(S[j], a_sl, b_sl)
                     k_acc += bl
                 for j in jg:
                     bj = min(sb, n - j * sb)

@@ -316,6 +316,16 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     ctx = ctx or c.ctx or get_context()
     cfg = ctx.config
     mesh = mesh or make_mesh()
+    if c.dtype == np.float64:
+        mode = getattr(cfg, "fp64_device", "auto")
+        from ..ops import device as _dev
+        if mode == "sliced" or (mode == "auto" and _dev.on_tpu()):
+            # fp64-less backend: run the Ozaki-sliced path SPMD — int8
+            # slice stacks sharded over this mesh, exact int32
+            # psum_scatters on ICI (ops/gemm64.py)
+            from ..ops.gemm64 import gemm64
+            return gemm64(a, b, c, alpha=alpha, beta=beta, transa=transa,
+                          transb=transb, blk=blk, ctx=ctx, mesh=mesh)
     px, py = mesh.devices.shape
     sb = blk or cfg.gemm_blk_size
     lcm = int(np.lcm(px, py))

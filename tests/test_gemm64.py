@@ -225,6 +225,72 @@ def test_group_schedule_small_hbm(ctx64, rng):
         ctx64.config.hbm_budget = old
 
 
+def need_devices(n):
+    import jax
+    if len(jax.devices()) < n:
+        pytest.skip(f"need {n} devices, have {len(jax.devices())}")
+
+
+@pytest.mark.parametrize("order,ta,tb", [("R", "N", "N"), ("C", "T", "N"),
+                                         ("R", "N", "T"), ("C", "T", "T")])
+def test_sharded_gemm64(ctx64, rng, tmp_path, order, ta, tb):
+    """Mesh-sharded sliced fp64: int8 slice stacks sharded over the
+    8-device mesh, int32 planes psum_scattered — the distributed result
+    must hit the same near-eps bound as single-chip (the collectives are
+    exact int32 sums)."""
+    from bof_tpu.parallel import make_mesh
+    from bof_tpu.parallel.mesh import gemm_sharded
+
+    need_devices(8)
+    mesh = make_mesh(8)
+    ctx64.config.fp64_device = "sliced"
+    m, n, k = 37, 29, 41
+    a_shape = (k, m) if ta == "T" else (m, k)
+    b_shape = (n, k) if tb == "T" else (k, n)
+    a_np = (rng.standard_normal(a_shape)
+            * 10.0 ** rng.uniform(-25, 25, a_shape[0])[:, None])
+    b_np = rng.standard_normal(b_shape)
+    c_np = rng.standard_normal((m, n))
+    A = map_array(str(tmp_path / "A"), a_shape, np.float64, order,
+                  create=True, ctx=ctx64)
+    B = map_array(str(tmp_path / "B"), b_shape, np.float64, order,
+                  create=True, ctx=ctx64)
+    C = map_array(str(tmp_path / "C"), (m, n), np.float64, order,
+                  create=True, ctx=ctx64)
+    A.write_all(a_np); B.write_all(b_np); C.write_all(c_np)
+    gemm_sharded(A, B, C, alpha=1.5, beta=0.5, transa=ta, transb=tb,
+                 blk=16, mesh=mesh, ctx=ctx64)
+    want = golden(a_np, b_np, c_np, 1.5, 0.5, ta, tb)
+    got = C.read_all()
+    assert got.dtype == np.float64
+    scale = (np.abs(a_np if ta == "N" else a_np.T).max(axis=1)[:, None]
+             * np.abs(b_np if tb == "N" else b_np.T).max(axis=0)[None, :])
+    err = np.abs(got - want) / np.maximum(scale * k, 1e-300)
+    assert err.max() < 1e-12, f"max scaled err {err.max():.3e}"
+
+
+def test_sharded_gemm64_multiflush(ctx64, rng, tmp_path):
+    """k_flush below k on the mesh path: mid-K plane flushes gather the
+    sharded int32 planes to the host fold and re-zero them SPMD."""
+    from bof_tpu.ops.gemm64 import gemm64
+    from bof_tpu.parallel import make_mesh
+
+    need_devices(8)
+    mesh = make_mesh(8)
+    m, n, k = 24, 20, 128
+    a_np = rng.standard_normal((m, k))
+    b_np = rng.standard_normal((k, n))
+    A = mem_array((m, k), np.float64, "R", data=a_np, ctx=ctx64)
+    B = mem_array((k, n), np.float64, "R", data=b_np, ctx=ctx64)
+    C = mem_array((m, n), np.float64, "R", ctx=ctx64)
+    gemm64(A, B, C, blk=16, ctx=ctx64, k_flush=32, mesh=mesh)
+    want = a_np @ b_np
+    scale = (np.abs(a_np).max(axis=1)[:, None]
+             * np.abs(b_np).max(axis=0)[None, :])
+    err = np.abs(C.read_all() - want) / np.maximum(scale * k, 1e-300)
+    assert err.max() < 1e-12, f"max scaled err {err.max():.3e}"
+
+
 def test_native_path_still_default_on_cpu(ctx, rng):
     """fp64_device='auto' on a CPU backend keeps the native x64 path (no
     slicing); outputs match numpy to fp64 matmul accuracy."""
