@@ -136,6 +136,23 @@ def to_bf16(x):
     return x.astype(jnp.bfloat16)
 
 
+def dtype_native_on_device(dt) -> bool:
+    """True iff the default backend can hold `dt` EXACTLY.  With jax x64
+    off (the default), jnp.asarray silently narrows 64-bit dtypes to 32 —
+    a device round-trip then corrupts fp64/int64 data; TPU additionally
+    has no fp64 unit even under x64.  Kernels with a host execution path
+    (csrmm/csrgemv/sort/map — the reference's own MKL/OpenMP-on-host
+    model) use this to keep 64-bit data off the device rather than lose
+    precision silently; gemm instead routes fp64 to the exact sliced
+    path (ops/gemm64.py)."""
+    dt = np.dtype(dt)
+    if dt.itemsize < 8:
+        return True
+    if jnp.asarray(np.empty(0, dt)).dtype != dt:
+        return False  # x64 disabled: silent 64 -> 32 narrowing
+    return not (on_tpu() and dt.kind == "f")
+
+
 def to_device(x: np.ndarray):
     return jax.device_put(x)
 

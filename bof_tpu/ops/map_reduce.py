@@ -42,7 +42,25 @@ def bof_map(src: FlashArray, dst: FlashArray, fn: Callable,
         raise ValueError("map needs equal-shape 1-D arrays")
     n = src.shape[0]
     blk = blk_elems or ctx.config.map_blk_elems
-    jfn = _jit_elementwise(fn)
+    from .device import dtype_native_on_device
+    if dtype_native_on_device(src.dtype) and dtype_native_on_device(
+            dst.dtype):
+        jfn = _jit_elementwise(fn)
+    else:
+        # 64-bit blocks the device would silently narrow (x64 off / TPU
+        # fp64): apply fn to the numpy block directly — numpy-ufunc fns
+        # stay exact; a jnp-based fn would come back narrowed, which the
+        # dtype check below turns into a diagnosable error instead of a
+        # silent precision loss
+        def jfn(x):
+            out = np.asarray(fn(x))
+            if out.dtype != dst.dtype:
+                raise ValueError(
+                    f"map fn returned {out.dtype} for a {dst.dtype} "
+                    "destination on a backend without native 64-bit "
+                    "support; use numpy ops in fn (it receives a numpy "
+                    "block here) or enable JAX x64")
+            return out
     sched = ctx.scheduler()
 
     tasks = []

@@ -58,6 +58,17 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     # runs jnp.sort on the accelerator — the right choice on real hardware
     # where the link outruns a host single-thread sort
     device_sort = getattr(ctx.config, "sort_compute", "host") == "device"
+    if device_sort:
+        from .device import dtype_native_on_device
+        if not dtype_native_on_device(dt):
+            # a device round-trip would narrow 64-bit elements and write
+            # CORRUPTED values back to disk (jnp.asarray under x64-off);
+            # the host sort is the exact path (the reference's own
+            # __gnu_parallel::sort, sort_task.h:8)
+            from ..utils import LOG
+            LOG.warning("sort_compute='device' cannot represent %s "
+                        "exactly on this backend; sorting on host", dt)
+            device_sort = False
 
     def _pad_fill(dt_):
         if np.issubdtype(dt_, np.floating):

@@ -78,6 +78,12 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     entry_cap = max(1 << 14, int(cfg.hbm_budget // 6 // (cb * 4)))
     cache = ctx.pin_cache()
     idt, vdt = a.ja.dtype, a.vals.dtype
+    from ..ops import device as dev
+    if not dev.dtype_native_on_device(vdt):
+        raise ValueError(
+            f"csrmm_sharded is device compute; {vdt} would be silently "
+            "narrowed on this backend — use csrmm (host block products) "
+            "or enable JAX x64 on a CPU mesh")
     # narrow link dtypes for the ELL upload — both deterministic in
     # (GLOBAL panel height, config), so every process builds
     # dtype-identical shards

@@ -49,25 +49,30 @@ class CsrFlashMatrix:
     def from_scipy(cls, sp, backing: str = "mem",
                    path_prefix: Optional[str] = None,
                    ctx: Optional[FlashContext] = None,
-                   idx_dtype=np.int64) -> "CsrFlashMatrix":
-        """Build from a scipy.sparse matrix (tests / ingestion)."""
+                   idx_dtype=np.int64,
+                   val_dtype=np.float32) -> "CsrFlashMatrix":
+        """Build from a scipy.sparse matrix (tests / ingestion).
+        `val_dtype` defaults to float32 (FP_SINGLE_PRECISION, the
+        reference default); pass np.float64 for FP_DOUBLE_PRECISION
+        semantics (bof_types.h:24-42) — the kernels keep fp64 exact via
+        host compute or x64 backends."""
         sp = sp.tocsr()
         sp.sort_indices()
         m, k = sp.shape
         ia_np = sp.indptr.astype(np.int64)
         ja_np = sp.indices.astype(idx_dtype)
-        va_np = sp.data.astype(np.float32)
+        va_np = sp.data.astype(val_dtype)
         ctx = ctx or get_context()
         if backing == "mem":
             ia = mem_array((m + 1,), np.int64, data=ia_np, ctx=ctx)
             ja = mem_array((len(ja_np),), idx_dtype, data=ja_np, ctx=ctx)
-            va = mem_array((len(va_np),), np.float32, data=va_np, ctx=ctx)
+            va = mem_array((len(va_np),), val_dtype, data=va_np, ctx=ctx)
         elif backing == "file":
             ia = map_array(path_prefix + ".off", (m + 1,), np.int64,
                            create=True, ctx=ctx)
             ja = map_array(path_prefix + ".col", (len(ja_np),), idx_dtype,
                            create=True, ctx=ctx)
-            va = map_array(path_prefix + ".csr", (len(va_np),), np.float32,
+            va = map_array(path_prefix + ".csr", (len(va_np),), val_dtype,
                            create=True, ctx=ctx)
             ia.write_all(ia_np)
             ja.write_all(ja_np)
@@ -75,7 +80,7 @@ class CsrFlashMatrix:
         else:  # scratch
             ia = flash_empty((m + 1,), np.int64, ctx=ctx)
             ja = flash_empty((len(ja_np),), idx_dtype, ctx=ctx)
-            va = flash_empty((len(va_np),), np.float32, ctx=ctx)
+            va = flash_empty((len(va_np),), val_dtype, ctx=ctx)
             ia.write_all(ia_np)
             ja.write_all(ja_np)
             va.write_all(va_np)

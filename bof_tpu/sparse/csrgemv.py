@@ -45,6 +45,21 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
     # stream_row_blocks prefetches through the pin cache and honors
     # debug_checks (verify_csr_block) — the shared sparse-planner skeleton
     if not t:
+        from ..ops import device as dev
+        if not dev.dtype_native_on_device(vdt):
+            # fp64 vals on a backend that would silently narrow them:
+            # per-block scipy products on the host (exact; the 'T' path
+            # below is host-side already)
+            import scipy.sparse as sps
+            y = np.empty(m, dtype=vdt)
+            for r, e, ja_blk, va_blk in stream_row_blocks(
+                    a, ia_np, blocks, ctx):
+                blk_ia = (ia_np[r:e + 1] - int(ia_np[r])).astype(np.int64)
+                blk = sps.csr_matrix(
+                    (va_blk, ja_blk.astype(np.int64), blk_ia),
+                    shape=(e - r, k))
+                y[r:e] = blk @ x
+            return y
         y = np.empty(m, dtype=vdt)
         x_dev = jnp.asarray(x)
         sort_rows = getattr(cfg, "ell_sort_rows", True)

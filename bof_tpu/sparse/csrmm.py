@@ -82,6 +82,9 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
         n_cols = b.shape[1]
         mode = _resolve_sparse_compute(ctx.config, a.shape[1], a.shape[0],
                                        n_cols, a.nnz)
+        from ..ops import device as dev
+        if not dev.dtype_native_on_device(a.vals.dtype):
+            mode = "host"  # fp64 vals: exact host path (guard below)
         if (mode == "host"
                 and 3 * c.nbytes + b.nbytes <= ctx.config.program_budget):
             _csrmm_trans_streaming(a, b, c, alpha, beta, ctx)
@@ -144,6 +147,16 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
                              (a.vals.store, va_off, va_sin)))
 
     host_compute = _resolve_sparse_compute(cfg, m, k, n, a.nnz) == "host"
+    if not host_compute:
+        from ..ops import device as dev
+        if not dev.dtype_native_on_device(vdt):
+            # fp64 vals on a backend that would silently narrow them
+            # (x64 off, or TPU which has no fp64 unit): the scipy host
+            # path is the exact execution model (the reference's own
+            # MKL-on-host, csrmm_task.h:201-229)
+            LOG.info("csrmm: %s not representable on the device backend; "
+                     "using host block products", vdt)
+            host_compute = True
     for ri, (k0, k1) in enumerate(k_ranges):
         beta_eff = beta if ri == 0 else 1.0
         write_tickets = []

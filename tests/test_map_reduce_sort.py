@@ -122,3 +122,59 @@ def test_sort_empty_input(ctx):
     src = flash_empty((0,), np.float32, ctx=ctx)
     dst = flash_empty((0,), np.float32, ctx=ctx)
     bof_sort(src, dst, ctx=ctx)  # must be a no-op, not a crash
+
+
+def test_map_float64_exact_without_x64(ctx, rng):
+    """fp64 map on a backend without native 64-bit support (x64 off in
+    the suite) must stay EXACT: bof_map applies the fn to the numpy block
+    directly instead of silently narrowing through the device."""
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 on: the jitted path is already exact")
+    n = 4097
+    data = np.abs(rng.standard_normal(n)) + 1e-9
+    src = mem_array((n,), np.float64, data=data, ctx=ctx)
+    dst = mem_array((n,), np.float64, ctx=ctx)
+    bof_map(src, dst, np.sqrt, blk_elems=1000, ctx=ctx)
+    np.testing.assert_array_equal(dst.read_all(), np.sqrt(data))
+
+
+def test_map_float64_jnp_fn_raises(ctx, rng):
+    """A jnp-based fn would come back float32 on an x64-off backend; the
+    dtype check must raise a diagnosable error, never store narrowed
+    values into a float64 destination."""
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 on: narrowing cannot occur")
+    import jax.numpy as jnp
+    n = 64
+    src = mem_array((n,), np.float64,
+                    data=rng.standard_normal(n), ctx=ctx)
+    dst = mem_array((n,), np.float64, ctx=ctx)
+    with pytest.raises(RuntimeError) as ei:  # scheduler wraps task errors
+        bof_map(src, dst, lambda x: jnp.asarray(x) * 2.0,
+                blk_elems=32, ctx=ctx)
+    assert "float32" in str(ei.value.__cause__)
+
+
+def test_sort_float64_device_mode_falls_back(ctx, rng):
+    """sort_compute='device' with fp64 elements on an x64-off backend:
+    a device round-trip would write narrowed values back to disk, so the
+    sorter must fall back to the host path and stay bit-exact."""
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 on: device sort is exact")
+    old = getattr(ctx.config, "sort_compute", "host")
+    ctx.config.sort_compute = "device"
+    try:
+        n = 20_000
+        # values whose f32 round-trip is lossy (guards against a silent
+        # narrowing producing a "close enough" sort)
+        data = rng.standard_normal(n) * (1.0 + 1e-12)
+        src = mem_array((n,), np.float64, data=data.copy(), ctx=ctx)
+        dst = mem_array((n,), np.float64, ctx=ctx)
+        from bof_tpu.ops import bof_sort
+        bof_sort(src, dst, blk_elems=3000, ctx=ctx)
+        np.testing.assert_array_equal(dst.read_all(), np.sort(data))
+    finally:
+        ctx.config.sort_compute = old

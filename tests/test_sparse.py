@@ -564,3 +564,70 @@ def test_sparse_bf16_c_transfer(ctx, rng):
     finally:
         ctx.config.c_transfer_dtype = "float32"
         ctx.config.sparse_compute = "auto"
+
+
+def test_csrmm_float64_exact_without_x64(ctx, rng):
+    """float64 CSR on a backend that would narrow it (x64 off in the
+    suite): csrmm must route to the exact scipy host path regardless of
+    sparse_compute='device' — silent f32 narrowing through the device
+    was the failure mode (reference FP_DOUBLE_PRECISION csrmm,
+    bof_types.h:24-42)."""
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 on: device path is exact")
+    small_cfg(ctx)
+    old = getattr(ctx.config, "sparse_compute", "device")
+    ctx.config.sparse_compute = "device"
+    try:
+        m, k, n = 200, 150, 40
+        a_sp = sps.random(m, k, density=0.05, format="csr",
+                          dtype=np.float64,
+                          random_state=np.random.RandomState(7))
+        # magnitudes whose f32 round-trip is visibly lossy
+        a_sp.data *= 10.0 ** rng.uniform(-9, 9, a_sp.nnz)
+        A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx,
+                                      val_dtype=np.float64)
+        b_np = rng.standard_normal((k, n))
+        c_np = rng.standard_normal((m, n))
+        B = mem_array((k, n), np.float64, data=b_np, ctx=ctx)
+        C = mem_array((m, n), np.float64, data=c_np, ctx=ctx)
+        csrmm(A, B, C, alpha=1.5, beta=0.5, ctx=ctx)
+        want = 1.5 * (a_sp @ b_np) + 0.5 * c_np
+        np.testing.assert_allclose(C.read_all(), want, rtol=1e-13)
+    finally:
+        ctx.config.sparse_compute = old
+
+
+def test_csrgemv_float64_exact_without_x64(ctx, rng):
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 on: device path is exact")
+    small_cfg(ctx)
+    m, k = 300, 120
+    a_sp = sps.random(m, k, density=0.08, format="csr", dtype=np.float64,
+                      random_state=np.random.RandomState(8))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx, val_dtype=np.float64)
+    x = rng.standard_normal(k)
+    y = csrgemv(A, x, ctx=ctx)
+    assert y.dtype == np.float64
+    np.testing.assert_allclose(y, a_sp @ x, rtol=1e-13)
+    yt = csrgemv(A, rng.standard_normal(m), trans="T", ctx=ctx)
+    assert yt.dtype == np.float64
+
+
+def test_csrmm_sharded_float64_rejected_without_x64(ctx, rng):
+    """csrmm_sharded is device-only compute: fp64 it cannot represent
+    must be a clear error, never a silent narrowing."""
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 on: sharded fp64 is exact on the CPU mesh")
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    from bof_tpu.parallel import csrmm_sharded, make_mesh
+    a_sp = sps.random(64, 48, density=0.1, format="csr", dtype=np.float64,
+                      random_state=np.random.RandomState(9))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx, val_dtype=np.float64)
+    B = mem_array((48, 8), np.float64, ctx=ctx)
+    C = mem_array((64, 8), np.float64, ctx=ctx)
+    with pytest.raises(ValueError, match="narrowed|x64"):
+        csrmm_sharded(A, B, C, mesh=make_mesh(8), ctx=ctx)
