@@ -764,8 +764,42 @@ def main():
     import jax as _jax
     import jax.numpy as _jnp
     t0 = time.perf_counter()
-    float(np.asarray(_jax.jit(lambda d: _jnp.sum(d))(
-        _jax.device_put(np.ones(8, np.float32)))))
+    try:
+        float(np.asarray(_jax.jit(lambda d: _jnp.sum(d))(
+            _jax.device_put(np.ones(8, np.float32)))))
+    except RuntimeError as e:
+        # bad-relay failure mode (CLAUDE.md): tens of minutes of attach
+        # stall, then 'Unable to initialize backend ... Unavailable'.
+        # jax caches the failed backend, so retrying means a FRESH
+        # process: re-exec ourselves (stdout is preserved — the eventual
+        # artifact still prints exactly one JSON line).
+        stall_s = round(time.perf_counter() - t0, 1)
+        tries = int(os.environ.get("_BOF_BENCH_ATTACH_TRY", "0"))
+        max_tries = int(os.environ.get("BOF_BENCH_ATTACH_RETRIES", "1"))
+        if "nitialize backend" in str(e) and tries < max_tries:
+            pause = float(os.environ.get("BOF_BENCH_ATTACH_SLEEP_S", "60"))
+            _progress(f"attach failed after {stall_s}s ({e}); re-exec "
+                      f"retry {tries + 1}/{max_tries} in {pause:.0f}s")
+            ctx.destroy()
+            time.sleep(pause)
+            os.environ["_BOF_BENCH_ATTACH_TRY"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        # out of retries: the relay is down, not the framework.  Emit a
+        # diagnosable artifact that still carries a real measurement —
+        # the native-engine disk benchmark never touches the device.
+        io = {}
+        if os.environ.get("BOF_BENCH_IO_ON_FAIL", "1") == "1":
+            try:
+                io = {f"io_{k}": v for k, v in run_io(ctx).items()}
+            except Exception:
+                pass
+        print(json.dumps({
+            "metric": "error", "value": 0, "unit": "", "vs_baseline": 0,
+            "error": f"device attach failed after {stall_s}s "
+                     f"({tries + 1} attempts): {e}",
+            "device_attach_s": stall_s, "attach_attempts": tries + 1,
+            **io}))
+        return 1
     device_attach_s = round(time.perf_counter() - t0, 1)
     _progress(f"device attached in {device_attach_s}s")
 

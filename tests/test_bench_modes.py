@@ -90,3 +90,33 @@ def test_bench_mode(bench_results, mode):
         assert r.get("telemetry_sync") is True
         assert r.get("h2d_tile_gbps"), r
         assert "accum_wait" in r.get("stall_s", {}), r
+
+
+def test_bench_attach_failure_artifact(tmp_path):
+    """Bad-relay round-end insurance: when the device backend cannot
+    initialize (the documented 'Unable to initialize backend ...
+    Unavailable' failure), bench must still print exactly one
+    diagnosable JSON line — including one re-exec retry — instead of
+    dying with a stack trace and leaving the round with no artifact."""
+    env = dict(os.environ)
+    env["HOME"] = str(tmp_path)
+    env["JAX_PLATFORMS"] = "fakeplat"  # forces the init RuntimeError
+    env["BOF_BENCH_ATTACH_RETRIES"] = "1"
+    env["BOF_BENCH_ATTACH_SLEEP_S"] = "0"
+    env["BOF_BENCH_IO_ON_FAIL"] = "0"  # keep the test fast
+    # scrub the axon sitecustomize: it would re-pin JAX_PLATFORMS
+    env["PYTHONPATH"] = REPO
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, timeout=300)
+    assert p.returncode == 1, p.stderr[-2000:]
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got {lines!r}"
+    r = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in r
+    assert r["metric"] == "error"
+    assert "nitialize backend" in r["error"]
+    assert r["attach_attempts"] == 2  # original + one re-exec retry
+    assert "device_attach_s" in r
