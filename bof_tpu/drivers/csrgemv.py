@@ -18,12 +18,21 @@ def main(argv=None):
     p.add_argument("x_path")
     p.add_argument("y_path")
     p.add_argument("--trans", default="N", choices="NT")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="value dtype of A.csr/x/y (FP_DOUBLE_PRECISION "
+                        "parity: fp64 routes to the exact host path, "
+                        "sparse/csrgemv.py:46-56)")
     args = p.parse_args(argv)
     ctx = make_context(args)
-    A = CsrFlashMatrix.map_files(args.a_prefix, (args.m, args.k), ctx=ctx)
+    dt = np.dtype(args.dtype)
+    A = CsrFlashMatrix.map_files(args.a_prefix, (args.m, args.k),
+                                 val_dtype=dt, ctx=ctx)
     xlen = args.m if args.trans == "T" else args.k
-    x = np.fromfile(args.x_path, np.float32, count=xlen)
-    with Timed("csrgemv", flops=2.0 * A.nnz, nbytes=A.nnz * 12.0):
+    x = np.fromfile(args.x_path, dt, count=xlen)
+    nnz_bytes = A.ja.dtype.itemsize + A.vals.dtype.itemsize
+    with Timed("csrgemv", flops=2.0 * A.nnz,
+               nbytes=A.nnz * float(nnz_bytes)):
         y = csrgemv(A, x, trans=args.trans, ctx=ctx)
     y.tofile(args.y_path)
     print(f"checksum {checksum(y)}")

@@ -18,7 +18,11 @@ def main(argv=None):
     p.add_argument("nnz_per_row", type=float)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk-rows", type=int, default=1 << 16)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="value dtype written to prefix.csr")
     args = p.parse_args(argv)
+    val_dt = np.dtype(args.dtype)
     rng = np.random.default_rng(args.seed)
     lam = args.nnz_per_row
     off_f = open(args.prefix + ".off", "wb")
@@ -36,7 +40,7 @@ def main(argv=None):
         row_ids = np.repeat(np.arange(r), counts)
         order = np.lexsort((cols, row_ids))
         cols = cols[order]
-        vals = rng.standard_normal(total_chunk).astype(np.float32)
+        vals = rng.standard_normal(total_chunk).astype(val_dt)
         offs = total + np.cumsum(counts)
         off_f.write(offs.tobytes())
         col_f.write(cols.tobytes())

@@ -164,6 +164,45 @@ def test_csrmm_pmem_and_inmem_variants(tmp_path, scratch):
                                atol=1e-4)
 
 
+def test_sparse_drivers_fp64(tmp_path, scratch):
+    """FP_DOUBLE_PRECISION parity through the sparse CLI surface
+    (reference: bof_types.h:24-42 double builds of csrmm/csrgemv/csrcsc):
+    fp64 values survive create -> csrmm/csrgemv/csrcsc exactly, verified
+    against the fp64 scipy baselines at fp64-tight tolerance."""
+    m, k, n = 150, 90, 8
+    prefix = str(tmp_path / "D")
+    run_driver("sparse_create", prefix, m, k, 2.5, "--dtype", "float64")
+    assert (np.fromfile(prefix + ".csr", np.float64).size
+            == int(np.fromfile(prefix + ".off", np.int64)[-1]))
+    b = str(tmp_path / "b")
+    run_driver("dense_create", b, k, n, "--dtype", "float64", "--seed", 3)
+    c, c2 = str(tmp_path / "c"), str(tmp_path / "c2")
+    run_driver("csrmm", prefix, m, k, b, n, c, "--dtype", "float64",
+               "--create-c", "--scratch", scratch)
+    run_driver("in_mem_sparse", "csrmm", prefix, m, k, b, n, c2,
+               "--dtype", "float64")
+    np.testing.assert_allclose(np.fromfile(c, np.float64),
+                               np.fromfile(c2, np.float64),
+                               rtol=1e-12, atol=1e-12)
+    x, y, y2 = (str(tmp_path / s) for s in ("x", "y", "y2"))
+    np.random.default_rng(0).standard_normal(k).tofile(x)
+    run_driver("csrgemv", prefix, m, k, x, y, "--dtype", "float64",
+               "--scratch", scratch)
+    run_driver("in_mem_sparse", "csrgemv", prefix, m, k, x, y2,
+               "--dtype", "float64")
+    np.testing.assert_allclose(np.fromfile(y, np.float64),
+                               np.fromfile(y2, np.float64),
+                               rtol=1e-12, atol=1e-12)
+    t1, t2 = str(tmp_path / "T1"), str(tmp_path / "T2")
+    run_driver("csrcsc", prefix, m, k, t1, "--dtype", "float64",
+               "--scratch", scratch)
+    run_driver("in_mem_sparse", "csrcsc", prefix, m, k, t2,
+               "--dtype", "float64")
+    for ext in (".off", ".col", ".csr"):
+        np.testing.assert_array_equal(
+            np.fromfile(t1 + ext), np.fromfile(t2 + ext))
+
+
 def test_sort_and_kmeans_in_mem_baselines(tmp_path, scratch):
     n = 10_000
     src = str(tmp_path / "s")
