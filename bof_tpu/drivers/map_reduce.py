@@ -17,15 +17,25 @@ def main(argv=None):
     p.add_argument("in_path")
     p.add_argument("out_path")
     p.add_argument("n", type=int)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="element dtype (the reference's map/reduce are "
+                        "templated on T, map_reduce.tpp); float64 blocks "
+                        "run the exact numpy ufunc on the host")
     args = p.parse_args(argv)
     ctx = make_context(args)
-    import jax.numpy as jnp
-    src = map_array(args.in_path, (args.n,), np.float32, ctx=ctx)
-    dst = map_array(args.out_path, (args.n,), np.float32, create=True,
+    dt = np.dtype(args.dtype)
+    if dt == np.float64:
+        fn = np.sqrt  # exact host path (ops/map_reduce.py 64-bit guard)
+    else:
+        import jax.numpy as jnp
+        fn = jnp.sqrt
+    src = map_array(args.in_path, (args.n,), dt, ctx=ctx)
+    dst = map_array(args.out_path, (args.n,), dt, create=True,
                     ctx=ctx)
-    with Timed("map(sqrt)", nbytes=8.0 * args.n):
-        bof_map(src, dst, jnp.sqrt, ctx=ctx)
-    with Timed("reduce(sum)", nbytes=4.0 * args.n):
+    with Timed("map(sqrt)", nbytes=2.0 * dt.itemsize * args.n):
+        bof_map(src, dst, fn, ctx=ctx)
+    with Timed("reduce(sum)", nbytes=float(dt.itemsize) * args.n):
         total = bof_reduce(dst, "sum", ctx=ctx)
     print(f"sum {total}")
     ctx.destroy()

@@ -94,6 +94,17 @@ def test_sort_and_map_reduce_drivers(tmp_path, scratch):
     out = str(tmp_path / "m")
     r = run_driver("map_reduce", src, out, n, "--scratch", scratch)
     assert "sum" in r.stdout
+    # fp64 variant: sqrt runs the exact numpy path, sum matches fp64
+    src64, out64 = str(tmp_path / "s64"), str(tmp_path / "m64")
+    d64 = np.abs(np.random.default_rng(3).standard_normal(n))
+    d64.tofile(src64)
+    r = run_driver("map_reduce", src64, out64, n, "--dtype", "float64",
+                   "--scratch", scratch)
+    np.testing.assert_allclose(np.fromfile(out64, np.float64),
+                               np.sqrt(d64), rtol=0, atol=0)
+    got_sum = float(r.stdout.split("sum ")[1].split()[0])
+    # block-sequential vs numpy-pairwise fp64 accumulation order
+    np.testing.assert_allclose(got_sum, np.sqrt(d64).sum(), rtol=1e-12)
 
 
 def test_kmeans_driver(tmp_path, scratch):
