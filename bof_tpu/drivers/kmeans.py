@@ -27,10 +27,18 @@ def main(argv=None):
     p.add_argument("--state", default=None,
                    help="checkpoint file: interrupted fits resume from "
                         "the last completed iteration")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="point dtype (FP_DOUBLE_PRECISION parity: fp64 "
+                        "runs the exact host Lloyd step, ops/kmeans.py)")
     args = p.parse_args(argv)
     n, d, k = args.n, args.d, args.k
+    dt = np.dtype(args.dtype)
+    if args.sharded and args.dtype == "float64":
+        p.error("--sharded is device-only and cannot represent float64 "
+                "exactly; use the single-host path")
     if args.in_mem:
-        pts = np.fromfile(args.points_path, np.float32,
+        pts = np.fromfile(args.points_path, dt,
                           count=n * d).reshape(n, d)
         rng = np.random.default_rng(args.seed)
         c0 = pts[np.sort(rng.choice(n, k, replace=False))]
@@ -39,7 +47,7 @@ def main(argv=None):
         print(f"inertia {inertia}")
         return
     ctx = make_context(args)
-    P = map_array(args.points_path, (n, d), np.float32, ctx=ctx)
+    P = map_array(args.points_path, (n, d), dt, ctx=ctx)
     labels = None
     if args.labels_out:
         labels = map_array(args.labels_out, (n,), np.int32, create=True,

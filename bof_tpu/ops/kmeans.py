@@ -78,13 +78,29 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
         raise ValueError("points must be row-major (one point per row)")
     prec = getattr(cfg, "matmul_precision", "highest")
     blk = blk_rows or _lloyd_blk_rows(n, d, k, cfg.hbm_budget)
-    lloyd_block = _jit_steps()
-
-    centers = np.ascontiguousarray(centers, dtype=np.float32)
-    c_dev = jnp.asarray(centers)
-    c_norms = jnp.sum(c_dev * c_dev, axis=1)
-    sums = jnp.zeros((k, d), jnp.float32)
-    counts = jnp.zeros((k,), jnp.float32)
+    from .device import dtype_native_on_device
+    # fp64 always takes the host step: the jitted lloyd_block computes in
+    # float32 regardless of backend x64 support, so routing by dtype (not
+    # just representability) keeps FP_DOUBLE_PRECISION exact everywhere
+    host_mode = (points.dtype == np.float64
+                 or not dtype_native_on_device(points.dtype))
+    if host_mode:
+        # fp64 points on a backend that would silently narrow them (x64
+        # off, or TPU's missing fp64 unit): exact host Lloyd step — BLAS
+        # dgemm for the cross term, sparse-matmul center accumulation
+        # (the reference's FP_DOUBLE_PRECISION build runs MKL double on
+        # the host, kmeans_task.h:53-82 + bof_types.h:24-42)
+        centers = np.ascontiguousarray(centers, dtype=np.float64)
+        c_norms_h = np.einsum("ij,ij->i", centers, centers)
+        sums_h = np.zeros((k, d), np.float64)
+        counts_h = np.zeros((k,), np.float64)
+    else:
+        lloyd_block = _jit_steps()
+        centers = np.ascontiguousarray(centers, dtype=np.float32)
+        c_dev = jnp.asarray(centers)
+        c_norms = jnp.sum(c_dev * c_dev, axis=1)
+        sums = jnp.zeros((k, d), jnp.float32)
+        counts = jnp.zeros((k,), jnp.float32)
 
     cache = ctx.pin_cache()
     accesses = []
@@ -104,13 +120,28 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
             # f64 copy + squared temporary of the 64 MB block
             p_norm2 = float(np.einsum("ij,ij->", p_host, p_host,
                                       dtype=np.float64))
-            p_blk = jnp.asarray(p_host.astype(np.float32, copy=False))
-            labels, mind, sums, counts = lloyd_block(
-                p_blk, c_dev, c_norms, sums, counts, n_centers=k, prec=prec)
+            if host_mode:
+                g = p_host @ centers.T  # dgemm
+                pd = c_norms_h[None, :] - 2.0 * g
+                lab_np = pd.argmin(axis=1).astype(np.int32)
+                inertia += float(pd.min(axis=1).sum()) + p_norm2
+                counts_h += np.bincount(lab_np, minlength=k)
+                import scipy.sparse as sps
+                onehot = sps.csr_matrix(
+                    (np.ones(bn, np.float64), lab_np,
+                     np.arange(bn + 1, dtype=np.int64)), shape=(bn, k))
+                sums_h += onehot.T @ p_host
+            else:
+                p_blk = jnp.asarray(p_host.astype(np.float32, copy=False))
+                labels, mind, sums, counts = lloyd_block(
+                    p_blk, c_dev, c_norms, sums, counts, n_centers=k,
+                    prec=prec)
+                inertia += (float(np.asarray(mind, np.float64).sum())
+                            + p_norm2)
             pf.done(bi)
-            inertia += float(np.asarray(mind, np.float64).sum()) + p_norm2
             if labels_out is not None:
-                lab_np = np.asarray(labels, dtype=np.int32)
+                if not host_mode:
+                    lab_np = np.asarray(labels, dtype=np.int32)
                 off, sinfo = labels_out.block_access(r0, bn)
                 write_tickets.append(labels_out.store.write(
                     off, sinfo, lab_np.view(np.uint8).ravel()))
@@ -121,13 +152,16 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     if labels_out is not None:
         labels_out.store.flush()
 
-    counts_np = np.asarray(counts)
-    sums_np = np.asarray(sums)
+    if host_mode:
+        counts_np, sums_np = counts_h, sums_h
+    else:
+        counts_np = np.asarray(counts)
+        sums_np = np.asarray(sums)
     # empty clusters keep their old center (standard Lloyd fallback; the
     # reference divides unconditionally, drivers/kmeans.cpp:132-156)
     safe = np.maximum(counts_np, 1.0)[:, None]
     new_centers = np.where(counts_np[:, None] > 0, sums_np / safe, centers)
-    return new_centers.astype(np.float32), inertia, counts_np
+    return new_centers.astype(points.dtype), inertia, counts_np
 
 
 def _lloyd_blk_rows(n: int, d: int, k: int, hbm_budget: int) -> int:
@@ -227,7 +261,7 @@ def gather_rows(points: FlashArray, idx: np.ndarray) -> np.ndarray:
     """Gather sorted row indices from a flash matrix in contiguous runs
     (one strided read per run instead of one per row)."""
     d = points.shape[1]
-    out = np.empty((len(idx), d), np.float32)
+    out = np.empty((len(idx), d), points.dtype)
     start = 0
     while start < len(idx):
         end = start + 1
@@ -260,7 +294,7 @@ def _kmeanspp_sample(points: FlashArray, n_centers: int, rng,
         centers[c] = sample[min(pick, s - 1)]
         d2 = np.minimum(d2, ((sample.astype(np.float64)
                               - centers[c]) ** 2).sum(1))
-    return centers.astype(np.float32)
+    return centers.astype(points.dtype)
 
 
 def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
@@ -291,7 +325,11 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
     timer = Timer()
     p_dev = None
     p_norm2 = 0.0
+    from .device import dtype_native_on_device
     if (points.order == "R" and n_iters > 1
+            # fp64 streams through the exact host step in lloyds_iter
+            and points.dtype != np.float64
+            and dtype_native_on_device(points.dtype)
             and 3 * n * d * 4 <= getattr(cfg, "hbm_budget", 12 << 30)
             # the upload stages one full float32 panel in host DRAM
             and n * d * 4 <= cfg.program_budget):
@@ -323,10 +361,10 @@ def kmeans_fit(points: FlashArray, n_centers: int, n_iters: int = 10,
         with np.load(state_path) as st:
             start_attempt = int(st["attempt"])
             start_it = int(st["it"]) + 1
-            resume_centers = st["centers"].astype(np.float32)
+            resume_centers = st["centers"].astype(points.dtype)
             if st["best_centers"].size:
                 best = (float(st["best_inertia"]),
-                        st["best_centers"].astype(np.float32))
+                        st["best_centers"].astype(points.dtype))
         LOG.info("kmeans_fit: resuming from %s at attempt %d iter %d",
                  state_path, start_attempt, start_it)
     for attempt in range(start_attempt, max(1, n_init)):
@@ -384,4 +422,4 @@ def kmeans_in_mem(points_np: np.ndarray, centers0: np.ndarray,
             sel = labels == c
             if sel.any():
                 centers[c] = pts[sel].mean(0)
-    return centers.astype(np.float32), inertia
+    return centers.astype(centers0.dtype), inertia

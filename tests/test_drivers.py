@@ -115,6 +115,12 @@ def test_kmeans_driver(tmp_path, scratch):
     r = run_driver("kmeans", pts, n, d, k, "--iters", 2,
                    "--scratch", scratch)
     assert "inertia" in r.stdout
+    # fp64 points through the same CLI (exact host Lloyd step)
+    pts64 = str(tmp_path / "p64")
+    np.random.default_rng(1).standard_normal((n, d)).tofile(pts64)
+    r = run_driver("kmeans", pts64, n, d, k, "--iters", 2,
+                   "--dtype", "float64", "--scratch", scratch)
+    assert "inertia" in r.stdout
 
 
 def test_file_handle_test_driver(scratch):

@@ -131,3 +131,47 @@ def test_kmeans_fit_checkpoint_resume(ctx, rng, tmp_path):
                               state_path=state, ctx=ctx)
     np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-5)
     assert not os.path.exists(state)
+
+
+def test_lloyd_iter_fp64_exact(ctx, rng):
+    """FP_DOUBLE_PRECISION parity (reference: bof_types.h double build of
+    the kmeans stack): fp64 points run the exact host Lloyd step — the
+    returned centers/inertia match a pure-fp64 numpy evaluation of the
+    same partial-distance formula to the last ulps."""
+    n, d, k = 1500, 12, 5
+    pts64 = rng.standard_normal((n, d))  # float64
+    P = mem_array((n, d), np.float64, data=pts64, ctx=ctx)
+    c0 = pts64[:k].copy()
+    L = mem_array((n,), np.int32, ctx=ctx)
+    got_c, got_i, counts = lloyds_iter(P, c0, labels_out=L, blk_rows=211,
+                                       ctx=ctx)
+    assert got_c.dtype == np.float64
+
+    # golden: identical formula in fp64 (c_norms - 2 P C^T, |p|^2 added)
+    g = pts64 @ c0.T
+    pd = (c0 * c0).sum(1)[None, :] - 2.0 * g
+    labels = pd.argmin(1)
+    want_c = np.stack([pts64[labels == c].mean(0) if (labels == c).any()
+                       else c0[c] for c in range(k)])
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-14, atol=0)
+    np.testing.assert_array_equal(L.read_all(), labels)
+    want_i = float(pd.min(1).sum() + (pts64 * pts64).sum())
+    np.testing.assert_allclose(got_i, want_i, rtol=1e-12)
+    assert counts.sum() == n
+
+
+def test_kmeans_fit_fp64(ctx, rng):
+    """kmeans_fit end-to-end on fp64 points: converges, returns fp64
+    centers, and never touches the float32 device path."""
+    n, d, k = 1800, 8, 4
+    pts32, _ = blobs(rng, n, d, k, spread=0.03)
+    pts64 = pts32.astype(np.float64)
+    P = mem_array((n, d), np.float64, data=pts64, ctx=ctx)
+    centers, inertia = kmeans_fit(P, k, n_iters=8, seed=1, ctx=ctx)
+    assert centers.dtype == np.float64
+    # same fit on the float32 copy must land on the same clustering
+    P32 = mem_array((n, d), np.float32, data=pts32, ctx=ctx)
+    c32, i32 = kmeans_fit(P32, k, n_iters=8, seed=1, ctx=ctx)
+    np.testing.assert_allclose(np.sort(centers, 0), np.sort(c32, 0),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(inertia, i32, rtol=1e-2)
