@@ -22,13 +22,18 @@ def main(argv=None):
     p.add_argument("--order", default="R", choices="RC")
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--beta", type=float, default=0.0)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="float64 = exact host dgemm golden model "
+                        "(in_mem_gemm.cpp double build)")
     args = p.parse_args(argv)
     m, n, k = args.m, args.n, args.k
+    dt = np.dtype(args.dtype)
     a_shape = (k, m) if args.ta == "T" else (m, k)
     b_shape = (n, k) if args.tb == "T" else (k, n)
 
     def load(path, shape):
-        x = np.fromfile(path, dtype=np.float32,
+        x = np.fromfile(path, dtype=dt,
                         count=shape[0] * shape[1])
         x = x.reshape(shape if args.order == "R" else shape[::-1])
         return x if args.order == "R" else x.T

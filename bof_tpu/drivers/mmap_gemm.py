@@ -18,12 +18,18 @@ def main(argv=None):
     p.add_argument("n", type=int)
     p.add_argument("k", type=int)
     p.add_argument("--blk", type=int, default=8192)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="float64 pages blocks through host dgemm")
     args = p.parse_args(argv)
     m, n, k, sb = args.m, args.n, args.k, args.blk
-    import jax.numpy as jnp
-    a = np.memmap(args.a_path, np.float32, "r", shape=(m, k))
-    b = np.memmap(args.b_path, np.float32, "r", shape=(k, n))
-    c = np.memmap(args.c_path, np.float32, "r+", shape=(m, n))
+    dt = np.dtype(args.dtype)
+    host = dt == np.float64  # device matmul would narrow fp64
+    if not host:
+        import jax.numpy as jnp
+    a = np.memmap(args.a_path, dt, "r", shape=(m, k))
+    b = np.memmap(args.b_path, dt, "r", shape=(k, n))
+    c = np.memmap(args.c_path, dt, "r+", shape=(m, n))
     with Timed("mmap_gemm", flops=2.0 * m * n * k):
         for i0 in range(0, m, sb):
             i1 = min(i0 + sb, m)
@@ -32,9 +38,14 @@ def main(argv=None):
                 acc = None
                 for l0 in range(0, k, sb):
                     l1 = min(l0 + sb, k)
-                    pa = jnp.asarray(np.asarray(a[i0:i1, l0:l1]))
-                    pb = jnp.asarray(np.asarray(b[l0:l1, j0:j1]))
-                    part = jnp.dot(pa, pb, preferred_element_type=jnp.float32)
+                    if host:
+                        part = np.asarray(a[i0:i1, l0:l1]) \
+                            @ np.asarray(b[l0:l1, j0:j1])
+                    else:
+                        pa = jnp.asarray(np.asarray(a[i0:i1, l0:l1]))
+                        pb = jnp.asarray(np.asarray(b[l0:l1, j0:j1]))
+                        part = jnp.dot(pa, pb,
+                                       preferred_element_type=jnp.float32)
                     acc = part if acc is None else acc + part
                 c[i0:i1, j0:j1] = np.asarray(acc)
         c.flush()

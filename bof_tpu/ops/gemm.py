@@ -514,10 +514,16 @@ def gemm_in_mem(a_np: np.ndarray, b_np: np.ndarray,
     import jax.numpy as jnp
     opa = a_np.T if transa.upper() == "T" else a_np
     opb = b_np.T if transb.upper() == "T" else b_np
-    out = np.asarray(
-        jnp.dot(jnp.asarray(opa), jnp.asarray(opb),
-                precision=dev._precision(prec),
-                preferred_element_type=opa.dtype))
+    if not dev.dtype_native_on_device(a_np.dtype):
+        # fp64 operands on a backend that would silently narrow them
+        # (x64 off / TPU): host BLAS dgemm is the exact golden model —
+        # the literal role of the reference's in_mem_gemm.cpp MKL twin
+        out = opa @ opb
+    else:
+        out = np.asarray(
+            jnp.dot(jnp.asarray(opa), jnp.asarray(opb),
+                    precision=dev._precision(prec),
+                    preferred_element_type=opa.dtype))
     out = alpha * out
     if beta != 0.0 and c_np is not None:
         out = out + np.asarray(beta * c_np, dtype=out.dtype)

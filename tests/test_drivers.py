@@ -162,6 +162,22 @@ def test_in_mem_and_mmap_gemm_drivers(tmp_path, scratch):
     run_driver("mmap_gemm", a, b, c2, m, n, k, "--blk", 32)
     np.testing.assert_allclose(np.fromfile(c2, np.float32).reshape(m, n),
                                want, rtol=2e-4, atol=1e-4)
+    # fp64 twins: host dgemm paths, exact vs numpy
+    a64, b64 = str(tmp_path / "a64"), str(tmp_path / "b64")
+    r = np.random.default_rng(4)
+    an, bn = r.standard_normal((m, k)), r.standard_normal((k, n))
+    an.tofile(a64)
+    bn.tofile(b64)
+    c3, c4 = str(tmp_path / "c3"), str(tmp_path / "c4")
+    np.zeros((m, n)).tofile(c3)
+    np.zeros((m, n)).tofile(c4)
+    run_driver("in_mem_gemm", a64, b64, c3, m, n, k, "--dtype", "float64")
+    np.testing.assert_allclose(np.fromfile(c3).reshape(m, n), an @ bn,
+                               rtol=1e-13, atol=1e-12)
+    run_driver("mmap_gemm", a64, b64, c4, m, n, k, "--blk", 32,
+               "--dtype", "float64")
+    np.testing.assert_allclose(np.fromfile(c4).reshape(m, n), an @ bn,
+                               rtol=1e-13, atol=1e-12)
 
 
 def test_csrmm_pmem_and_inmem_variants(tmp_path, scratch):
