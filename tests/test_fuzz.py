@@ -209,3 +209,69 @@ def test_xml_rank_fuzz(case, ctx):
     rows = np.arange(docs)[:, None]
     np.testing.assert_allclose(want[rows, got_l], got_s, rtol=2e-4,
                                atol=1e-4, err_msg=tag)
+
+
+@pytest.mark.parametrize("case", range(_N or 6))
+def test_csrmm_fp64_fuzz(case, ctx):
+    """FP_DOUBLE_PRECISION csrmm fuzz: random shapes/layouts/transposes
+    with fp64 values spanning many decades must match scipy fp64 at
+    near-machine tolerance regardless of the resolved placement (fp64
+    always lands on the exact host path, sparse/csrmm.py:149-159)."""
+    import scipy.sparse as sps
+    rng = np.random.default_rng(7000 + case)
+    m = int(rng.integers(10, 300))
+    k = int(rng.integers(10, 250))
+    n = int(rng.integers(2, 60))
+    density = float(rng.uniform(0.01, 0.15))
+    alpha = float(rng.uniform(-2, 2))
+    beta = float(rng.choice([0.0, rng.uniform(-1, 1)]))
+    transa = "T" if rng.integers(2) else "N"
+    order_b = ("R", "C")[rng.integers(2)]
+    ctx.config.max_nnzs = int(rng.choice([256, 1 << 20]))
+    ctx.config.sparse_compute = str(rng.choice(["host", "device", "auto"]))
+
+    a_sp = sps.random(m, k, density=density, format="csr",
+                      dtype=np.float64,
+                      random_state=np.random.RandomState(case))
+    # widen the magnitude range: fp32 would lose these outright
+    a_sp.data *= np.exp(rng.uniform(-30, 30, a_sp.nnz))
+    A = CsrFlashMatrix.from_scipy(a_sp, val_dtype=np.float64, ctx=ctx)
+    out_rows = k if transa == "T" else m
+    b_rows = m if transa == "T" else k
+    b_np = rng.standard_normal((b_rows, n))
+    c_np = rng.standard_normal((out_rows, n))
+    B = mem_array((b_rows, n), np.float64, order=order_b, data=b_np,
+                  ctx=ctx)
+    C = mem_array((out_rows, n), np.float64, data=c_np, ctx=ctx)
+    csrmm(A, B, C, alpha=alpha, beta=beta, transa=transa, ctx=ctx)
+    opa = a_sp.T if transa == "T" else a_sp
+    want = alpha * (opa @ b_np) + beta * c_np
+    got = C.read_all()
+    denom = np.maximum(np.abs(want).max(), 1e-300)
+    assert float(np.abs(got - want).max()) / denom < 1e-12, (
+        f"case {case}: m{m} k{k} n{n} ta{transa} ob{order_b} "
+        f"a{alpha:.3f} b{beta:.3f}")
+
+
+@pytest.mark.parametrize("case", range(_N or 5))
+def test_kmeans_fp64_fuzz(case, ctx):
+    """fp64 Lloyd-step fuzz: random shapes/blockings vs the pure-fp64
+    partial-distance golden, exact labels and near-machine centers."""
+    from bof_tpu.ops.kmeans import lloyds_iter
+    rng = np.random.default_rng(8000 + case)
+    n = int(rng.integers(50, 2000))
+    d = int(rng.integers(2, 24))
+    kk = int(rng.integers(2, 9))
+    blk = int(rng.integers(16, max(17, n)))
+    pts = rng.standard_normal((n, d)) * np.exp(rng.uniform(-5, 5))
+    P = mem_array((n, d), np.float64, data=pts, ctx=ctx)
+    c0 = pts[rng.choice(n, kk, replace=False)]
+    got_c, got_i, counts = lloyds_iter(P, c0, blk_rows=blk, ctx=ctx)
+    g = pts @ c0.T
+    pd = (c0 * c0).sum(1)[None, :] - 2.0 * g
+    labels = pd.argmin(1)
+    want_c = np.stack([pts[labels == c].mean(0) if (labels == c).any()
+                       else c0[c] for c in range(kk)])
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-13, atol=0,
+                               err_msg=f"case {case} n{n} d{d} k{kk}")
+    assert counts.sum() == n
