@@ -51,6 +51,12 @@ def _apply_ata_one_pass(a: CsrFlashMatrix, v_np: np.ndarray,
     measured link rate like csrmm's dispatch (csrmm.cpp:364-420 is the
     reference's 'T' structure this operator replaces)."""
     mode = getattr(ctx.config, "sparse_compute", "host")
+    from ..ops.device import dtype_native_on_device
+    if not dtype_native_on_device(a.vals.dtype):
+        # fp64 CSR values on a backend that would silently narrow them:
+        # the scipy host path is the exact execution model — the same
+        # guard every other device path applies (sparse/csrmm.py:149-159)
+        mode = "host"
     if mode == "auto":
         from ..ops.device import link_gbps_estimate
         link = link_gbps_estimate()
@@ -211,6 +217,12 @@ def _apply_ata_one_pass_sharded(a: CsrFlashMatrix, v_np: np.ndarray,
         raise ValueError("sharded one_pass needs every device addressable "
                          "(single process); use one_pass=False on "
                          "multi-host meshes")
+    from ..ops.device import dtype_native_on_device
+    if not dtype_native_on_device(a.vals.dtype):
+        # device-only path: fp64 values would silently narrow on upload
+        raise ValueError(
+            f"sharded one_pass cannot represent {a.vals.dtype} on this "
+            "backend; use one_pass without a mesh (exact host path)")
     axes = mesh.axis_names
     n_dev = int(np.prod(mesh.devices.shape))
     sh_rep = NamedSharding(mesh, P())

@@ -29,21 +29,26 @@ def main(argv=None):
                    help="convert tiled -> flat instead (creates flat_path)")
     p.add_argument("--verify", action="store_true",
                    help="re-read both files and compare checksums")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="element dtype (must match the flat file; the "
+                        "tiled twin keeps it)")
     args = p.parse_args(argv)
     ctx = make_context(args)
+    dt = np.dtype(args.dtype)
     shape = (args.rows, args.cols)
-    nbytes = args.rows * args.cols * 4
+    nbytes = args.rows * args.cols * dt.itemsize
     if args.unpack:
-        T = map_tiled_array(args.tiled_path, shape, np.float32, args.order,
+        T = map_tiled_array(args.tiled_path, shape, dt, args.order,
                             tile=args.tile, ctx=ctx)
-        F = map_array(args.flat_path, shape, np.float32, args.order,
+        F = map_array(args.flat_path, shape, dt, args.order,
                       create=True, ctx=ctx)
         with Timed("unpack", nbytes=nbytes):
             unpack(T, F)
     else:
-        F = map_array(args.flat_path, shape, np.float32, args.order,
+        F = map_array(args.flat_path, shape, dt, args.order,
                       ctx=ctx)
-        T = map_tiled_array(args.tiled_path, shape, np.float32, args.order,
+        T = map_tiled_array(args.tiled_path, shape, dt, args.order,
                             tile=args.tile, create=True, ctx=ctx)
         with Timed("repack", nbytes=nbytes):
             repack(F, T)

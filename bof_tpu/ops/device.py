@@ -148,6 +148,16 @@ def dtype_native_on_device(dt) -> bool:
     dt = np.dtype(dt)
     if dt.itemsize < 8:
         return True
+    return _dtype64_native(dt.str, bool(jax.config.jax_enable_x64))
+
+
+@functools.lru_cache(maxsize=None)
+def _dtype64_native(dt_str: str, x64: bool) -> bool:
+    """Cached per (dtype, x64 flag): the probe creates a device array —
+    an RPC on tunnel transports — and the answer is constant for the
+    process once the backend and x64 mode are fixed (the x64 flag is in
+    the key so tests that flip it mid-process stay correct)."""
+    dt = np.dtype(dt_str)
     if jnp.asarray(np.empty(0, dt)).dtype != dt:
         return False  # x64 disabled: silent 64 -> 32 narrowing
     return not (on_tpu() and dt.kind == "f")

@@ -326,6 +326,15 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             from ..ops.gemm64 import gemm64
             return gemm64(a, b, c, alpha=alpha, beta=beta, transa=transa,
                           transb=transb, blk=blk, ctx=ctx, mesh=mesh)
+        if not jax.config.jax_enable_x64:
+            # same guard as the single-chip dispatcher (ops/gemm.py):
+            # without x64 the sharded uploads would silently narrow the
+            # fp64 tiles to float32 and the writer would hand the store
+            # half-width buffers
+            raise ValueError(
+                "float64 operands need JAX x64 mode (set JAX_ENABLE_X64=1 "
+                "or jax.config.update('jax_enable_x64', True)); on TPU "
+                "set fp64_device='sliced' for the exact int8-slicing path")
     px, py = mesh.devices.shape
     sb = blk or cfg.gemm_blk_size
     lcm = int(np.lcm(px, py))
@@ -382,14 +391,17 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                               a_km=a_km, b_nk=b_nk, c_nm=c_nm)
 
     def _xfer(host):
-        """Quantize/round one tile for the link; returns (array, scale)."""
+        """Quantize/round one tile for the link; returns (array, scale).
+        Routed through the native prep kernels (io/native.py) — the
+        single-thread numpy chain was the compressed path's dominant
+        stage (5.2x measured, docs/PERFORMANCE.md) and the single-chip
+        gemm already uses them."""
         if xfer_mode == "bfloat16":
-            import ml_dtypes
-            return host.astype(ml_dtypes.bfloat16), None
+            from ..io.native import cast_bf16
+            return cast_bf16(host), None
         if xfer_int8:
-            amax = float(np.abs(host).max()) or 1.0
-            s = amax / 127.0
-            return np.rint(host * (1.0 / s)).astype(np.int8), s
+            from ..io.native import quantize_i8
+            return quantize_i8(host)
         return host, None
     sh_a = sharding_for(mesh, P("y", "x") if a_km else P("x", "y"))
     sh_b = sharding_for(mesh, P(None, "y") if b_nk else P("y", None))

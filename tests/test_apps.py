@@ -364,3 +364,35 @@ def test_sharded_one_pass_multihost_raises_at_entry(ctx, rng, monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(ValueError, match="addressable"):
         block_lanczos_svd(A, 4, one_pass=True, mesh=make_mesh(), ctx=ctx)
+
+
+def test_one_pass_fp64_routes_to_exact_host(ctx, rng):
+    """fp64 CSR values through the one-pass operator: 'device' placement
+    must fall back to the exact host products (the same guard as
+    csrmm/csrgemv), matching scipy fp64 tightly; the sharded variant
+    (device-only) must refuse rather than narrow."""
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 on: device fp64 is exact here")
+    from bof_tpu.apps.eigensolver import _apply_ata_one_pass
+    m, k, L = 300, 120, 4
+    a_sp = sps.random(m, k, density=0.05, format="csr", dtype=np.float64,
+                      random_state=np.random.RandomState(11))
+    a_sp.data *= np.exp(rng.uniform(-20, 20, a_sp.nnz))
+    A = CsrFlashMatrix.from_scipy(a_sp, val_dtype=np.float64, ctx=ctx)
+    v = rng.standard_normal((k, L))
+    ctx.config.sparse_compute = "device"
+    try:
+        got = _apply_ata_one_pass(A, v, ctx)
+    finally:
+        ctx.config.sparse_compute = "auto"
+    v32 = v.astype(np.float32).astype(np.float64)
+    want = a_sp.T @ (a_sp @ v32)  # host path casts V once to f32
+    denom = max(float(np.abs(want).max()), 1e-300)
+    assert float(np.abs(got - want).max()) / denom < 1e-12
+
+    if len(jax.devices()) >= 8:
+        from bof_tpu.apps.eigensolver import _apply_ata_one_pass_sharded
+        from bof_tpu.parallel import make_mesh
+        with pytest.raises(ValueError, match="represent"):
+            _apply_ata_one_pass_sharded(A, v, make_mesh(8), ctx)

@@ -509,3 +509,27 @@ def test_gemm_sharded_transfer_modes(ctx, rng, mode, tol):
             assert rel > 1e-7, "really quantized"
     finally:
         ctx.config.transfer_dtype = "float32"
+
+
+def test_gemm_sharded_float64_native_mode_guarded(ctx, rng, tmp_path):
+    """gemm_sharded's fp64 fall-through (fp64_device='native') must raise
+    the same clear x64 error as the single-chip dispatcher instead of
+    silently narrowing the sharded uploads to float32."""
+    import jax
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 on: native fp64 is exact on the CPU mesh")
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    from bof_tpu import mem_array
+    from bof_tpu.parallel import gemm_sharded, make_mesh
+    ctx.config.fp64_device = "native"
+    try:
+        A = mem_array((64, 48), np.float64,
+                      data=rng.standard_normal((64, 48)), ctx=ctx)
+        B = mem_array((48, 32), np.float64,
+                      data=rng.standard_normal((48, 32)), ctx=ctx)
+        C = mem_array((64, 32), np.float64, ctx=ctx)
+        with pytest.raises(ValueError, match="x64"):
+            gemm_sharded(A, B, C, mesh=make_mesh(8), blk=32, ctx=ctx)
+    finally:
+        ctx.config.fp64_device = "auto"
