@@ -28,19 +28,50 @@ _SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libbof_io.so"))
 _lib = None
 _lib_lock = threading.Lock()
 _engine_started = False
+_span_disable_sent = None  # last value pushed to bof_set_span_disable
+
+
+def _sync_span_flag(lib):
+    """Mirror BOF_NO_SPAN_COALESCE into the engine's atomic.  Reading
+    os.environ here is a GIL-safe dict lookup; the old design had worker
+    threads calling getenv() per op, racing Python-side putenv (environ
+    realloc — UB).  Called per submit: one dict get + compare, and the
+    ctypes call only fires when the value actually changes (tests and
+    paired A/Bs toggle it mid-process)."""
+    global _span_disable_sent
+    cur = 1 if os.environ.get("BOF_NO_SPAN_COALESCE") else 0
+    if cur != _span_disable_sent and hasattr(lib, "bof_set_span_disable"):
+        lib.bof_set_span_disable(cur)
+        _span_disable_sent = cur
+
+
+def _src_digest() -> str:
+    """Content hash of the engine sources.  The shared fallback cache dir
+    (~/.cache/bof_tpu) can be reached by several checkouts/venvs with
+    different engine versions; mtime comparison across installs is
+    meaningless there (wheel timestamps), so the cache file is keyed by
+    what was actually compiled."""
+    import hashlib
+    h = hashlib.sha256()
+    for p in (_SRC, _INC):
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
 
 
 def _so_target() -> str:
     """Where to build the engine: next to the sources when the package dir
     is writable (dev checkout), else under ~/.cache/bof_tpu (pip install
-    into a read-only site-packages must not crash the self-build)."""
+    into a read-only site-packages must not crash the self-build) with a
+    source-hash-keyed name so different installed versions never collide."""
     if os.access(os.path.dirname(_SO), os.W_OK):
         return _SO
     fb_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "bof_tpu", "native")
     os.makedirs(fb_dir, exist_ok=True)
-    return os.path.join(fb_dir, "libbof_io.so")
+    return os.path.join(fb_dir, f"libbof_io-{_src_digest()}.so")
 
 
 def _build() -> str:
@@ -97,34 +128,53 @@ def load_library():
         except (OSError, subprocess.CalledProcessError) as e:
             LOG.warning("native io engine unavailable (%s); using python io", e)
             return None
-        lib.bof_engine_start.argtypes = [ctypes.c_int]
-        lib.bof_engine_stop.argtypes = []
-        lib.bof_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                                 ctypes.c_longlong]
-        lib.bof_open.restype = ctypes.c_longlong
-        lib.bof_close.argtypes = [ctypes.c_longlong]
-        lib.bof_file_size.argtypes = [ctypes.c_longlong]
-        lib.bof_file_size.restype = ctypes.c_longlong
-        lib.bof_truncate.argtypes = [ctypes.c_longlong, ctypes.c_longlong]
-        lib.bof_fsync.argtypes = [ctypes.c_longlong]
-        lib.bof_submit.argtypes = [ctypes.c_longlong] * 5 + [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong]
-        lib.bof_submit.restype = ctypes.c_longlong
-        lib.bof_poll.argtypes = [ctypes.c_longlong]
-        lib.bof_wait.argtypes = [ctypes.c_longlong]
-        lib.bof_set_aio_depth.argtypes = [ctypes.c_int, ctypes.c_int]
-        lib.bof_set_verify_writes.argtypes = [ctypes.c_int]
-        try:  # host prep kernels (absent from pre-built stale .so copies)
-            lib.bof_quantize_i8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                            ctypes.c_longlong]
-            lib.bof_quantize_i8.restype = ctypes.c_double
-            lib.bof_cast_bf16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                          ctypes.c_longlong]
-            lib.bof_split_f64_i8.argtypes = [
-                ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
-                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
-        except AttributeError:
-            pass
+        try:
+            # core interface: a foreign/stale .so missing any of these
+            # must degrade to the Python backend, not crash later with
+            # an unbound symbol (and unbound argtypes would truncate
+            # 64-bit pointers to C int defaults)
+            lib.bof_engine_start.argtypes = [ctypes.c_int]
+            lib.bof_engine_stop.argtypes = []
+            lib.bof_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_longlong]
+            lib.bof_open.restype = ctypes.c_longlong
+            lib.bof_close.argtypes = [ctypes.c_longlong]
+            lib.bof_file_size.argtypes = [ctypes.c_longlong]
+            lib.bof_file_size.restype = ctypes.c_longlong
+            lib.bof_truncate.argtypes = [ctypes.c_longlong,
+                                         ctypes.c_longlong]
+            lib.bof_fsync.argtypes = [ctypes.c_longlong]
+            lib.bof_submit.argtypes = [ctypes.c_longlong] * 5 + [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong]
+            lib.bof_submit.restype = ctypes.c_longlong
+            lib.bof_poll.argtypes = [ctypes.c_longlong]
+            lib.bof_wait.argtypes = [ctypes.c_longlong]
+            lib.bof_set_aio_depth.argtypes = [ctypes.c_int, ctypes.c_int]
+            lib.bof_set_verify_writes.argtypes = [ctypes.c_int]
+        except AttributeError as e:
+            LOG.warning("native io engine .so is missing core symbols "
+                        "(%s); using python io", e)
+            return None
+        # optional kernels, bound independently: a partially-matching .so
+        # must not leave LATER symbols unbound-but-callable (ctypes'
+        # default conversions truncate 64-bit pointers)
+        for name, argtypes, restype in (
+                ("bof_set_span_disable", [ctypes.c_int], None),
+                ("bof_quantize_i8",
+                 [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong],
+                 ctypes.c_double),
+                ("bof_cast_bf16",
+                 [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong],
+                 None),
+                ("bof_split_f64_i8",
+                 [ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+                  ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                  ctypes.c_void_p], None)):
+            fn = getattr(lib, name, None)
+            if fn is not None:
+                fn.argtypes = argtypes
+                if restype is not None:
+                    fn.restype = restype
         _lib = lib
         return _lib
 
@@ -133,8 +183,11 @@ def quantize_i8(src: np.ndarray):
     """(int8 array, scale): per-tile max-abs quantization for the int8
     transfer mode.  Native engine when available — parallel fused passes,
     5.2x the numpy rint chain (327 -> 63 ms per 4096^2 tile, measured),
-    which was the dominant stage (`prep_s`) of the compressed gemm path —
-    with a bit-compatible numpy fallback."""
+    which was the dominant stage (`prep_s`) of the compressed gemm path.
+    The numpy fallback mirrors the native semantics (float32 scale math,
+    round-half-even, +/-127 clamp, NaN-ignoring amax, empty -> scale 1);
+    outputs agree except possibly the last ulp of f32 rounding at exact
+    rounding ties."""
     src = np.ascontiguousarray(src, np.float32)
     lib = load_library()
     if lib is not None and hasattr(lib, "bof_quantize_i8"):
@@ -142,9 +195,15 @@ def quantize_i8(src: np.ndarray):
         scale = lib.bof_quantize_i8(src.ctypes.data, dst.ctypes.data,
                                     src.size)
         return dst, float(scale)
-    amax = float(np.abs(src).max()) or 1.0
-    scale = amax / 127.0
-    return np.rint(src * (1.0 / scale)).astype(np.int8), scale
+    # fmax ignores NaN (the native amax pass compares with >, skipping
+    # NaN); initial=0 handles the empty tile like the native n=0 path
+    amax = np.float32(np.fmax.reduce(np.abs(src), axis=None, initial=0.0))
+    if amax == 0.0:
+        amax = np.float32(1.0)
+    scale = amax / np.float32(127.0)
+    inv = np.float32(1.0) / scale
+    q = np.clip(np.rint(src * inv), -127, 127)
+    return q.astype(np.int8), float(scale)
 
 
 def split_f64_i8(src: np.ndarray, exps: np.ndarray, per_line: bool,
@@ -160,6 +219,14 @@ def split_f64_i8(src: np.ndarray, exps: np.ndarray, per_line: bool,
         return None
     src = np.ascontiguousarray(src, np.float64)
     e = np.ascontiguousarray(exps, np.int32)
+    want = src.shape[0] if per_line else src.shape[1]
+    if e.shape != (want,):
+        # an axis/flag mismatch would be an out-of-bounds heap read in
+        # the C++ kernel (it indexes exps[i/width] or exps[i%width])
+        raise ValueError(
+            f"split_f64_i8: exps length {e.shape} does not match the "
+            f"{'line' if per_line else 'column'} count {want} of a "
+            f"{src.shape} tile")
     out = np.empty((s,) + src.shape, np.int8)
     lib.bof_split_f64_i8(src.ctypes.data, src.shape[0], src.shape[1],
                          e.ctypes.data, int(bool(per_line)), s,
@@ -297,6 +364,7 @@ class NativeFileStore(BaseStore):
     def _submit(self, offset: int, sinfo: StrideInfo, buf: np.ndarray,
                 is_write: bool) -> Ticket:
         _check_access(sinfo, buf)
+        _sync_span_flag(self._lib)
         with self._fd_lock:
             if self._fd is None:
                 raise IOError(f"store is closed: {self.path}")

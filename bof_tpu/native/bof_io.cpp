@@ -438,14 +438,18 @@ thread_local TlAio tl_aio;
 // (used by paired A/Bs).  Writes never take this path (RMW hazards stay
 // with the interval-locked write machinery).
 static std::atomic<long long> g_span_ops{0};
+// Kill-switch state: a cached atomic, NOT a per-op getenv — workers
+// calling getenv while a Python thread mutates os.environ (putenv can
+// realloc environ) is a data race.  Seeded from the env at engine start;
+// the Python bindings re-sync it through bof_set_span_disable whenever
+// the BOF_NO_SPAN_COALESCE env value changes (io/native.py _submit).
+static std::atomic<int> g_span_disable{0};
 constexpr int64_t kSpanMaxRunLen = 256 << 10;  // big runs are fast already
 constexpr int64_t kSpanMaxBytes = 64ll << 20;  // bounce-buffer ceiling
 
 static bool span_eligible(const Op& op) {
-  // env read per grouped op (>= 1 MiB payload each), not per run — cheap,
-  // and dynamic so paired A/Bs and tests can toggle within one process
-  if (getenv("BOF_NO_SPAN_COALESCE") || op.is_write || op.n_runs <= 1
-      || !op.o_direct)
+  if (g_span_disable.load(std::memory_order_relaxed) || op.is_write
+      || op.n_runs <= 1 || !op.o_direct)
     return false;
   if (op.stride <= 0 || op.len >= kSpanMaxRunLen) return false;
   int64_t span = (op.n_runs - 1) * op.stride + op.len;
@@ -553,8 +557,19 @@ void Engine::worker() {
       q.pop_front();
     }
     int e = 0;
+    bool handled = false;
     if (span_eligible(op)) {
       e = span_read(op);
+      if (e == 0) {
+        handled = true;
+      } else {
+        // the covering span touches gap bytes the caller never asked
+        // for — a bad sector in a gap (or bounce ENOMEM) must not fail
+        // a read the per-run path would satisfy; fall through
+        e = 0;
+      }
+    }
+    if (handled) {
     } else if (op.n_runs > 1 && aio_eligible(op) && tl_aio.ready()) {
       e = aio_execute(tl_aio.ctx, op,
                       g_max_simul.load(std::memory_order_relaxed));
@@ -700,8 +715,17 @@ void bof_split_f64_i8(const double* src, long long n_lines, long long width,
   });
 }
 
+// Runtime toggle for span coalescing (replaces per-op getenv; see
+// g_span_disable).  Exported so the Python side can mirror env changes.
+void bof_set_span_disable(int disable) {
+  g_span_disable.store(disable ? 1 : 0, std::memory_order_relaxed);
+}
+
 int bof_engine_start(int n_threads) {
   if (g_engine) return 0;
+  // single-threaded here: seeding from the env is race-free
+  g_span_disable.store(getenv("BOF_NO_SPAN_COALESCE") ? 1 : 0,
+                       std::memory_order_relaxed);
   g_engine = new Engine();
   if (n_threads < 1) n_threads = 1;
   for (int i = 0; i < n_threads; ++i)
