@@ -102,7 +102,21 @@ def measure_link_gbps() -> dict:
 
 
 def measure_h2d_gbps() -> float:
-    return measure_link_gbps()["h2d"]
+    """H2D-only probe: the csrmm standalone mode reports only the upload
+    rate, and the full bidirectional probe would spend an extra 2-4 s of
+    the serial channel on a D2H figure that gets discarded."""
+    import jax
+    import jax.numpy as jnp
+
+    g = jax.jit(lambda d: jnp.sum(d[:1]))
+    x = np.random.default_rng(12345).integers(
+        0, 256, _PROBE_MB << 20, dtype=np.uint8)
+    d = jax.device_put(x)
+    float(np.asarray(g(d)))  # warm the jit at the full shape
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    float(np.asarray(g(d)))
+    return round(x.nbytes / (time.perf_counter() - t0) / 1e9, 4)
 
 
 def ensure_operand(path: str, n: int, seed: int):
@@ -478,7 +492,14 @@ def run_map_reduce(ctx) -> dict:
     src = bt.map_array(spath, (n_el,), np.float32, ctx=ctx)
     dst = bt.map_array(os.path.join(ctx.config.scratch_dir, "mapped.bin"),
                        (n_el,), np.float32, create=True, ctx=ctx)
-    dst.write_block(0, np.zeros(4096, np.float32))  # scrub stale cache
+    # scrub the WHOLE destination with a sentinel sqrt∘abs can never
+    # produce: mapped.bin persists across runs with deterministic input,
+    # so stale-correct bytes would make every verify window AND the
+    # reduce check vacuous on repeat runs (the head-only scrub that was
+    # here covered just window 1 of 5)
+    sent = np.full(1 << 20, -1.0, np.float32)
+    for w0 in range(0, n_el, 1 << 20):
+        dst.write_block(w0, sent[:min(1 << 20, n_el - w0)])
 
     t0 = time.perf_counter()
     bof_map(src, dst, lambda x: jnp.sqrt(jnp.abs(x)), ctx=ctx)
@@ -706,6 +727,59 @@ def main():
                   "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
+    # first device contact — shared by EVERY device-touching mode (the
+    # standalone kernel modes previously had an unguarded first device op:
+    # a bad-relay day then killed the process with a traceback and ZERO
+    # JSON lines, the exact failure the retry/fallback machinery exists
+    # for).  The dev tunnel's device grant can take MINUTES to attach
+    # (measured ~380-600s stalls with ~0 CPU, 25-35+ min on bad relay
+    # days).  Time it explicitly, report it, and start wall budgets AFTER
+    # attach — the budget governs the framework's work, and the stall is
+    # attributable in the artifact.
+    _progress("first device contact (grant attach)")
+    import jax as _jax
+    import jax.numpy as _jnp
+    t0 = time.perf_counter()
+    try:
+        float(np.asarray(_jax.jit(lambda d: _jnp.sum(d))(
+            _jax.device_put(np.ones(8, np.float32)))))
+    except RuntimeError as e:
+        # bad-relay failure mode (CLAUDE.md): tens of minutes of attach
+        # stall, then 'Unable to initialize backend ... Unavailable'.
+        # jax caches the failed backend, so retrying means a FRESH
+        # process: re-exec ourselves (stdout is preserved — the eventual
+        # artifact still prints exactly one JSON line).
+        stall_s = round(time.perf_counter() - t0, 1)
+        tries = int(os.environ.get("_BOF_BENCH_ATTACH_TRY", "0"))
+        max_tries = int(os.environ.get("BOF_BENCH_ATTACH_RETRIES", "1"))
+        if "nitialize backend" in str(e) and tries < max_tries:
+            pause = float(os.environ.get("BOF_BENCH_ATTACH_SLEEP_S", "60"))
+            _progress(f"attach failed after {stall_s}s ({e}); re-exec "
+                      f"retry {tries + 1}/{max_tries} in {pause:.0f}s")
+            ctx.destroy()
+            time.sleep(pause)
+            os.environ["_BOF_BENCH_ATTACH_TRY"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        # out of retries: the relay is down, not the framework.  Emit a
+        # diagnosable artifact that still carries a real measurement —
+        # the native-engine disk benchmark never touches the device.
+        io = {}
+        if os.environ.get("BOF_BENCH_IO_ON_FAIL", "1") == "1":
+            try:
+                io = {(k if k.startswith("io_") else f"io_{k}"): v
+                      for k, v in run_io(ctx).items()}
+            except Exception:
+                pass
+        print(json.dumps({
+            "metric": "error", "value": 0, "unit": "", "vs_baseline": 0,
+            "error": f"device attach failed after {stall_s}s "
+                     f"({tries + 1} attempts): {e}",
+            "device_attach_s": stall_s, "attach_attempts": tries + 1,
+            "kernel_mode": kernel or "default", **io}))
+        return 1
+    device_attach_s = round(time.perf_counter() - t0, 1)
+    _progress(f"device attached in {device_attach_s}s")
+
     if kernel == "csrmm":  # sparse-only mode
         h2d_1 = measure_h2d_gbps()
         r = run_csrmm(ctx)
@@ -755,54 +829,6 @@ def main():
         print(json.dumps(result))
         return 0 if ok else 1
 
-    # first device contact: the dev tunnel's device grant can take
-    # MINUTES to attach when a previous client exited recently (measured
-    # ~380-600s stalls with ~0 CPU).  Time it explicitly, report it, and
-    # start the wall budget AFTER attach — the budget governs the
-    # framework's work, and the stall is attributable in the artifact.
-    _progress("first device contact (grant attach)")
-    import jax as _jax
-    import jax.numpy as _jnp
-    t0 = time.perf_counter()
-    try:
-        float(np.asarray(_jax.jit(lambda d: _jnp.sum(d))(
-            _jax.device_put(np.ones(8, np.float32)))))
-    except RuntimeError as e:
-        # bad-relay failure mode (CLAUDE.md): tens of minutes of attach
-        # stall, then 'Unable to initialize backend ... Unavailable'.
-        # jax caches the failed backend, so retrying means a FRESH
-        # process: re-exec ourselves (stdout is preserved — the eventual
-        # artifact still prints exactly one JSON line).
-        stall_s = round(time.perf_counter() - t0, 1)
-        tries = int(os.environ.get("_BOF_BENCH_ATTACH_TRY", "0"))
-        max_tries = int(os.environ.get("BOF_BENCH_ATTACH_RETRIES", "1"))
-        if "nitialize backend" in str(e) and tries < max_tries:
-            pause = float(os.environ.get("BOF_BENCH_ATTACH_SLEEP_S", "60"))
-            _progress(f"attach failed after {stall_s}s ({e}); re-exec "
-                      f"retry {tries + 1}/{max_tries} in {pause:.0f}s")
-            ctx.destroy()
-            time.sleep(pause)
-            os.environ["_BOF_BENCH_ATTACH_TRY"] = str(tries + 1)
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        # out of retries: the relay is down, not the framework.  Emit a
-        # diagnosable artifact that still carries a real measurement —
-        # the native-engine disk benchmark never touches the device.
-        io = {}
-        if os.environ.get("BOF_BENCH_IO_ON_FAIL", "1") == "1":
-            try:
-                io = {f"io_{k}": v for k, v in run_io(ctx).items()}
-            except Exception:
-                pass
-        print(json.dumps({
-            "metric": "error", "value": 0, "unit": "", "vs_baseline": 0,
-            "error": f"device attach failed after {stall_s}s "
-                     f"({tries + 1} attempts): {e}",
-            "device_attach_s": stall_s, "attach_attempts": tries + 1,
-            **io}))
-        return 1
-    device_attach_s = round(time.perf_counter() - t0, 1)
-    _progress(f"device attached in {device_attach_s}s")
-
     t_bench_start = time.perf_counter()
     state_path = os.path.join(CACHE_DIR, "bench_state.json")
     try:
@@ -827,9 +853,11 @@ def main():
     csrmm_enabled = os.environ.get("BOF_BENCH_CSRMM", "1") != "0"
 
     def do_csrmm(tag: str):
-        """Run the sparse secondary; clears the pending marker only when
-        it actually completed (a crash/timeout leaves it set, so the NEXT
-        run fronts csrmm before gemm — round-2 failure mode)."""
+        """Run the sparse secondary.  csrmm is now ALWAYS fronted before
+        the gemm headline, so the pending marker no longer changes
+        ordering — it survives purely as a post-mortem breadcrumb in
+        bench_state.json (set while csrmm is in flight; a crash/timeout
+        leaves it set for the reader)."""
         try:
             result.update(run_csrmm(ctx))
             result["csrmm_order"] = tag
@@ -894,8 +922,10 @@ def main():
                 break
             n = cand
         n = max(n, 2 * sb)
-        # prefer an already-generated operand within [n/2, 1.5n]: writing
+        # prefer an already-generated operand within [n/2, n]: writing
         # a fresh N^2 fp32 pair costs tens of seconds of the wall budget
+        # (never larger than the sized n — the budget arithmetic above
+        # is an upper bound on what the wall can absorb)
         if not os.path.exists(os.path.join(CACHE_DIR, f"A_{n}.bin")):
             have = []
             for f in os.listdir(CACHE_DIR):
@@ -984,32 +1014,37 @@ def main():
         measured.clear()
         state["inmem_prov_v"] = 2
     in_mem_source = f"extrapolated_from_{inmem_probe_n}"
+    # state keys carry the precision when it differs from the default:
+    # a twin measured under PREC=default (bf16 passes, ~3-6x faster)
+    # must never be replayed as the HIGHEST-precision prior (all
+    # recorded history ran at highest, so bare-n keys mean highest)
+    nkey = str(n) if prec_name == "highest" else f"{n}@{prec_name}"
     if 3 * n * n * 4 <= 12 << 30:
-        if str(n) in measured and elapsed() < 0.75 * budget_s:
+        if nkey in measured and elapsed() < 0.75 * budget_s:
             try:  # warm: a prior run paid the compile for this exact N
                 inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
-                measured[str(n)] = round(inmem_tflops, 2)
+                measured[nkey] = round(inmem_tflops, 2)
                 in_mem_source = f"measured_at_{n}"
             except Exception:
-                inmem_tflops = float(measured[str(n)])
+                inmem_tflops = float(measured[nkey])
                 in_mem_source = f"prior_run_at_{n}"
-        elif str(n) in measured:
-            inmem_tflops = float(measured[str(n)])
+        elif nkey in measured:
+            inmem_tflops = float(measured[nkey])
             in_mem_source = f"prior_run_at_{n}"
-        elif str(n) in seen and elapsed() < 0.45 * budget_s:
+        elif nkey in seen and elapsed() < 0.45 * budget_s:
             # second sighting with real headroom: pay the one-time cold
             # remote compile (30-170s) now so every later run gets a true
             # full-N twin from the persistent compile cache
             try:
                 inmem_tflops = measure_inmem_tflops(n, prec, iters=1)
-                measured[str(n)] = round(inmem_tflops, 2)
+                measured[nkey] = round(inmem_tflops, 2)
                 in_mem_source = f"measured_at_{n}"
             except Exception:
                 pass
         else:
             # first sighting: record it so the NEXT run can decide to
             # invest in the full-size twin; value stays an extrapolation
-            seen[str(n)] = round(inmem_tflops, 2)
+            seen[nkey] = round(inmem_tflops, 2)
     save_state()
     probe_after = measure_link_gbps()
     probes = [probe_before["h2d"], probe_before["d2h"],
@@ -1099,9 +1134,17 @@ def main():
     # A/B ship quantized AND the C download ships bf16, so link bytes per
     # superblock sweep drop to (2*1+2)/12 for int8, (2*2+2)/12 for bf16
     byte_ratio = {"int8": 0.34, "bf16": 0.5}.get(xfer2)
+    # cold-compile accounting: the secondary's warm-up builds the
+    # quantized accum + bf16-download kernels — a 30-170s remote compile
+    # the FIRST time this (blk, mode) pair is ever run.  Once a run
+    # completes, the persistent compile cache makes later warm-ups cheap;
+    # the state marker records which pairs have paid that cost.
+    xfer_warm = state.setdefault("xfer_warm", {})
+    xfer_key = f"{sb}@{xfer2}"
+    xfer_pad = 20 if xfer_warm.get(xfer_key) else 150
     if (xfer == "fp32" and byte_ratio is not None
             and os.environ.get("BOF_BENCH_SKIP_VERIFY") != "1"
-            and elapsed() + byte_ratio * dt + 20 < 0.9 * budget_s):
+            and elapsed() + byte_ratio * dt + xfer_pad < 0.9 * budget_s):
         _progress(f"{xfer2}-transfer gemm secondary at n={n}")
         ctx.config.transfer_dtype = xfer_map[xfer2]
         ctx.config.c_transfer_dtype = "bfloat16"
@@ -1148,6 +1191,8 @@ def main():
                 "verified": rel2 < tol2,
             }
             ok = ok and rel2 < tol2
+            xfer_warm[xfer_key] = True  # compile cost paid and cached
+            save_state()
         except Exception as e:  # secondary must not sink the line
             result["gemm_xfer_error"] = f"{type(e).__name__}: {e}"
         finally:

@@ -109,7 +109,11 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     from .mesh import _FORCE_SHARDED_READS
     multihost = jax.process_count() > 1
     sharded_reads = multihost or _FORCE_SHARDED_READS
-    min_rows = max(8, n_dev)
+    # rows_pad must divide evenly over the flattened device axis AND stay
+    # sublane-friendly: lcm, not max — max(8, 6)=8 is not divisible by a
+    # 6-device mesh and shard_map would reject the ELL block (only
+    # power-of-two device counts divide 8)
+    min_rows = int(np.lcm(8, n_dev))
     if sharded_reads:
         shard_flat: list = []
         sub_plans = []  # per block: [(s0, s1, rows_pad, rmax, shards)]

@@ -533,3 +533,36 @@ def test_gemm_sharded_float64_native_mode_guarded(ctx, rng, tmp_path):
             gemm_sharded(A, B, C, mesh=make_mesh(8), blk=32, ctx=ctx)
     finally:
         ctx.config.fp64_device = "auto"
+
+
+def test_csrmm_sharded_six_devices(ctx, rng):
+    """Non-power-of-two device counts: rows_pad must divide over the
+    flattened 6-device axis (min_rows = lcm(8, n_dev), not max — 8 is
+    not divisible by 6 and shard_map rejects the ELL block), on both
+    the whole-block and sharded-read paths."""
+    import jax
+    if len(jax.devices()) < 6:
+        pytest.skip("need 6 devices")
+    import scipy.sparse as sps
+    from bof_tpu import mem_array
+    import bof_tpu.parallel.mesh as meshmod
+    from bof_tpu.parallel import csrmm_sharded, make_mesh
+    from bof_tpu.sparse import CsrFlashMatrix
+
+    m, k, n = 300, 90, 16
+    a_sp = sps.random(m, k, density=0.05, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(3))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    b_np = rng.standard_normal((k, n)).astype(np.float32)
+    mesh = make_mesh(6)
+    want = (a_sp @ b_np).astype(np.float32)
+    for forced in (False, True):
+        B = mem_array((k, n), np.float32, data=b_np, ctx=ctx)
+        C = mem_array((m, n), np.float32, ctx=ctx)
+        meshmod._FORCE_SHARDED_READS = forced
+        try:
+            csrmm_sharded(A, B, C, mesh=mesh, ctx=ctx)
+        finally:
+            meshmod._FORCE_SHARDED_READS = False
+        np.testing.assert_allclose(C.read_all(), want, rtol=2e-4,
+                                   atol=2e-4)
