@@ -139,7 +139,8 @@ def _one_pass_stream(a: CsrFlashMatrix, v_np: np.ndarray, ctx, put_v,
             rows_sel = order[s0:s1]
             ja_e, va_e = sdev.to_ell_rows(blk_ia, ja_blk, va_blk,
                                           rows_sel, min_rows=min_rows,
-                                          idx_dtype=fwd_idt)
+                                          idx_dtype=fwd_idt,
+                                          counts=counts)
             w = fwd_product(v_dev, ja_e, va_e)
             # transpose the selected rows in DRAM; the CSC's row indices
             # are positions within rows_sel — exactly W's row order
@@ -152,7 +153,8 @@ def _one_pass_stream(a: CsrFlashMatrix, v_np: np.ndarray, ctx, put_v,
                 cols_sel = csort[c0:c1]
                 cja, cva = sdev.to_ell_rows(
                     sub.indptr.astype(np.int64), sub.indices, sub.data,
-                    cols_sel, min_rows=min_rows, idx_dtype=t_idt)
+                    cols_sel, min_rows=min_rows, idx_dtype=t_idt,
+                    counts=ccounts)
                 u_part = t_product(w, cja, cva)
                 U[cols_sel] += np.asarray(u_part)[:len(cols_sel)]
     METRICS.add("eig.op_applies")

@@ -224,7 +224,7 @@ def _xml_rank_fused(a: CsrFlashMatrix, w: FlashArray, k: int,
                 ja_ell, va_ell = sdev.to_ell_rows(
                     blk_ia, ja_blk, va_blk, rows_sel,
                     min_rows=max(8, n_dev), idx_dtype=ell_idt,
-                    val_dtype=ell_vdt)
+                    val_dtype=ell_vdt, counts=counts)
                 vals, idx = step(b_panel, put_rows(ja_ell),
                                  put_rows(va_ell), mask_dev)
                 rows_n = len(rows_sel)

@@ -50,3 +50,37 @@ class PrefetchSeq:
         for key in self._keys.values():
             self._cache.unpin(key)
         self._keys.clear()
+
+
+def queue_put(q, item, errors, timeout: float = 1.0) -> bool:
+    """Timeout-put guarded by a shared error list: a dead consumer can
+    never block a producer forever (the producer may be holding pinned
+    tiles).  Returns False once an error is recorded.  Shared by the
+    gemm/csrmm/sharded pipeline stages — one shutdown protocol, not four
+    hand-rolled copies."""
+    import queue as _queue
+    while not errors:
+        try:
+            q.put(item, timeout=timeout)
+            return True
+        except _queue.Full:
+            continue
+    return False
+
+
+def queue_put_sentinel(q, errors):
+    """Deliver the end-of-stream None even against a full queue; once an
+    error is recorded, make one non-blocking attempt (to unblock a live
+    consumer mid-get) and give up — consumers key their shutdown off the
+    shared error list."""
+    import queue as _queue
+    while not errors:
+        try:
+            q.put(None, timeout=1.0)
+            return
+        except _queue.Full:
+            continue
+    try:
+        q.put_nowait(None)
+    except _queue.Full:
+        pass

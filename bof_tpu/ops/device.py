@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -176,7 +177,7 @@ def from_device(x) -> np.ndarray:
 # measured GB/s is a true transfer rate (bounded by the link), not dispatch
 # time.  The dev tunnel is one serial channel anyway (docs/PERFORMANCE.md:
 # concurrent pulls don't scale), so the lock costs no real overlap there.
-XFER_LOCK = __import__("threading").Lock()
+XFER_LOCK = threading.Lock()
 
 
 @jax.jit

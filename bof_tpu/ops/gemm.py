@@ -30,6 +30,7 @@ import numpy as np
 
 from ..context import get_context
 from ..core.flash_array import FlashArray
+from ..core.pipeline import queue_put, queue_put_sentinel
 from ..utils import LOG, METRICS, Timer, cdiv
 from . import device as dev
 
@@ -339,13 +340,9 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 finally:
                     _unpin(da)  # release current-step pins even on error
                     _unpin(db)
-                while not errors:  # timeout-put: a dead consumer can't
-                    try:           # block us holding pins forever
-                        tile_q.put((a_dev, b_dev, c_init), timeout=1.0)
-                        break
-                    except queue.Full:
-                        continue
-                if errors:
+                # timeout-put (core/pipeline.queue_put): a dead consumer
+                # can't block us holding pins forever
+                if not queue_put(tile_q, (a_dev, b_dev, c_init), errors):
                     return
         except BaseException as e:  # pragma: no cover
             errors.append(e)
@@ -455,12 +452,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
             if l == kB - 1:
                 # timeout-put so a dead writer can't deadlock the loop
                 done_c = c_live.pop(j)
-                while not errors:
-                    try:
-                        write_q.put((i, j, bi, bj, done_c), timeout=1.0)
-                        break
-                    except queue.Full:
-                        continue
+                queue_put(write_q, (i, j, bi, bj, done_c), errors)
             if errors:
                 break
     except BaseException as e:
@@ -468,17 +460,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         # `errors`: both helper threads key their shutdown off it — the
         # producer would otherwise spin forever holding pinned tiles
         errors.append(e)
-    while not errors:
-        try:
-            write_q.put(None, timeout=1.0)
-            break
-        except queue.Full:
-            continue
-    if errors:  # unblock a live writer waiting on the queue
-        try:
-            write_q.put_nowait(None)
-        except queue.Full:
-            pass
+    queue_put_sentinel(write_q, errors)
     # unbounded joins while healthy (a slow-disk writer can legitimately
     # outlast any fixed timeout; returning early would report success with
     # writes still in flight); bounded once an error is recorded

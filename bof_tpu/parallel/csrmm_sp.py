@@ -241,7 +241,7 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         ja_ell, va_ell = sdev.to_ell_rows(
                             blk_ia, ja_blk, va_blk, rows_sel,
                             min_rows=min_rows, idx_dtype=ell_idt,
-                            val_dtype=ell_vdt)
+                            val_dtype=ell_vdt, counts=counts)
                         out = step(b_dev,
                                    device_put_sharded(ja_ell, sh_rows),
                                    device_put_sharded(va_ell, sh_rows))

@@ -309,7 +309,8 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     from jax.sharding import PartitionSpec as P
 
     from ..context import get_context
-    from ..core.pipeline import PrefetchSeq
+    from ..core.pipeline import (PrefetchSeq, queue_put,
+                             queue_put_sentinel)
     from ..ops.gemm import _op_block_reader, _storage_shape
     from ..utils import LOG, METRICS, cdiv
 
@@ -533,13 +534,8 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 METRICS.add("gemm_sharded.h2d_bytes",
                             sb * sb * (x_isize + (x_isize if b_uploaded
                                                   else 0)))
-                while not errors:
-                    try:
-                        tile_q.put((a_dev, b_dev, c_init), timeout=1.0)
-                        break
-                    except queue.Full:
-                        continue
-                if errors:
+                if not queue_put(tile_q, (a_dev, b_dev, c_init),
+                                 errors):
                     return
         except BaseException as e:  # pragma: no cover
             errors.append(e)
@@ -613,25 +609,10 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         else:
             c_dev = step(c_dev, a_dev, b_dev, alpha_s)
         if l == kB - 1:
-            while not errors:
-                try:
-                    write_q.put((i, j, bi, bj, c_dev), timeout=1.0)
-                    break
-                except queue.Full:
-                    continue
+            queue_put(write_q, (i, j, bi, bj, c_dev), errors)
         if errors:
             break
-    while not errors:
-        try:
-            write_q.put(None, timeout=1.0)
-            break
-        except queue.Full:
-            continue
-    if errors:
-        try:
-            write_q.put_nowait(None)
-        except queue.Full:
-            pass
+    queue_put_sentinel(write_q, errors)
     while prod_t.is_alive():
         prod_t.join(timeout=1.0)
         if errors:

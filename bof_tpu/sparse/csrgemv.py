@@ -80,7 +80,8 @@ def csrgemv(a: CsrFlashMatrix, x: Union[np.ndarray, FlashArray],
                 ja_ell, va_ell = sdev.to_ell_rows(blk_ia, ja_blk, va_blk,
                                                   rows_sel,
                                                   idx_dtype=ell_idt,
-                                                  val_dtype=ell_vdt)
+                                                  val_dtype=ell_vdt,
+                                                  counts=counts)
                 if v_quant:  # int8 + per-row scale link compression
                     q, sc = sdev.quantize_ell_i8(va_ell)
                     va_dev = (jnp.asarray(q), jnp.asarray(sc))

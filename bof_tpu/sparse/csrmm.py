@@ -251,17 +251,35 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
             import time as _time
 
             from ..ops import device as dev
-            t_up = _time.perf_counter()
-            if b_order == "C":
-                b_panel = jnp.asarray(b_host).T  # (k_sub, bc)
+            if sync_mode:
+                # truthful B-panel upload: a bulk transfer must hold the
+                # exclusive channel like every other timed window, or its
+                # bytes land inside ANOTHER thread's locked window and
+                # corrupt that stage's measured rate (the scalar-fetch
+                # compute-wait syncs elsewhere stay outside the lock by
+                # design — serializing compute waits with transfers would
+                # kill the overlap; their distortion is one ~30ms RTT
+                # against multi-second windows)
+                with dev.XFER_LOCK:
+                    t_up = _time.perf_counter()
+                    if b_order == "C":
+                        b_panel = jnp.asarray(b_host).T  # (k_sub, bc)
+                    else:
+                        b_panel = jnp.asarray(b_host)
+                    if bc < cb or k_sub < k_r_pad:
+                        b_panel = jnp.pad(b_panel, ((0, k_r_pad - k_sub),
+                                                    (0, cb - bc)))
+                    dev.sync(b_panel)
+                    METRICS.add("csrmm.h2d_s",
+                                _time.perf_counter() - t_up)
             else:
-                b_panel = jnp.asarray(b_host)
-            if bc < cb or k_sub < k_r_pad:
-                b_panel = jnp.pad(b_panel, ((0, k_r_pad - k_sub),
-                                            (0, cb - bc)))
-            if sync_mode:  # truthful B-panel upload time (see ops/gemm)
-                dev.sync(b_panel)
-                METRICS.add("csrmm.h2d_s", _time.perf_counter() - t_up)
+                if b_order == "C":
+                    b_panel = jnp.asarray(b_host).T  # (k_sub, bc)
+                else:
+                    b_panel = jnp.asarray(b_host)
+                if bc < cb or k_sub < k_r_pad:
+                    b_panel = jnp.pad(b_panel, ((0, k_r_pad - k_sub),
+                                                (0, cb - bc)))
 
         flat = [acc for pair in seq_accesses for acc in pair]
         pf = PrefetchSeq(cache, flat, depth=2 * cfg.pipeline_depth)
@@ -283,25 +301,13 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
         c_bf16 = (getattr(cfg, "c_transfer_dtype", "float32") == "bfloat16"
                   and vdt == np.float32 and not host_compute)
 
+        from ..core.pipeline import queue_put, queue_put_sentinel
+
         def _put(q, item) -> bool:
-            """timeout-put guarded by the shared error flag: a dead
-            consumer can't hang the pipeline."""
-            while not errors:
-                try:
-                    q.put(item, timeout=1.0)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+            return queue_put(q, item, errors)
 
         def _put_sentinel(q):
-            while True:
-                try:
-                    q.put(None, timeout=1.0)
-                    return
-                except queue.Full:
-                    if errors:
-                        return
+            queue_put_sentinel(q, errors)
 
         # host path: prepper feeds the writer directly (the scipy block
         # product IS the compute); device path: prepper feeds the uploader
@@ -365,7 +371,8 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                             rows_sel = order[s0:s1]
                             ja_ell, va_ell = sdev.to_ell_rows(
                                 blk_ia, blk_ja, blk_va, rows_sel,
-                                idx_dtype=ell_idt, val_dtype=ell_vdt)
+                                idx_dtype=ell_idt, val_dtype=ell_vdt,
+                                counts=counts)
                             if v_quant:  # int8 + per-row scale (prep
                                 # stage: quantization cost lands in
                                 # prep_s, overlapped with dispatch)

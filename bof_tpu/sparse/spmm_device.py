@@ -172,10 +172,15 @@ def quantize_ell_i8(va_ell: np.ndarray):
     """(int8 values, f32 per-row scale) for a padded ELL value block.
     Padding entries are exact zeros and stay exact; an all-zero row gets
     scale 1.0 (nothing to represent).  Roundtrip: va ~= i8 * scale[:,None]
-    with error <= scale/2 per entry."""
-    amax = np.abs(va_ell).max(axis=1)
+    with error <= scale/2 per entry.  Same guard semantics as the dense
+    quantize_i8 (io/native.py): NaN-ignoring row amax and a +/-127 clamp
+    — without them one non-finite entry poisons its row's scale and the
+    finite neighbours wrap through the int8 cast into plausible garbage."""
+    amax = np.fmax.reduce(np.abs(va_ell), axis=1, initial=0.0)
     scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.rint(va_ell / scale[:, None]).astype(np.int8)
+    with np.errstate(invalid="ignore"):
+        q = np.clip(np.rint(va_ell / scale[:, None]), -127, 127)
+        q = np.nan_to_num(q, nan=0.0).astype(np.int8)
     return q, scale
 
 
@@ -222,18 +227,25 @@ def to_ell(ia_blk: np.ndarray, ja_blk: np.ndarray, va_blk: np.ndarray,
 
 def to_ell_rows(ia_blk: np.ndarray, ja_blk: np.ndarray,
                 va_blk: np.ndarray, rows_sel: np.ndarray,
-                min_rows: int = 8, idx_dtype=np.int32, val_dtype=None):
+                min_rows: int = 8, idx_dtype=np.int32, val_dtype=None,
+                counts: np.ndarray = None):
     """ELL of an arbitrary row SELECTION of a block (rows_sel indexes
     into the block's rows).  Used by count-sorted ELL banding: sorting
     rows by nnz before ranging makes each band's rmax tight to its own
     rows instead of the block max, cutting ELL padding bytes/FLOPs on
     skewed distributions (bag-of-words matrices are power-law).  The
-    caller scatters the output rows back through the same selection."""
-    counts = np.diff(ia_blk).astype(np.int64)[rows_sel]
+    caller scatters the output rows back through the same selection.
+
+    `counts` (the block's full np.diff(ia_blk), int64) can be passed by
+    callers that already computed it — a skewed block split into B bands
+    would otherwise redo the O(rows) diff per band in the prep hot
+    stage."""
+    if counts is None:
+        counts = np.diff(ia_blk).astype(np.int64)
     base = int(ia_blk[0])
     starts = (ia_blk[:-1] - base)[rows_sel]
-    return _ell_fill(starts, counts, ja_blk, va_blk, min_rows, 0, 0,
-                     idx_dtype, val_dtype)
+    return _ell_fill(starts, counts[rows_sel], ja_blk, va_blk, min_rows,
+                     0, 0, idx_dtype, val_dtype)
 
 
 def ell_row_ranges(counts: np.ndarray, entry_cap: int):
