@@ -158,25 +158,37 @@ class TiledFlashArray(FlashArray):
 
     def write_block_storage(self, r0: int, c0: int, nr: int, nc: int,
                             storage_buf: np.ndarray):
-        buf = self._coerce_tile(storage_buf, nr, nc)
+        buf = self._coerce_tile(storage_buf, r0, c0, nr, nc)
         self.store.write_sync(*self.block_access(r0, nr, c0, nc),
                               buf.view(np.uint8).ravel())
 
     def write_block_storage_async(self, r0: int, c0: int, nr: int, nc: int,
                                   storage_buf: np.ndarray):
-        buf = self._coerce_tile(storage_buf, nr, nc)
+        buf = self._coerce_tile(storage_buf, r0, c0, nr, nc)
         off, sinfo = self.block_access(r0, nr, c0, nc)
         return self.store.write(off, sinfo, buf.view(np.uint8).ravel())
 
-    def _coerce_tile(self, storage_buf: np.ndarray, nr: int,
-                     nc: int) -> np.ndarray:
+    def _coerce_tile(self, storage_buf: np.ndarray, r0: int, c0: int,
+                     nr: int, nc: int) -> np.ndarray:
         """Accept either the full (ts, ts) padded buffer (the gemm writer
         hands it over un-sliced) or an exact (nr, nc) storage-major tail
-        block, zero-padding the latter."""
+        block, zero-padding the latter.  A partial window is only legal
+        when it IS the tile's full logical extent (a grid-edge tail):
+        zero-padding an interior partial window would overwrite the
+        co-resident rows/columns the caller does not own with zeros —
+        silent data loss, so it must be a loud error (general windows go
+        through write_block's read-modify-write path)."""
         ts = self.tile
         buf = np.ascontiguousarray(storage_buf, dtype=self.dtype)
         if buf.shape == (ts, ts):
             return buf
+        want = (min(ts, self.shape[0] - r0), min(ts, self.shape[1] - c0))
+        if (nr, nc) != want:
+            raise ValueError(
+                f"partial window ({nr}, {nc}) at ({r0}, {c0}) is not this "
+                f"tile's full logical extent {want}: zero-padding it "
+                "would destroy the tile's other valid data — use "
+                "write_block (RMW) for general windows")
         st = (nr, nc) if self.order == "R" else (nc, nr)
         if buf.shape != st:
             raise ValueError(f"expected {st} or {(ts, ts)}, got {buf.shape}")
@@ -261,3 +273,25 @@ def _check_pair(flat: FlashArray, tiled: TiledFlashArray) -> None:
         raise ValueError(f"shape mismatch: {flat.shape} vs {tiled.shape}")
     if flat.dtype != tiled.dtype:
         raise ValueError("dtype mismatch")
+
+
+def check_tile_blk(named_arrays, sb: int):
+    """Shared guard: every tile-major operand's tile edge must equal the
+    kernel superblock (gemm/gemm64/gemm_sharded all require blk == tile
+    so each superblock read is ONE contiguous run).  One helper instead
+    of per-kernel copies that drift."""
+    for name, arr in named_arrays:
+        t = getattr(arr, "tile", None)
+        if t is not None and t != sb:
+            raise ValueError(
+                f"operand {name} is tile-major with tile {t}; the kernel "
+                f"blk must match (got {sb})")
+
+
+def reject_tiled(named_arrays, why: str):
+    """Shared guard for kernels whose access pattern is incompatible with
+    tile-major storage (e.g. nnz-adaptive row blocks)."""
+    for name, arr in named_arrays:
+        if getattr(arr, "tile", None) is not None:
+            raise ValueError(
+                f"operand {name} is tile-major, unsupported here: {why}")

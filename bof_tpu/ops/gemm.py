@@ -52,6 +52,13 @@ class HbmCache:
         METRICS.add("hbm.hit")
         return hit[0]
 
+    def peek(self, key) -> bool:
+        """Residency probe with NO side effects: the producer's pin-time
+        lookahead must not count a hit (the real get at use time does) or
+        LRU-promote a tile `depth` steps before its use over tiles needed
+        sooner."""
+        return key in self._map
+
     def put(self, key, arr, nbytes: int):
         while self._used + nbytes > self.budget and self._map:
             # drop the reference only — consumers queued in the pipeline
@@ -140,12 +147,8 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     # tile-major operands (core/tiled_array.py): every superblock access
     # is one contiguous run, but only when the kernel blocking matches
     # the stored tile grid
-    for nm_, arr_ in (("a", a), ("b", b), ("c", c)):
-        t_ = getattr(arr_, "tile", None)
-        if t_ is not None and t_ != sb:
-            raise ValueError(
-                f"operand {nm_} is tile-major with tile {t_}; gemm blk "
-                f"must match (got {sb})")
+    from ..core.tiled_array import check_tile_blk
+    check_tile_blk((("a", a), ("b", b), ("c", c)), sb)
     c_tiled = getattr(c, "tile", None) is not None
 
     mB, nB, kB = cdiv(m, sb), cdiv(n, sb), cdiv(k, sb)
@@ -208,7 +211,9 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         — pinning first would re-read from disk just to throw it away."""
         (off, sinfo), st_shape = access_fn(i0, l0, d0, d1)
         hkey = (store_uid(arr.store), off, sinfo)
-        if hbm.get(hkey) is not None:
+        # side-effect-free probe: hit counting + the LRU touch happen at
+        # use time (get_dev), not pin-lookahead time
+        if hbm.peek(hkey):
             return ("hbm", hkey, arr.store, off, sinfo, st_shape)
         pin = cache.pin_read(arr.store, off, sinfo)
         return ("pin", hkey, arr.store, off, sinfo, st_shape, pin)
@@ -256,9 +261,22 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 if hit is not None:
                     return hit
                 if kind == "hbm":
-                    # HBM-resident at pin time but evicted since: pin now
+                    # HBM-resident at pin time but evicted since: pin now.
+                    # This LOCAL pin must be released on EVERY path — the
+                    # caller's finally unpins the original 'hbm'
+                    # descriptor, which records no pin, so an exception
+                    # below (failed read) would otherwise leak a pinned,
+                    # poisoned entry forever (budget bytes gone and every
+                    # later pin_read of the tile raising)
                     pin = cache.pin_read(store, off, sinfo)
                     desc = ("pin", hkey, store, off, sinfo, st_shape, pin)
+                try:
+                    return _load(desc, kind, hkey, st_shape)
+                finally:
+                    if kind == "hbm":
+                        cache.unpin(desc[6])
+
+            def _load(desc, kind, hkey, st_shape):
                 pin = desc[6]
                 t0 = time.perf_counter()
                 cache.wait_ready(pin)
@@ -304,8 +322,7 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 METRICS.add("gemm.prep_s", t_prep - t_disk)
                 METRICS.add("gemm.h2d_s", t2 - t1)
                 METRICS.add("gemm.h2d_bytes", arr.nbytes)
-                if kind == "hbm":
-                    cache.unpin(pin)
+                # NB: the 'hbm' re-pin is released by get_dev's finally
                 value = arr if scale is None else (arr, scale)
                 return hbm.put(hkey, value, arr.nbytes)
 

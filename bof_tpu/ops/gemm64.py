@@ -247,12 +247,8 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     k_flush = int(k_flush or ((1 << 18) // s))
     ta, tb = transa.upper() == "T", transb.upper() == "T"
 
-    for nm_, arr_ in (("a", a), ("b", b), ("c", c)):
-        t_ = getattr(arr_, "tile", None)
-        if t_ is not None and t_ != sb:
-            raise ValueError(
-                f"operand {nm_} is tile-major with tile {t_}; gemm blk "
-                f"must match (got {sb})")
+    from ..core.tiled_array import check_tile_blk
+    check_tile_blk((("a", a), ("b", b), ("c", c)), sb)
 
     m, n = c.shape
     k = a.shape[0] if ta else a.shape[1]

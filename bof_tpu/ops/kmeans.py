@@ -77,7 +77,8 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     if points.order != "R":
         raise ValueError("points must be row-major (one point per row)")
     prec = getattr(cfg, "matmul_precision", "highest")
-    blk = blk_rows or _lloyd_blk_rows(n, d, k, cfg.hbm_budget)
+    blk = blk_rows or _lloyd_blk_rows(n, d, k, cfg.hbm_budget,
+                                      itemsize=points.dtype.itemsize)
     from .device import dtype_native_on_device
     # fp64 always takes the host step: the jitted lloyd_block computes in
     # float32 regardless of backend x64 support, so routing by dtype (not
@@ -164,12 +165,15 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
     return new_centers.astype(points.dtype), inertia, counts_np
 
 
-def _lloyd_blk_rows(n: int, d: int, k: int, hbm_budget: int) -> int:
+def _lloyd_blk_rows(n: int, d: int, k: int, hbm_budget: int,
+                    itemsize: int = 4) -> int:
     """Power-of-two row block shared by the streaming and HBM-resident
     Lloyd paths (CLAUDE.md: device shapes must be bucketed — each new
     shape is a ~30s remote compile), bounded by the 64 MB host tile and
-    the (blk, k) one-hot intermediate."""
-    cap = max(1024, min((64 << 20) // max(4 * d, 1),
+    the (blk, k) one-hot intermediate.  `itemsize` is the POINT dtype's
+    (8 for the fp64 host path — sizing by 4 would pin 128 MB blocks
+    against the 64 MB budget and serialize the prefetch)."""
+    cap = max(1024, min((64 << 20) // max(itemsize * d, 1),
                         int(hbm_budget // 8 // max(4 * k, 1))))
     return max(1, min(1 << (cap.bit_length() - 1), n))
 

@@ -58,7 +58,8 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     # runs jnp.sort on the accelerator — the right choice on real hardware
     # where the link outruns a host single-thread sort
     device_sort = getattr(ctx.config, "sort_compute", "host") == "device"
-    if device_sort:
+    if device_sort and key is None:  # the key path host-argsorts anyway —
+        # warning about a device fallback that never happens would mislead
         from .device import dtype_native_on_device
         if not dtype_native_on_device(dt):
             # a device round-trip would narrow 64-bit elements and write
@@ -72,7 +73,14 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
 
     def _pad_fill(dt_):
         if np.issubdtype(dt_, np.floating):
-            return np.array(np.inf, dt_)
+            # NaN, not +inf: jnp.sort orders NaN after inf, so with +inf
+            # padding a block containing j NaNs would keep j pad infs and
+            # DROP the NaNs in the [:m] slice (writing corrupted values
+            # back to disk — phase 1 sorts src in place).  With NaN
+            # padding the j real NaNs and the pad NaNs are
+            # interchangeable: [:m] keeps exactly the finite values plus
+            # j NaNs, matching the host np.sort (NaNs last) bit-for-bit.
+            return np.array(np.nan, dt_)
         return np.array(np.iinfo(dt_).max, dt_)
 
     def sort_block(x):

@@ -70,6 +70,11 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     m, k = a.shape
     if b.shape[0] != k or c.shape != (m, b.shape[1]):
         raise ValueError("operand shapes inconsistent")
+    from ..core.tiled_array import reject_tiled
+    reject_tiled((("b", b), ("c", c)),
+                 "csrmm_sharded's row blocks are nnz-adaptive and cannot "
+                 "align to a tile grid; use flat operands (the single-"
+                 "host csrmm handles tile-major C via RMW windows)")
     n = b.shape[1]
 
     ia_np = a.read_ia()

@@ -71,6 +71,10 @@ def lloyds_iter_sharded(points_np: np.ndarray, centers: np.ndarray,
     mesh = mesh or make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
     n, d = points_np.shape
+    if points_np.dtype == np.float64:
+        raise ValueError(
+            "sharded Lloyd computes in float32 and cannot represent "
+            "float64 points exactly; use ops.kmeans.lloyds_iter for fp64")
     pad = (-n) % n_dev
     centers = np.ascontiguousarray(centers, np.float32)
     weights = np.ones(n + pad, np.float32)
@@ -136,6 +140,14 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
     n, d = points.shape
     if points.order != "R":
         raise ValueError("points must be row-major (one point per row)")
+    if points.dtype == np.float64:
+        # device-only path: the float32 Lloyd step would silently crush
+        # fp64 structure (ops/kmeans.lloyds_iter routes this to an exact
+        # host step; there is no sharded host step)
+        raise ValueError(
+            "sharded Lloyd computes in float32 and cannot represent "
+            "float64 points exactly; use ops.kmeans.lloyds_iter / "
+            "kmeans_fit (exact host step) for fp64")
     kc = centers.shape[0]
     centers = np.ascontiguousarray(centers, np.float32)
 
@@ -270,6 +282,11 @@ def kmeans_fit_sharded(points, n_centers: int, n_iters: int = 10,
     mesh = mesh or make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
     n, d = points.shape
+    if points.dtype == np.float64:
+        raise ValueError(
+            "kmeans_fit_sharded computes in float32 and cannot represent "
+            "float64 points exactly; use ops.kmeans.kmeans_fit (exact "
+            "host Lloyd step) for fp64")
     k = n_centers
     rng = np.random.default_rng(seed)
     centers = _kmeanspp_sample(points, n_centers, rng)

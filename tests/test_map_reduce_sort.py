@@ -178,3 +178,28 @@ def test_sort_float64_device_mode_falls_back(ctx, rng):
         np.testing.assert_array_equal(dst.read_all(), np.sort(data))
     finally:
         ctx.config.sort_compute = old
+
+
+def test_sort_device_mode_preserves_nans(ctx, rng):
+    """Device block sort with NaN elements: the pow2 padding must not
+    swallow NaNs (with +inf padding jnp.sort ordered real NaNs after the
+    pad infs and the [:m] slice DROPPED them, writing pad infs back to
+    disk in place).  NaN padding keeps exactly the real NaNs, matching
+    the host np.sort bit-for-bit."""
+    old = getattr(ctx.config, "sort_compute", "host")
+    ctx.config.sort_compute = "device"
+    try:
+        n = 10_000
+        data = rng.standard_normal(n).astype(np.float32)
+        nan_at = rng.choice(n, 37, replace=False)
+        data[nan_at] = np.nan
+        src = mem_array((n,), np.float32, data=data.copy(), ctx=ctx)
+        dst = mem_array((n,), np.float32, ctx=ctx)
+        from bof_tpu.ops import bof_sort
+        bof_sort(src, dst, blk_elems=3000, ctx=ctx)
+        got = dst.read_all()
+        want = np.sort(data)  # numpy: NaNs last
+        np.testing.assert_array_equal(got[:n - 37], want[:n - 37])
+        assert np.isnan(got[n - 37:]).all()
+    finally:
+        ctx.config.sort_compute = old

@@ -242,3 +242,24 @@ def test_gemm_sharded_tiled_operands(ctx, rng):
                                rtol=2e-4, atol=1e-4)
     with pytest.raises(ValueError, match="tile-major"):
         gemm_sharded(A, B, C, blk=16, mesh=mesh, ctx=ctx)
+
+
+def test_tiled_partial_window_write_rejected(ctx, rng):
+    """A storage write whose partial window is NOT the tile's full
+    logical extent must be a loud error: _coerce_tile zero-pads the rest
+    of the tile, which would destroy the co-resident rows a caller at an
+    nnz-adaptive boundary (e.g. csrmm_sharded) does not own."""
+    T = _mem_tiled((100, 40), tile=64, ctx=ctx)
+    want = rng.standard_normal((100, 40)).astype(np.float32)
+    T.write_all(want)
+    # legal: the grid-edge tail block (rows 64..99 of tile row 1)
+    tail = rng.standard_normal((36, 40)).astype(np.float32)
+    T.write_block_storage(64, 0, 36, 40, tail)
+    want[64:] = tail
+    np.testing.assert_array_equal(T.read_all(), want)
+    # illegal: an interior partial window (rows 0..29 of tile row 0) —
+    # zero-padding would wipe rows 30..63
+    with pytest.raises(ValueError, match="full logical extent"):
+        T.write_block_storage(0, 0, 30, 40,
+                              np.zeros((30, 40), np.float32))
+    np.testing.assert_array_equal(T.read_all(), want)  # untouched
