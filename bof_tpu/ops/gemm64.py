@@ -183,24 +183,30 @@ def _axis_amax(arr, access_fn, outer_blocks: int, inner_blocks: int,
             bq = min(sb, inner_len - q * sb)
             (off, sinfo), st_shape = access_fn(o * sb, q * sb, bo, bq)
             pin = cache.pin_read(arr.store, off, sinfo)
-            cache.wait_ready(pin)
-            t = cache.buf(pin).view(arr.dtype).reshape(st_shape)
-            # tile-major storage returns the full zero-padded tile
-            # (core/tiled_array.py _block_shape_storage); slice to the
-            # logical region so v matches the amax window length
-            lr, lc = (bo, bq) if reduce_axis == 1 else (bq, bo)
-            t = t[:lr, :lc]
-            if debug:
-                # inf/nan silently corrupts the EFT split (reference
-                # DEBUG builds validate kernel inputs the same way,
-                # blas_utils.h:100-141)
-                if not np.isfinite(t).all():
-                    raise ValueError(
-                        "gemm64: non-finite value in operand block "
-                        f"({o * sb},{q * sb}) — the sliced fp64 path "
-                        "requires finite inputs")
-            v = np.abs(t).max(axis=reduce_axis)
-            cache.unpin(pin)
+            try:
+                cache.wait_ready(pin)
+                t = cache.buf(pin).view(arr.dtype).reshape(st_shape)
+                # tile-major storage returns the full zero-padded tile
+                # (core/tiled_array.py _block_shape_storage); slice to
+                # the logical region so v matches the amax window length
+                lr, lc = (bo, bq) if reduce_axis == 1 else (bq, bo)
+                t = t[:lr, :lc]
+                if debug:
+                    # inf/nan silently corrupts the EFT split (reference
+                    # DEBUG builds validate kernel inputs the same way,
+                    # blas_utils.h:100-141)
+                    if not np.isfinite(t).all():
+                        raise ValueError(
+                            "gemm64: non-finite value in operand block "
+                            f"({o * sb},{q * sb}) — the sliced fp64 path "
+                            "requires finite inputs")
+                v = np.abs(t).max(axis=reduce_axis)
+            finally:
+                # unpin on EVERY path: a leaked pin would wedge the tile
+                # as pinned+poisoned forever (ops/gemm.py get_dev has the
+                # same guard) — and the debug ValueError above raises
+                # mid-pin deterministically
+                cache.unpin(pin)
             np.maximum(amax[o * sb:o * sb + bo], v,
                        out=amax[o * sb:o * sb + bo])
     return amax
@@ -323,20 +329,24 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         if hit is not None:
             return hit
         pin = cache.pin_read(arr.store, off, sinfo)
-        cache.wait_ready(pin)
-        t = cache.buf(pin).view(arr.dtype).reshape(st_shape)
-        # tile-major storage hands back the full zero-padded tile; the
-        # scale vector covers only the logical extent, so slice first
-        # (the zero padding is re-applied below at the stack level)
-        lr, lc = (bo, bq) if per_line else (bq, bo)
-        t = t[:lr, :lc]
-        from ..io.native import split_f64_i8
-        q8 = split_f64_i8(t, evec, per_line, s)
-        if q8 is None:  # engine unavailable: numpy EFT chain
-            sigma_2d = (np.ldexp(1.0, evec)[:, None] if per_line
-                        else np.ldexp(1.0, evec)[None, :])
-            q8 = _split_slices(t, sigma_2d, s)
-        cache.unpin(pin)
+        try:
+            cache.wait_ready(pin)
+            t = cache.buf(pin).view(arr.dtype).reshape(st_shape)
+            # tile-major storage hands back the full zero-padded tile;
+            # the scale vector covers only the logical extent, so slice
+            # first (the zero padding is re-applied below at the stack
+            # level)
+            lr, lc = (bo, bq) if per_line else (bq, bo)
+            t = t[:lr, :lc]
+            from ..io.native import split_f64_i8
+            q8 = split_f64_i8(t, evec, per_line, s)
+            if q8 is None:  # engine unavailable: numpy EFT chain
+                sigma_2d = (np.ldexp(1.0, evec)[:, None] if per_line
+                            else np.ldexp(1.0, evec)[None, :])
+                q8 = _split_slices(t, sigma_2d, s)
+        finally:
+            # every path: a leaked pin wedges the tile pinned+poisoned
+            cache.unpin(pin)
         pad = np.zeros((s, sb, sb), np.int8)
         pad[:, :q8.shape[1], :q8.shape[2]] = q8
         d = put[role](pad)
@@ -350,8 +360,11 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             c_acc += w[p] * planes[p]  # int32 * f64 scalar: exact products
         return c_acc
 
+    import collections
     import queue
     import threading
+
+    from ..core.pipeline import queue_put
 
     # HBM-aware group schedule (the fp32 path's, ops/gemm.py:177-197,
     # adapted to slice stacks): partition the j space into groups whose
@@ -389,13 +402,8 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     "b", b, lambda o, q, bo, bq: b_access(q, o, bq, bo),
                     j * sb, l * sb, bj, bl,
                     exp_n[j * sb:j * sb + bj], per_line=b_nk)
-                while not errors:  # timeout-put: survive a dead consumer
-                    try:
-                        tile_q.put((a_sl, b_sl), timeout=1.0)
-                        break
-                    except queue.Full:
-                        continue
-                if errors:
+                # shared shutdown protocol (core/pipeline.queue_put)
+                if not queue_put(tile_q, (a_sl, b_sl), errors):
                     return
         except BaseException as e:  # pragma: no cover
             errors.append(e)
@@ -417,7 +425,19 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 continue
             return item
 
-    tickets = []
+    # bounded in-flight write tickets: each Ticket holds its source
+    # buffer (sb*sb*8 B of fp64) until wait(), so accumulating all of
+    # them to end-of-kernel would grow host RAM to the full padded |C| —
+    # the exact out-of-core regime this kernel exists for.  8 in flight
+    # keeps the disk writer busy while bounding the buffers.
+    tickets: collections.deque = collections.deque()
+    max_tickets = 8
+
+    def push_ticket(t):
+        tickets.append(t)
+        while len(tickets) > max_tickets:
+            tickets.popleft().wait()
+
     try:
         for jg in groups:
             for i in range(mB):
@@ -460,7 +480,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         full = np.zeros((sb, sb), np.float64)
                         full[:out.shape[0], :out.shape[1]] = out
                         out = full
-                    tickets.append(c.write_block_storage_async(
+                    push_ticket(c.write_block_storage_async(
                         i * sb, j * sb, bi, bj, np.ascontiguousarray(out)))
     except BaseException as e:
         if not errors:

@@ -430,7 +430,21 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         (off, si), shp = b_access(l * sb, j * sb, bl, bj)
         b_specs.append(((b.store, off, si), shp))
 
-    depth = max(1, cfg.pipeline_depth)
+    # clamp the prefetch lookahead to the pin-cache budget: the TWO
+    # PrefetchSeqs below pin 2*depth tiles up front, the backlog services
+    # strictly FIFO, and wait_ready has no timeout — a budget smaller
+    # than the pinned window plus the backlog head would LIVELOCK (seq_a's
+    # pins fill real_size, seq_b's head never allocates).  2*depth + 2
+    # tiles must fit; too small for even depth=1 is a loud error.
+    tile_bytes = sb * sb * np.dtype(a.dtype).itemsize
+    budget = getattr(ctx.config, "program_budget", 8 << 30)
+    if budget < 4 * tile_bytes:
+        raise MemoryError(
+            f"program_budget {budget} cannot hold the 4 superblocks "
+            f"({4 * tile_bytes} B at blk={sb}) the sharded pipeline "
+            "needs in flight; reduce blk or raise the budget")
+    depth = max(1, min(cfg.pipeline_depth,
+                       int((budget - 2 * tile_bytes) // (2 * tile_bytes))))
     cache = ctx.pin_cache()
     tile_q: queue.Queue = queue.Queue(maxsize=depth)
     write_q: queue.Queue = queue.Queue(maxsize=max(2, depth))
@@ -555,7 +569,14 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             multihost = _jax.process_count() > 1
             tickets = []
             while True:
-                item = write_q.get()
+                try:  # timeout-get + errors check: queue_put_sentinel's
+                    # contract is that consumers key shutdown off the
+                    # shared error list (a full queue can drop the None)
+                    item = write_q.get(timeout=1.0)
+                except queue.Empty:
+                    if errors:
+                        break
+                    continue
                 if item is None:
                     break
                 i, j, bi, bj, c_dev = item
