@@ -108,6 +108,25 @@ class FlashContext:
                 self._scheduler = Scheduler(self)
             return self._scheduler
 
+    def coherence_invalidate(self, store, offset: int, sinfo) -> None:
+        """Drop cached tiles overlapping a direct write (called by every
+        FlashArray write method).  The caches retain clean tiles across
+        kernel calls for reuse — unlike the reference, which flushes the
+        whole Program Cache at each kernel boundary (cache.cpp:45-70) —
+        so a store write that bypasses them must invalidate the stale
+        range.  Never *creates* the caches: nothing to invalidate if no
+        kernel has run."""
+        with self._lock:
+            sched = self._scheduler
+            router = self._pin_router
+        if sched is not None:
+            sched.cache.invalidate_overlap(store, offset, sinfo)
+        if router is not None and router._nat is not None:
+            from .io.native import NativeFileStore
+            if isinstance(store, NativeFileStore):
+                router._nat.invalidate(store.uid, offset,
+                                       offset + sinfo.file_extent)
+
     def pin_cache(self):
         """Pin API for streaming pipelines: native C++ tile cache for
         file-backed native stores, Python TileCache for everything else

@@ -530,6 +530,64 @@ class TileCache:
         with self._lock:
             self._dirty_stores.pop(uid, None)
 
+    def invalidate_overlap(self, store, offset: int, sinfo) -> None:
+        """Coherence hook for direct writes that bypass the cache
+        (FlashArray.write_*, lib_funcs): drop every unpinned entry of
+        `store` whose file extent overlaps the written byte range, so a
+        later pin/allocate re-fetches instead of serving stale data.
+        The reference avoids this by flushing the whole cache at every
+        kernel boundary (cache.cpp:45-70); we retain clean tiles across
+        kernels for reuse, so writes must invalidate selectively.
+
+        Overlapping DIRTY zero-ref entries are evicted (their write-back
+        lands first, then the caller's write wins the overlapped bytes);
+        all overlapping in-flight write-backs are waited so the direct
+        write cannot be reordered under them.  Entries still pinned by a
+        running kernel are left alone — writing a region under an active
+        pin is the documented dual-access race (as_memmap contract)."""
+        from ..io.store import store_uid
+        uid = store_uid(store)
+        lo = offset
+        hi = offset + sinfo.file_extent
+        if hi <= lo:
+            return
+        pending = []
+        with self._lock:
+            for k, e in list(self._entries.items()):
+                if k[0] != uid:
+                    continue
+                elo = e.offset
+                ehi = e.offset + e.sinfo.file_extent
+                if ehi <= lo or elo >= hi:
+                    continue
+                if e.refs > 0:
+                    LOG.warning(
+                        "direct write overlaps a pinned cache tile "
+                        "(store %d, [%d, %d)) — racing an active kernel",
+                        uid, elo, ehi)
+                    continue
+                if e.dirty and e.complete:
+                    self._evict_locked(k)  # write-back, ticket tracked
+                else:
+                    self._drop_locked(k, e)
+                METRICS.add("cache.invalidate")
+            for k in list(self._inflight_writes.keys()):
+                if k[0] != uid:
+                    continue
+                elo, ehi = k[1], k[1] + k[2].file_extent
+                if ehi <= lo or elo >= hi:
+                    continue
+                pending.append((k, self._inflight_writes.pop(k)))
+        for _k, (tkt, nb, _buf) in pending:
+            try:
+                tkt.wait()
+            except Exception as ex:
+                with self._lock:
+                    self.write_errors.append(
+                        ex if isinstance(ex, IOError) else IOError(str(ex)))
+            with self._lock:
+                self.real_size -= nb
+
     @property
     def active_count(self) -> int:
         with self._lock:

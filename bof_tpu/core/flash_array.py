@@ -87,6 +87,14 @@ class FlashArray:
         """Shape of the gathered buffer viewed storage-major."""
         return (nr, nc) if self.order == "R" else (nc, nr)
 
+    def _invalidate(self, off: int, sinfo: StrideInfo) -> None:
+        """Cache-coherence hook: every direct write drops overlapping
+        cached tiles so later kernel reads re-fetch (the reference instead
+        flushes the whole Program Cache at kernel boundaries,
+        cache.cpp:45-70; we retain tiles across kernels)."""
+        if self.ctx is not None:
+            self.ctx.coherence_invalidate(self.store, off, sinfo)
+
     # ---------------------------------------------------------- sync I/O
     def read_block(self, r0: int, nr: int, c0: int = 0,
                    nc: Optional[int] = None) -> np.ndarray:
@@ -103,10 +111,12 @@ class FlashArray:
         data = np.ascontiguousarray(data, dtype=self.dtype)
         if len(self.shape) == 1:
             off, sinfo = self.block_access(r0, data.shape[0])
+            self._invalidate(off, sinfo)
             self.store.write_sync(off, sinfo, data.view(np.uint8).ravel())
             return
         nr, nc = data.shape
         off, sinfo = self.block_access(r0, nr, c0, nc)
+        self._invalidate(off, sinfo)
         storage = data if self.order == "R" else np.ascontiguousarray(data.T)
         self.store.write_sync(off, sinfo, storage.view(np.uint8).ravel())
 
@@ -128,6 +138,7 @@ class FlashArray:
     def write_block_async(self, r0: int, nr: int, c0: int, nc: int,
                           src: np.ndarray) -> Ticket:
         off, sinfo = self.block_access(r0, nr, c0, nc)
+        self._invalidate(off, sinfo)
         return self.store.write(off, sinfo, src)
 
     # ----------------------------------------- storage-major block I/O
@@ -145,6 +156,7 @@ class FlashArray:
                             storage_buf: np.ndarray):
         """Write a block given already-storage-major contiguous data."""
         off, sinfo = self.block_access(r0, nr, c0, nc)
+        self._invalidate(off, sinfo)
         self.store.write_sync(off, sinfo,
                               np.ascontiguousarray(storage_buf)
                               .view(np.uint8).ravel())
@@ -152,6 +164,7 @@ class FlashArray:
     def write_block_storage_async(self, r0: int, c0: int, nr: int, nc: int,
                                   storage_buf: np.ndarray) -> Ticket:
         off, sinfo = self.block_access(r0, nr, c0, nc)
+        self._invalidate(off, sinfo)
         flat = np.ascontiguousarray(storage_buf).view(np.uint8).ravel()
         return self.store.write(off, sinfo, flat)
 

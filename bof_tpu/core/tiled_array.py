@@ -93,9 +93,10 @@ class TiledFlashArray(FlashArray):
         ts = self.tile
         buf = np.ascontiguousarray(tile_storage, dtype=self.dtype)
         assert buf.shape == (ts, ts)
-        self.store.write_sync(self._tile_off(ti, tj),
-                              StrideInfo.contiguous(ts * ts * self.itemsize),
-                              buf.view(np.uint8).ravel())
+        sinfo = StrideInfo.contiguous(ts * ts * self.itemsize)
+        off = self._tile_off(ti, tj)
+        self._invalidate(off, sinfo)
+        self.store.write_sync(off, sinfo, buf.view(np.uint8).ravel())
 
     def read_block(self, r0: int, nr: int, c0: int = 0,
                    nc: Optional[int] = None) -> np.ndarray:
@@ -159,13 +160,15 @@ class TiledFlashArray(FlashArray):
     def write_block_storage(self, r0: int, c0: int, nr: int, nc: int,
                             storage_buf: np.ndarray):
         buf = self._coerce_tile(storage_buf, r0, c0, nr, nc)
-        self.store.write_sync(*self.block_access(r0, nr, c0, nc),
-                              buf.view(np.uint8).ravel())
+        off, sinfo = self.block_access(r0, nr, c0, nc)
+        self._invalidate(off, sinfo)
+        self.store.write_sync(off, sinfo, buf.view(np.uint8).ravel())
 
     def write_block_storage_async(self, r0: int, c0: int, nr: int, nc: int,
                                   storage_buf: np.ndarray):
         buf = self._coerce_tile(storage_buf, r0, c0, nr, nc)
         off, sinfo = self.block_access(r0, nr, c0, nc)
+        self._invalidate(off, sinfo)
         return self.store.write(off, sinfo, buf.view(np.uint8).ravel())
 
     def _coerce_tile(self, storage_buf: np.ndarray, r0: int, c0: int,

@@ -41,6 +41,7 @@ def _bind(lib):
     lib.bof_cache_unpin.argtypes = [ctypes.c_longlong, ctypes.c_longlong]
     lib.bof_cache_stats.argtypes = [ctypes.c_longlong,
                                     ctypes.POINTER(ctypes.c_longlong)]
+    lib.bof_cache_invalidate.argtypes = [ctypes.c_longlong] * 4
     lib._cache_bound = True
     return lib
 
@@ -93,6 +94,15 @@ class NativeTileCache:
     def wait_ready(self, key: int, pump: bool = True):
         while not self.ready(key):
             time.sleep(0.0002)
+
+    def invalidate(self, uid: int, lo: int, hi: int) -> int:
+        """Drop unpinned cached tiles of store `uid` overlapping file
+        bytes [lo, hi) — the coherence hook for direct writes that bypass
+        the cache (FlashArray.write_*)."""
+        r = self._lib.bof_cache_invalidate(self._h, uid, lo, hi)
+        if r < 0:
+            raise IOError(f"native cache invalidate failed: errno {-r}")
+        return int(r)
 
     def stats(self) -> dict:
         s = (ctypes.c_longlong * 5)()

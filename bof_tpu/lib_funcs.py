@@ -49,6 +49,7 @@ def flash_memset(arr: FlashArray, byte_value: int = 0) -> None:
     tickets = []
     if _dense(arr):
         total = arr.nbytes
+        arr._invalidate(arr.offset, StrideInfo.contiguous(total))
         chunk = np.full(min(_CHUNK, total), byte_value, np.uint8)
         off, done = arr.offset, 0
         while done < total:
@@ -59,6 +60,7 @@ def flash_memset(arr: FlashArray, byte_value: int = 0) -> None:
     else:
         chunk = None
         for off, sinfo in _line_chunks(arr):
+            arr._invalidate(off, sinfo)
             if chunk is None or len(chunk) < sinfo.nbytes:
                 chunk = np.full(sinfo.nbytes, byte_value, np.uint8)
             tickets.append(arr.store.write(off, sinfo,
@@ -95,6 +97,7 @@ def flash_memcpy(dst: FlashArray, src: FlashArray) -> None:
         if dst.nbytes != src.nbytes:
             raise ValueError(f"size mismatch: {dst.nbytes} != {src.nbytes}")
         total = src.nbytes
+        dst._invalidate(dst.offset, StrideInfo.contiguous(total))
         done = 0
         while done < total:
             c = min(_CHUNK, total - done)
@@ -115,6 +118,7 @@ def flash_memcpy(dst: FlashArray, src: FlashArray) -> None:
             if src.order == dst.order:
                 s_off, s_si = src.block_access(r0, nr, 0, n)
                 d_off, d_si = dst.block_access(r0, nr, 0, n)
+                dst._invalidate(d_off, d_si)
                 pending.append(src.store.scopy(s_off, s_si,
                                                dst.store, d_off, d_si))
             else:  # layout change: gather, transpose on host, scatter

@@ -1,0 +1,173 @@
+"""Cache coherence for direct writes.
+
+The reference flushes the whole Program Cache at every kernel boundary
+(reference: src/scheduler/cache.cpp:45-70 via flush_cache), so direct
+writes between kernels can never see stale cached tiles.  We retain clean
+tiles across kernel calls for reuse, which makes write-path invalidation
+load-bearing: every FlashArray write must drop overlapping cached tiles
+(python TileCache AND native bof_cache) so later reads re-fetch.
+"""
+import numpy as np
+import pytest
+
+from bof_tpu import FlashConfig, FlashContext, map_array, mem_array
+from bof_tpu.io.stride import StrideInfo
+from bof_tpu.ops.gemm import gemm
+
+
+@pytest.fixture
+def ctx(tmp_path):
+    cfg = FlashConfig(scratch_dir=str(tmp_path / "scratch"),
+                      n_io_threads=4, n_compute_threads=2,
+                      program_budget=256 << 20)
+    c = FlashContext(cfg)
+    yield c
+    c.destroy()
+
+
+@pytest.fixture
+def pyctx(tmp_path):
+    cfg = FlashConfig(scratch_dir=str(tmp_path / "pscratch"),
+                      io_backend="python", n_io_threads=4,
+                      n_compute_threads=2, program_budget=256 << 20)
+    c = FlashContext(cfg)
+    yield c
+    c.destroy()
+
+
+def _gemm_rewrite_gemm(A, B, C, a, ctx, rng):
+    """gemm, rewrite A directly, gemm again: the second result must see
+    the new operand, not a cached tile of the old one."""
+    b = B.read_all()
+    gemm(A, B, C, blk=32, ctx=ctx)
+    np.testing.assert_allclose(C.read_all(), a @ b, rtol=2e-4, atol=1e-5)
+    a2 = rng.standard_normal(a.shape).astype(a.dtype)
+    A.write_all(a2)
+    gemm(A, B, C, blk=32, ctx=ctx)
+    np.testing.assert_allclose(C.read_all(), a2 @ b, rtol=2e-4, atol=1e-5)
+
+
+def test_write_all_invalidates_native_pin_cache(ctx, tmp_path, rng):
+    """File-backed arrays on the native backend route pins through the C++
+    bof_cache; a direct rewrite of A between gemms must invalidate it."""
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    b = rng.standard_normal((64, 64)).astype(np.float32)
+    A = map_array(str(tmp_path / "a.bin"), (64, 64), np.float32, "R",
+                  create=True, ctx=ctx)
+    B = map_array(str(tmp_path / "b.bin"), (64, 64), np.float32, "R",
+                  create=True, ctx=ctx)
+    C = map_array(str(tmp_path / "c.bin"), (64, 64), np.float32, "R",
+                  create=True, ctx=ctx)
+    A.write_all(a)
+    B.write_all(b)
+    _gemm_rewrite_gemm(A, B, C, a, ctx, rng)
+
+
+def test_write_all_invalidates_python_pin_cache(pyctx, tmp_path, rng):
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    b = rng.standard_normal((64, 64)).astype(np.float32)
+    A = map_array(str(tmp_path / "pa.bin"), (64, 64), np.float32, "R",
+                  create=True, ctx=pyctx)
+    B = map_array(str(tmp_path / "pb.bin"), (64, 64), np.float32, "R",
+                  create=True, ctx=pyctx)
+    C = map_array(str(tmp_path / "pc.bin"), (64, 64), np.float32, "R",
+                  create=True, ctx=pyctx)
+    A.write_all(a)
+    B.write_all(b)
+    _gemm_rewrite_gemm(A, B, C, a, pyctx, rng)
+
+
+def test_mem_array_rewrite_between_gemms(ctx, rng):
+    a = rng.standard_normal((48, 48)).astype(np.float32)
+    b = rng.standard_normal((48, 48)).astype(np.float32)
+    A = mem_array((48, 48), np.float32, "R", data=a, ctx=ctx)
+    B = mem_array((48, 48), np.float32, "R", data=b, ctx=ctx)
+    C = mem_array((48, 48), np.float32, "R", ctx=ctx)
+    _gemm_rewrite_gemm(A, B, C, a, ctx, rng)
+
+
+def test_partial_block_write_invalidates_only_overlap(ctx, rng):
+    """A write_block touching one tile's rows drops exactly the
+    overlapping entries; a disjoint cached tile survives (stays a hit)."""
+    from bof_tpu.utils import METRICS
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    A = mem_array((64, 64), np.float32, "R", data=a, ctx=ctx)
+    cache = ctx.pin_cache()
+    k_top = cache.pin_read(A.store, *A.block_access(0, 16, 0, 64))
+    k_bot = cache.pin_read(A.store, *A.block_access(48, 16, 0, 64))
+    cache.wait_ready(k_top)
+    cache.wait_ready(k_bot)
+    cache.unpin(k_top)
+    cache.unpin(k_bot)
+    # rewrite rows 0..16: the top tile must drop, the bottom must survive
+    A.write_block(0, rng.standard_normal((16, 64)).astype(np.float32))
+    before = METRICS.get("cache.hit")
+    k2_bot = cache.pin_read(A.store, *A.block_access(48, 16, 0, 64))
+    assert METRICS.get("cache.hit") == before + 1, "disjoint tile evicted"
+    cache.wait_ready(k2_bot)
+    cache.unpin(k2_bot)
+    k2_top = cache.pin_read(A.store, *A.block_access(0, 16, 0, 64))
+    cache.wait_ready(k2_top)
+    got = cache.buf(k2_top).view(np.float32).reshape(16, 64)
+    np.testing.assert_array_equal(got, A.read_block(0, 16, 0, 64))
+    cache.unpin(k2_top)
+
+
+def test_dirty_cached_tile_evicts_before_direct_write(ctx, rng):
+    """Overlapping dirty write-backs land BEFORE the direct write: final
+    disk contents for the overlapped bytes are the direct write's."""
+    from bof_tpu.core.cache import TileCache
+    from bof_tpu.io.store import MemStore
+    cache = TileCache(64 << 20)
+    st = MemStore(4096)
+    si = StrideInfo.contiguous(1024)
+    k = cache.pin_read(st, 0, si)
+    cache.wait_ready(k)
+    e = cache._entries[k]
+    e.buf[:] = 7  # simulate a task's write-back payload
+    e.dirty = True
+    cache.unpin(k)
+    # direct write over the first half of the dirty entry's range
+    cache.invalidate_overlap(st, 0, StrideInfo.contiguous(512))
+    st.write_sync(0, StrideInfo.contiguous(512),
+                  np.full(512, 9, np.uint8))
+    got = st.read_sync(0, si)
+    assert (got[:512] == 9).all(), "direct write lost to stale write-back"
+    assert (got[512:] == 7).all(), "dirty tail not written back"
+    assert k not in cache._entries
+
+
+def test_native_cache_invalidate_unit(tmp_path):
+    from bof_tpu.io.native import NativeFileStore, load_library
+    from bof_tpu.io.native_cache import NativeTileCache
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+    data = np.arange(1 << 16, dtype=np.uint32)
+    path = str(tmp_path / "inv.bin")
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+    st = NativeFileStore(path, n_threads=2)
+    cache = NativeTileCache(64 << 20)
+    si = StrideInfo.contiguous(4096)
+    k1 = cache.pin_read(st, 0, si)
+    k2 = cache.pin_read(st, 8192, si)
+    cache.wait_ready(k1)
+    cache.wait_ready(k2)
+    cache.unpin(k1)
+    cache.unpin(k2)
+    # invalidate bytes [0, 4096): k1's tile drops, k2's survives
+    assert cache.invalidate(st.uid, 0, 4096) == 1
+    st.write_sync(0, si, np.zeros(4096, np.uint8))
+    k1b = cache.pin_read(st, 0, si)
+    cache.wait_ready(k1b)
+    got = cache.buf_sized(k1b, si.nbytes).view(np.uint32)
+    assert (got == 0).all(), "stale tile served after invalidate"
+    k2b = cache.pin_read(st, 8192, si)
+    assert k2b == k2, "disjoint tile should remain a hit"
+    cache.unpin(k1b)
+    cache.unpin(k2b)
+    del got
+    import gc
+    gc.collect()
+    cache.close()
+    st.close()

@@ -314,3 +314,12 @@ def test_debug_checks_rejects_nonfinite(ctx64, rng):
     C = mem_array((20, 20), np.float64, "R", ctx=ctx64)
     with pytest.raises(ValueError, match="non-finite"):
         gemm(A, B, C, blk=16, ctx=ctx64)
+    # pin-leak regression: the ValueError fires MID-PIN inside
+    # _axis_amax; a leaked pin would leave the tile pinned+poisoned and
+    # fail every retry.  After fixing the operand the same arrays must
+    # compute cleanly (the poisoned entry was dropped at refs==0).
+    a[3, 7] = 1.0
+    A.write_all(a)
+    gemm(A, B, C, blk=16, ctx=ctx64)
+    want = a @ B.read_all()
+    np.testing.assert_allclose(C.read_all(), want, rtol=1e-12)
