@@ -187,8 +187,34 @@ def op_gemm64(ctx, rng):
     assert err < 1e-12, f"gemm64 scaled err {err:.2e}"
 
 
+def op_rewrite_gemm(ctx, rng):
+    """Write-path cache coherence under concurrency: gemm caches operand
+    tiles, a direct write_block rewrites part of A, the second gemm must
+    see the fresh data (invalidate_overlap racing other threads' pins)."""
+    from bof_tpu import mem_array
+    from bof_tpu.ops import gemm
+    m, n, k = (int(rng.integers(32, 140)) for _ in range(3))
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    A = mem_array((m, k), np.float32, data=a, ctx=ctx)
+    B = mem_array((k, n), np.float32, data=b, ctx=ctx)
+    C = mem_array((m, n), np.float32, ctx=ctx)
+    blk = int(rng.choice([32, 64]))
+    gemm(A, B, C, blk=blk, ctx=ctx)
+    r0 = int(rng.integers(0, m))
+    nr = int(rng.integers(1, m - r0 + 1))
+    patch = rng.standard_normal((nr, k)).astype(np.float32)
+    A.write_block(r0, patch)
+    a[r0:r0 + nr] = patch
+    gemm(A, B, C, blk=blk, ctx=ctx)
+    want = a.astype(np.float64) @ b.astype(np.float64)
+    got = C.read_all().astype(np.float64)
+    assert np.abs(got - want).max() / max(np.abs(want).max(), 1) < 5e-4, \
+        "stale tile served after direct rewrite"
+
+
 OPS = [op_gemm, op_csrmm, op_sort, op_map_reduce, op_flash_io,
-       op_csrgemv, op_csrcsc, op_xml_rank, op_gemm64]
+       op_csrgemv, op_csrcsc, op_xml_rank, op_gemm64, op_rewrite_gemm]
 
 
 def main():
