@@ -144,6 +144,7 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
                 if not host_mode:
                     lab_np = np.asarray(labels, dtype=np.int32)
                 off, sinfo = labels_out.block_access(r0, bn)
+                labels_out._invalidate(off, sinfo)
                 write_tickets.append(labels_out.store.write(
                     off, sinfo, lab_np.view(np.uint8).ravel()))
     finally:
@@ -234,6 +235,7 @@ def _lloyds_iter_device(p_dev, p_norm2: float, centers: np.ndarray,
         if labels_out is not None:
             lab_np = np.asarray(labels, dtype=np.int32)
             off, sinfo = labels_out.block_access(r0, bn)
+            labels_out._invalidate(off, sinfo)
             write_tickets.append(labels_out.store.write(
                 off, sinfo, lab_np.view(np.uint8).ravel()))
     for t in write_tickets:

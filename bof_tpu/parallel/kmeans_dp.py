@@ -240,11 +240,13 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
                         lab_np = np.ascontiguousarray(
                             np.asarray(shard.data, np.int32)[:hi - lo])
                         off, sinfo = labels_out.block_access(lo, hi - lo)
+                        labels_out._invalidate(off, sinfo)
                         write_tickets.append(labels_out.store.write(
                             off, sinfo, lab_np.view(np.uint8).ravel()))
                 else:
                     lab_np = np.asarray(labels, np.int32)[:bn]
                     off, sinfo = labels_out.block_access(r0, bn)
+                    labels_out._invalidate(off, sinfo)
                     write_tickets.append(labels_out.store.write(
                         off, sinfo, lab_np.view(np.uint8).ravel()))
     finally:
@@ -333,6 +335,7 @@ def kmeans_fit_sharded(points, n_centers: int, n_iters: int = 10,
         if want_labels and labels_out is not None:
             lab_np = np.asarray(labels, np.int32)[:n]
             off, sinfo = labels_out.block_access(0, n)
+            labels_out._invalidate(off, sinfo)
             labels_out.store.write(off, sinfo,
                                    lab_np.view(np.uint8).ravel()).wait()
             labels_out.store.flush()
