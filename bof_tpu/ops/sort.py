@@ -45,6 +45,16 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     if src.dtype != dst.dtype:
         raise ValueError(f"sort needs matching dtypes: src {src.dtype} "
                          f"!= dst {dst.dtype}")
+    from ..io.store import store_uid
+    if (store_uid(src.store) == store_uid(dst.store)
+            and src.offset < dst.offset + dst.nbytes
+            and dst.offset < src.offset + src.nbytes):
+        # phase 3 reads source fragments while writing the output range:
+        # an in-place/overlapping sort would consume half-written buckets
+        # (the reference is out-of-place too, sort.tpp:134-162)
+        raise ValueError("sort output must not overlap the input "
+                         "(phase 1 sorts src blocks in place; phase 3 "
+                         "streams them into dst)")
     n = src.shape[0]
     if n == 0:  # empty input: sorted output is empty (n_blks==0 would
         return  # otherwise hit np.concatenate([]) in the pivot phase)

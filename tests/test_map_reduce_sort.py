@@ -203,3 +203,23 @@ def test_sort_device_mode_preserves_nans(ctx, rng):
         assert np.isnan(got[n - 37:]).all()
     finally:
         ctx.config.sort_compute = old
+
+
+def test_sort_rejects_overlapping_output(ctx, rng):
+    """Phase 3 reads source fragments while writing dst: an aliased or
+    overlapping output would consume half-written buckets silently."""
+    from bof_tpu import mem_array
+    from bof_tpu.ops.sort import bof_sort
+    x = rng.standard_normal(256).astype(np.float32)
+    src = mem_array((256,), np.float32, data=x, ctx=ctx)
+    with pytest.raises(ValueError, match="overlap"):
+        bof_sort(src, src, blk_elems=64, ctx=ctx)
+    # a same-store but disjoint view is legal
+    from bof_tpu.core.flash_array import FlashArray
+    big = mem_array((512,), np.float32, ctx=ctx)
+    s2 = FlashArray(big.store, (256,), np.float32, "R", offset=0, ctx=ctx)
+    d2 = FlashArray(big.store, (256,), np.float32, "R", offset=1024,
+                    ctx=ctx)
+    s2.write_all(x)
+    bof_sort(s2, d2, blk_elems=64, ctx=ctx)
+    np.testing.assert_array_equal(d2.read_all(), np.sort(x))
