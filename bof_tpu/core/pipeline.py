@@ -52,6 +52,38 @@ class PrefetchSeq:
         self._keys.clear()
 
 
+class TicketWindow:
+    """Bounded in-flight write-ticket window.  Every store write Ticket
+    holds its source buffer alive until wait(), so accumulating all of a
+    kernel's write-backs to the end grows host RAM to the full padded
+    output size — the exact out-of-core regime these kernels exist for.
+    `depth` tickets in flight keeps the disk writer busy while bounding
+    the buffers (one shared helper instead of per-kernel copies)."""
+
+    __slots__ = ("_dq", "_depth")
+
+    def __init__(self, depth: int = 8):
+        import collections
+        self._dq = collections.deque()
+        self._depth = max(1, depth)
+
+    def push(self, t) -> None:
+        self._dq.append(t)
+        while len(self._dq) > self._depth:
+            self._dq.popleft().wait()
+
+    def extend(self, ts) -> None:
+        for t in ts:
+            self.push(t)
+
+    def wait_all(self) -> None:
+        while self._dq:
+            self._dq.popleft().wait()
+
+    def __len__(self) -> int:
+        return len(self._dq)
+
+
 def queue_put(q, item, errors, timeout: float = 1.0) -> bool:
     """Timeout-put guarded by a shared error list: a dead consumer can
     never block a producer forever (the producer may be holding pinned

@@ -46,7 +46,8 @@ def flash_memset(arr: FlashArray, byte_value: int = 0) -> None:
     """Fill an array's backing bytes (reference: flash_memset,
     lib_funcs.h:49-54).  ld-padded sub-matrices only touch their own
     rows/columns, never the parent matrix's neighboring bytes."""
-    tickets = []
+    from .core.pipeline import TicketWindow
+    tickets = TicketWindow(depth=8)
     if _dense(arr):
         total = arr.nbytes
         arr._invalidate(arr.offset, StrideInfo.contiguous(total))
@@ -54,7 +55,7 @@ def flash_memset(arr: FlashArray, byte_value: int = 0) -> None:
         off, done = arr.offset, 0
         while done < total:
             c = min(len(chunk), total - done)
-            tickets.append(arr.store.write(
+            tickets.push(arr.store.write(
                 off + done, StrideInfo.contiguous(c), chunk[:c]))
             done += c
     else:
@@ -63,10 +64,9 @@ def flash_memset(arr: FlashArray, byte_value: int = 0) -> None:
             arr._invalidate(off, sinfo)
             if chunk is None or len(chunk) < sinfo.nbytes:
                 chunk = np.full(sinfo.nbytes, byte_value, np.uint8)
-            tickets.append(arr.store.write(off, sinfo,
+            tickets.push(arr.store.write(off, sinfo,
                                            chunk[:sinfo.nbytes]))
-    for t in tickets:
-        t.wait()
+    tickets.wait_all()
     arr.store.flush()
 
 
@@ -91,7 +91,8 @@ def flash_memcpy(dst: FlashArray, src: FlashArray) -> None:
         return (dst.shape == src.shape[::-1]
                 and dst.shape != src.shape)
 
-    pending = []
+    from .core.pipeline import TicketWindow
+    pending = TicketWindow(depth=8)  # each scopy ticket holds a _CHUNK buf
     if _dense(dst) and _dense(src) and _byte_compatible():
         # raw byte copy, like the reference's flash_memcpy over flash_ptrs
         if dst.nbytes != src.nbytes:
@@ -101,7 +102,7 @@ def flash_memcpy(dst: FlashArray, src: FlashArray) -> None:
         done = 0
         while done < total:
             c = min(_CHUNK, total - done)
-            pending.append(src.store.scopy(
+            pending.push(src.store.scopy(
                 src.offset + done, StrideInfo.contiguous(c),
                 dst.store, dst.offset + done, StrideInfo.contiguous(c)))
             done += c
@@ -119,12 +120,11 @@ def flash_memcpy(dst: FlashArray, src: FlashArray) -> None:
                 s_off, s_si = src.block_access(r0, nr, 0, n)
                 d_off, d_si = dst.block_access(r0, nr, 0, n)
                 dst._invalidate(d_off, d_si)
-                pending.append(src.store.scopy(s_off, s_si,
-                                               dst.store, d_off, d_si))
+                pending.push(src.store.scopy(s_off, s_si,
+                                              dst.store, d_off, d_si))
             else:  # layout change: gather, transpose on host, scatter
                 dst.write_block(r0, src.read_block(r0, nr, 0, n))
-    for t in pending:
-        t.wait()
+    pending.wait_all()
     dst.store.flush()
 
 

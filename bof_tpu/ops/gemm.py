@@ -374,7 +374,8 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
 
     def writer():
         try:
-            write_tickets = []
+            from ..core.pipeline import TicketWindow
+            write_tickets = TicketWindow(depth=8)
             while True:
                 try:  # timeout-get: a dead dispatcher can't hang us —
                     # the error-path sentinel can be dropped on a full
@@ -418,11 +419,10 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 METRICS.add("gemm.d2h_bytes", c_host.nbytes)
                 if c_xfer_bf16:  # promote back for fp32 storage
                     c_host = c_host.astype(np.float32)
-                write_tickets.append(c.write_block_storage_async(
+                write_tickets.push(c.write_block_storage_async(
                     i * sb, j * sb, bi, bj, c_host))
             t0 = time.perf_counter()
-            for t in write_tickets:
-                t.wait()
+            write_tickets.wait_all()
             METRICS.add("gemm.write_wait_s", time.perf_counter() - t0)
         except BaseException as e:  # pragma: no cover
             errors.append(e)

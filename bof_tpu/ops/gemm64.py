@@ -360,11 +360,10 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             c_acc += w[p] * planes[p]  # int32 * f64 scalar: exact products
         return c_acc
 
-    import collections
     import queue
     import threading
 
-    from ..core.pipeline import queue_put
+    from ..core.pipeline import TicketWindow, queue_put
 
     # HBM-aware group schedule (the fp32 path's, ops/gemm.py:177-197,
     # adapted to slice stacks): partition the j space into groups whose
@@ -430,13 +429,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     # them to end-of-kernel would grow host RAM to the full padded |C| —
     # the exact out-of-core regime this kernel exists for.  8 in flight
     # keeps the disk writer busy while bounding the buffers.
-    tickets: collections.deque = collections.deque()
-    max_tickets = 8
-
-    def push_ticket(t):
-        tickets.append(t)
-        while len(tickets) > max_tickets:
-            tickets.popleft().wait()
+    tickets = TicketWindow(depth=8)
 
     try:
         for jg in groups:
@@ -480,7 +473,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         full = np.zeros((sb, sb), np.float64)
                         full[:out.shape[0], :out.shape[1]] = out
                         out = full
-                    push_ticket(c.write_block_storage_async(
+                    tickets.push(c.write_block_storage_async(
                         i * sb, j * sb, bi, bj, np.ascontiguousarray(out)))
     except BaseException as e:
         if not errors:
@@ -492,8 +485,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     prod_t.join()
     if errors:
         raise errors[0]
-    for t in tickets:
-        t.wait()
+    tickets.wait_all()
     c.store.flush()
     hbm.clear()
     METRICS.add("gemm64.ms", timer.elapsed_ms())

@@ -112,8 +112,9 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
         spans.append((r0, bn))
     pf = PrefetchSeq(cache, accesses, depth=cfg.pipeline_depth)
 
+    from ..core.pipeline import TicketWindow
     inertia = 0.0
-    write_tickets = []
+    write_tickets = TicketWindow(depth=8)
     try:
         for bi, (r0, bn) in enumerate(spans):
             p_host = pf.get(bi).view(points.dtype).reshape(bn, d)
@@ -145,12 +146,11 @@ def lloyds_iter(points: FlashArray, centers: np.ndarray,
                     lab_np = np.asarray(labels, dtype=np.int32)
                 off, sinfo = labels_out.block_access(r0, bn)
                 labels_out._invalidate(off, sinfo)
-                write_tickets.append(labels_out.store.write(
+                write_tickets.push(labels_out.store.write(
                     off, sinfo, lab_np.view(np.uint8).ravel()))
     finally:
         pf.close()  # an exception mid-stream must not leak pinned tiles
-    for t in write_tickets:
-        t.wait()
+    write_tickets.wait_all()
     if labels_out is not None:
         labels_out.store.flush()
 
@@ -224,8 +224,9 @@ def _lloyds_iter_device(p_dev, p_norm2: float, centers: np.ndarray,
     c_norms = jnp.sum(c_dev * c_dev, axis=1)
     sums = jnp.zeros((k, d), jnp.float32)
     counts = jnp.zeros((k,), jnp.float32)
+    from ..core.pipeline import TicketWindow
     inertia = p_norm2
-    write_tickets = []
+    write_tickets = TicketWindow(depth=8)
     for r0 in range(0, n, chunk):
         bn = min(chunk, n - r0)
         labels, mind, sums, counts = lloyd_block(
@@ -236,10 +237,9 @@ def _lloyds_iter_device(p_dev, p_norm2: float, centers: np.ndarray,
             lab_np = np.asarray(labels, dtype=np.int32)
             off, sinfo = labels_out.block_access(r0, bn)
             labels_out._invalidate(off, sinfo)
-            write_tickets.append(labels_out.store.write(
+            write_tickets.push(labels_out.store.write(
                 off, sinfo, lab_np.view(np.uint8).ravel()))
-    for t in write_tickets:
-        t.wait()
+    write_tickets.wait_all()
     if labels_out is not None:
         labels_out.store.flush()
     counts_np = np.asarray(counts)

@@ -154,7 +154,8 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 subs.append((s0, s1, rows_pad, rmax, shards))
             sub_plans.append(subs)
 
-    write_tickets = []
+    from ..core.pipeline import TicketWindow
+    write_tickets = TicketWindow(depth=8)
     for c0 in range(0, n, cb):
         bc = min(cb, n - c0)
         b_host = b.read_block(0, k, c0, bc)
@@ -226,7 +227,7 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                                     r + lo, hi - lo, c0, bc)
                             if c.order != "R":
                                 data = data.T
-                            write_tickets.append(
+                            write_tickets.push(
                                 c.write_block_storage_async(
                                     r + lo, c0, hi - lo, bc,
                                     np.ascontiguousarray(data)))
@@ -261,10 +262,9 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     c_np += beta * c.read_block(r, rows_b, c0, bc)
                 if c.order != "R":
                     c_np = np.ascontiguousarray(c_np.T)
-                write_tickets.append(c.write_block_storage_async(
+                write_tickets.push(c.write_block_storage_async(
                     r, c0, rows_b, bc, np.ascontiguousarray(c_np)))
         finally:
             pf.close()
-    for t in write_tickets:
-        t.wait()
+    write_tickets.wait_all()
     c.store.flush()

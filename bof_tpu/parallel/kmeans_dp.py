@@ -186,7 +186,8 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
     sums = np.zeros((kc, d), np.float64)
     counts = np.zeros(kc, np.float64)
     inertia = 0.0
-    write_tickets = []
+    from ..core.pipeline import TicketWindow
+    write_tickets = TicketWindow(depth=8)
     try:
         for bi, (r0, bn) in enumerate(spans):
             if sharded_reads:
@@ -241,18 +242,17 @@ def lloyds_iter_ooc_sharded(points, centers: np.ndarray,
                             np.asarray(shard.data, np.int32)[:hi - lo])
                         off, sinfo = labels_out.block_access(lo, hi - lo)
                         labels_out._invalidate(off, sinfo)
-                        write_tickets.append(labels_out.store.write(
+                        write_tickets.push(labels_out.store.write(
                             off, sinfo, lab_np.view(np.uint8).ravel()))
                 else:
                     lab_np = np.asarray(labels, np.int32)[:bn]
                     off, sinfo = labels_out.block_access(r0, bn)
                     labels_out._invalidate(off, sinfo)
-                    write_tickets.append(labels_out.store.write(
+                    write_tickets.push(labels_out.store.write(
                         off, sinfo, lab_np.view(np.uint8).ravel()))
     finally:
         pf.close()
-    for t in write_tickets:
-        t.wait()
+    write_tickets.wait_all()
     if labels_out is not None:
         labels_out.store.flush()
     safe = np.maximum(counts, 1.0)[:, None]

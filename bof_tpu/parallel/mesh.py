@@ -566,8 +566,10 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     def writer():
         try:
             import jax as _jax
+
+            from ..core.pipeline import TicketWindow
             multihost = _jax.process_count() > 1
-            tickets = []
+            tickets = TicketWindow(depth=8)
             while True:
                 try:  # timeout-get + errors check: queue_put_sentinel's
                     # contract is that consumers key shutdown off the
@@ -589,12 +591,11 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                 else:
                     ci = _storage_shape(c, (bi, bj))
                     c_host = np.asarray(c_dev)[:ci[0], :ci[1]]
-                    tickets.append(c.write_block_storage_async(
+                    tickets.push(c.write_block_storage_async(
                         i * sb, j * sb, bi, bj, c_host))
                 METRICS.add("gemm_sharded.d2h_s",
                             _time.perf_counter() - t0)
-            for t in tickets:
-                t.wait()
+            tickets.wait_all()
         except BaseException as e:  # pragma: no cover
             errors.append(e)
 

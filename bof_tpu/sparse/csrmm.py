@@ -157,14 +157,14 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
             LOG.info("csrmm: %s not representable on the device backend; "
                      "using host block products", vdt)
             host_compute = True
+    from ..core.pipeline import TicketWindow
     for ri, (k0, k1) in enumerate(k_ranges):
         beta_eff = beta if ri == 0 else 1.0
-        write_tickets = []
+        write_tickets = TicketWindow(depth=8)
         _csrmm_range(a, b, c, alpha, beta_eff, k0, k1, k_r_pad, blocks,
                      ia_np, seq_accesses, cb, entry_cap, cache, cfg,
                      host_compute, idt, vdt, write_tickets)
-        for t in write_tickets:  # range barrier: later ranges RMW C
-            t.wait()
+        write_tickets.wait_all()  # range barrier: later ranges RMW C
     c.store.flush()
     METRICS.add("csrmm.ms", timer.elapsed_ms())
     LOG.debug("csrmm %dx%dx%d nnz=%d done in %.1f ms (%d k-ranges)",
@@ -510,7 +510,7 @@ def _csrmm_range(a, b, c, alpha, beta, k0, k1, k_r_pad, blocks, ia_np,
                     c_np = np.ascontiguousarray(c_np, dtype=vdt)
                     if c.order != "R":
                         c_np = np.ascontiguousarray(c_np.T)
-                    write_tickets.append(c.write_block_storage_async(
+                    write_tickets.push(c.write_block_storage_async(
                         r, c0, rows_b, bc, c_np))
             except BaseException as e:  # pragma: no cover
                 errors.append(e)
