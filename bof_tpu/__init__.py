@@ -12,7 +12,9 @@ from .core import (FlashArray, TiledFlashArray, flash_empty, flash_free,
                    map_array, map_tiled_array, mem_array)
 from .core.tiled_array import repack, unpack
 from .io import MemStore, StrideInfo
+from .lib_funcs import flash_memcpy, flash_memset, flash_truncate
 from .ops import bof_map, bof_reduce, bof_sort, gemm, gemm_in_mem
+from .ops.gemm64 import gemm64
 from .ops.kmeans import kmeans_fit, lloyds_iter
 from .sparse import (CsrFlashMatrix, csrcsc, csrcsc_scratch, csrgemv,
                      csrmm)
@@ -25,6 +27,7 @@ __all__ = [
     "DEFAULT_CONFIG", "FlashConfig", "FlashContext", "flash_destroy",
     "flash_setup", "get_context", "FlashArray", "flash_empty", "flash_free",
     "map_array", "mem_array", "MemStore", "StrideInfo",
+    "flash_memcpy", "flash_memset", "flash_truncate", "gemm64",
     "TiledFlashArray", "map_tiled_array", "repack", "unpack",
     "bof_map", "bof_reduce", "bof_sort", "gemm", "gemm_in_mem",
     "kmeans_fit", "lloyds_iter",

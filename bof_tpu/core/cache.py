@@ -50,16 +50,56 @@ class _Entry:
         #   are uninitialized/partial — never serve from cache
 
 
+class _UidKeyedDict(dict):
+    """Dict keyed by (store_uid, offset, sinfo) that maintains a live
+    per-uid key count, so invalidate_overlap can answer "does this store
+    have anything cached/in flight?" in O(1) instead of scanning every
+    entry under the global lock on every direct write.  All cache.py
+    mutation sites use plain item assignment / pop / del (never
+    update/setdefault), which these overrides cover."""
+
+    def __init__(self):
+        super().__init__()
+        self.uid_counts: collections.Counter = collections.Counter()
+
+    def __setitem__(self, key, value):
+        if key not in self:
+            self.uid_counts[key[0]] += 1
+        super().__setitem__(key, value)
+
+    def __delitem__(self, key):
+        super().__delitem__(key)  # raises KeyError before the decrement
+        c = self.uid_counts[key[0]] - 1
+        if c:
+            self.uid_counts[key[0]] = c
+        else:
+            del self.uid_counts[key[0]]
+
+    def pop(self, key, *default):
+        if key in self:
+            val = dict.pop(self, key)
+            c = self.uid_counts[key[0]] - 1
+            if c:
+                self.uid_counts[key[0]] = c
+            else:
+                del self.uid_counts[key[0]]
+            return val
+        if default:
+            return default[0]
+        raise KeyError(key)
+
+
 class TileCache:
     def __init__(self, max_size: int, single_use_discard: bool = False):
         self.max_size = max_size
         self.single_use_discard = single_use_discard
         self._lock = threading.Lock()
-        self._entries: Dict[tuple, _Entry] = {}
+        self._entries: Dict[tuple, _Entry] = _UidKeyedDict()
         self._zero_ref = collections.OrderedDict()  # key -> None, LRU order
         self._backlog: collections.deque = collections.deque()
         self._inflight_reads: Dict[tuple, Ticket] = {}
-        self._inflight_writes: Dict[tuple, tuple] = {}  # key->(tkt,nbytes,buf)
+        self._inflight_writes: Dict[tuple, tuple] = _UidKeyedDict()
+        #   key -> (tkt, nbytes, buf)
         self._orphan_tickets: List[Ticket] = []
         self.commit_size = 0
         self.real_size = 0
@@ -553,6 +593,11 @@ class TileCache:
             return
         pending = []
         with self._lock:
+            # O(1) common case: direct writes mostly target fresh output
+            # stores with nothing cached — skip the full-table scan
+            if (uid not in self._entries.uid_counts
+                    and uid not in self._inflight_writes.uid_counts):
+                return
             for k, e in list(self._entries.items()):
                 if k[0] != uid:
                     continue

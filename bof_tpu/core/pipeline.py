@@ -7,6 +7,7 @@ prefetch pipeline (the Prioritizer+backlog machinery services the pins).
 """
 from __future__ import annotations
 
+import time
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -60,17 +61,23 @@ class TicketWindow:
     `depth` tickets in flight keeps the disk writer busy while bounding
     the buffers (one shared helper instead of per-kernel copies)."""
 
-    __slots__ = ("_dq", "_depth")
+    __slots__ = ("_dq", "_depth", "wait_s")
 
     def __init__(self, depth: int = 8):
         import collections
         self._dq = collections.deque()
         self._depth = max(1, depth)
+        self.wait_s = 0.0  # total blocked-on-write time, incl. push stalls
+
+    def _wait_one(self) -> None:
+        t0 = time.perf_counter()
+        self._dq.popleft().wait()
+        self.wait_s += time.perf_counter() - t0
 
     def push(self, t) -> None:
         self._dq.append(t)
         while len(self._dq) > self._depth:
-            self._dq.popleft().wait()
+            self._wait_one()
 
     def extend(self, ts) -> None:
         for t in ts:
@@ -78,7 +85,7 @@ class TicketWindow:
 
     def wait_all(self) -> None:
         while self._dq:
-            self._dq.popleft().wait()
+            self._wait_one()
 
     def __len__(self) -> int:
         return len(self._dq)

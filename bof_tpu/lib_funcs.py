@@ -59,9 +59,13 @@ def flash_memset(arr: FlashArray, byte_value: int = 0) -> None:
                 off + done, StrideInfo.contiguous(c), chunk[:c]))
             done += c
     else:
+        # one conservative invalidate for the whole written span (the
+        # byte range already covers the ld gaps via file_extent) instead
+        # of a full-cache sweep per line group
+        off0, si0 = arr.block_access(0, arr.shape[0], 0, arr.shape[1])
+        arr._invalidate(off0, si0)
         chunk = None
         for off, sinfo in _line_chunks(arr):
-            arr._invalidate(off, sinfo)
             if chunk is None or len(chunk) < sinfo.nbytes:
                 chunk = np.full(sinfo.nbytes, byte_value, np.uint8)
             tickets.push(arr.store.write(off, sinfo,
@@ -114,12 +118,15 @@ def flash_memcpy(dst: FlashArray, src: FlashArray) -> None:
         m, n = src.shape
         row_bytes = n * src.itemsize
         per = max(1, _CHUNK // max(1, row_bytes))
+        # one conservative invalidate for the whole destination span
+        # (write_block invalidates its own range on the mixed-order path)
+        d_off0, d_si0 = dst.block_access(0, m, 0, n)
+        dst._invalidate(d_off0, d_si0)
         for r0 in range(0, m, per):
             nr = min(per, m - r0)
             if src.order == dst.order:
                 s_off, s_si = src.block_access(r0, nr, 0, n)
                 d_off, d_si = dst.block_access(r0, nr, 0, n)
-                dst._invalidate(d_off, d_si)
                 pending.push(src.store.scopy(s_off, s_si,
                                               dst.store, d_off, d_si))
             else:  # layout change: gather, transpose on host, scatter

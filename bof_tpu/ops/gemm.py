@@ -421,9 +421,11 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                     c_host = c_host.astype(np.float32)
                 write_tickets.push(c.write_block_storage_async(
                     i * sb, j * sb, bi, bj, c_host))
-            t0 = time.perf_counter()
             write_tickets.wait_all()
-            METRICS.add("gemm.write_wait_s", time.perf_counter() - t0)
+            # includes waits absorbed inside push() when the window was
+            # full — the pre-TicketWindow metric only timed the final
+            # drain and under-reported disk-bound write stalls
+            METRICS.add("gemm.write_wait_s", write_tickets.wait_s)
         except BaseException as e:  # pragma: no cover
             errors.append(e)
 

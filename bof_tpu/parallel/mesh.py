@@ -583,6 +583,7 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     break
                 i, j, bi, bj, c_dev = item
                 t0 = _time.perf_counter()
+                w0 = tickets.wait_s
                 if multihost:
                     # each process persists only its addressable shards
                     # (np.asarray of a multi-host global array would fail)
@@ -593,9 +594,13 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     c_host = np.asarray(c_dev)[:ci[0], :ci[1]]
                     tickets.push(c.write_block_storage_async(
                         i * sb, j * sb, bi, bj, c_host))
+                # push() may stall on the window's oldest disk write —
+                # book that as write wait, not device download time
                 METRICS.add("gemm_sharded.d2h_s",
-                            _time.perf_counter() - t0)
+                            _time.perf_counter() - t0
+                            - (tickets.wait_s - w0))
             tickets.wait_all()
+            METRICS.add("gemm_sharded.write_wait_s", tickets.wait_s)
         except BaseException as e:  # pragma: no cover
             errors.append(e)
 

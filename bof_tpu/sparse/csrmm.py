@@ -165,6 +165,7 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
                      ia_np, seq_accesses, cb, entry_cap, cache, cfg,
                      host_compute, idt, vdt, write_tickets)
         write_tickets.wait_all()  # range barrier: later ranges RMW C
+        METRICS.add("csrmm.write_wait_s", write_tickets.wait_s)
     c.store.flush()
     METRICS.add("csrmm.ms", timer.elapsed_ms())
     LOG.debug("csrmm %dx%dx%d nnz=%d done in %.1f ms (%d k-ranges)",

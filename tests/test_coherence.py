@@ -171,3 +171,25 @@ def test_native_cache_invalidate_unit(tmp_path):
     gc.collect()
     cache.close()
     st.close()
+
+
+def test_uid_counts_stay_in_sync():
+    """invalidate_overlap's O(1) early-out depends on _UidKeyedDict's
+    per-uid counts tracking every mutation path (setitem / overwrite /
+    del / pop / pop-with-default)."""
+    from bof_tpu.core.cache import _UidKeyedDict
+    d = _UidKeyedDict()
+    d[(1, 0, "a")] = "x"
+    d[(1, 8, "b")] = "y"
+    d[(2, 0, "a")] = "z"
+    assert d.uid_counts == {1: 2, 2: 1}
+    d[(1, 0, "a")] = "x2"          # overwrite: no double count
+    assert d.uid_counts[1] == 2
+    assert d.pop((1, 0, "a")) == "x2"
+    assert d.uid_counts == {1: 1, 2: 1}
+    assert d.pop((1, 0, "a"), None) is None  # missing w/ default: no-op
+    assert d.uid_counts == {1: 1, 2: 1}
+    del d[(2, 0, "a")]
+    assert 2 not in d.uid_counts
+    del d[(1, 8, "b")]
+    assert d.uid_counts == {} and d == {}

@@ -182,3 +182,37 @@ def test_native_split_f64_i8_matches_numpy():
         got_c = split_f64_i8(x, ec, False, s)
         want_c = _split_slices(x, np.ldexp(1.0, ec)[None, :], s)
         np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_invalidate_orphans_in_flight_read(store):
+    """A direct-write invalidation hitting an unpinned entry whose read
+    is still in flight must not block the cache mutex on the read (it
+    orphans the entry; the buffer is reaped non-blocking later) and a
+    re-pin of the same range must re-fetch fresh bytes."""
+    st, data = store
+    cache = NativeTileCache(64 << 20)
+    sinfo = StrideInfo.contiguous(1 << 20)  # 1 MiB: plausibly in flight
+    k1 = cache.pin_read(st, 0, sinfo)
+    cache.unpin(k1)  # zero pins, read may still be in flight
+    dropped = cache.invalidate(st.uid, 0, sinfo.nbytes)
+    assert dropped == 1
+    # the same access must MISS (fresh entry, fresh read)
+    k2 = cache.pin_read(st, 0, sinfo)
+    assert k2 != k1
+    cache.wait_ready(k2)
+    buf = cache.buf_sized(k2, sinfo.nbytes).view(np.uint32).copy()
+    np.testing.assert_array_equal(buf, data[:sinfo.nbytes // 4])
+    cache.unpin(k2)
+    # pumping the cache reaps the orphan once its read lands: entry
+    # count returns to just the live one
+    import time as _t
+    for _ in range(200):
+        if cache.stats()["entries"] <= 1:
+            break
+        k = cache.pin_read(st, 4096, StrideInfo.contiguous(4096))
+        cache.wait_ready(k)
+        cache.unpin(k)
+        cache.invalidate(st.uid, 4096, 8192)
+        _t.sleep(0.002)
+    assert cache.stats()["entries"] <= 1
+    cache.close()
