@@ -57,15 +57,19 @@ def _pow2_scale(amax: np.ndarray) -> np.ndarray:
     return np.ldexp(1.0, np.frexp(amax)[1])
 
 
-def _split_slices(tile: np.ndarray, sigma: np.ndarray, s: int) -> np.ndarray:
-    """Error-free split: tile/sigma = sum_i out[i] * 2^(-6-7i) + O(2^(-7s)).
+def _split_slices(tile: np.ndarray, exps: np.ndarray, s: int) -> np.ndarray:
+    """Error-free split: tile*2^-exps = sum_i out[i]*2^(-6-7i) + O(2^(-7s)).
 
     Every step is exact fp64 arithmetic (power-of-two multiplies; the
     subtraction of rint(t) from t cancels the high bits Sterbenz-style),
     so the slices reproduce the top 6+7(s-1) mantissa bits of each element
     relative to its row/column scale.  |out[i]| <= 64 fits int8 with the
-    MXU's exact-int8-product range to spare."""
-    r = tile.astype(np.float64) / sigma
+    MXU's exact-int8-product range to spare.  `exps` is the broadcastable
+    integer frexp-exponent array of the scales — scaling via ldexp instead
+    of dividing by 2^exps stays exact even when 2^exps itself would
+    overflow fp64 (exps = 1024 for amax near DBL_MAX), matching the native
+    engine's bof_split_f64_i8."""
+    r = np.ldexp(tile.astype(np.float64), -exps)
     out = np.empty((s,) + tile.shape, np.int8)
     mult = 64.0  # first slice takes 6 bits (|r| < 1 -> |rint(64r)| <= 64)
     for i in range(s):
@@ -307,8 +311,6 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         debug=cfg.debug_checks)
     exp_m = np.frexp(amax_m)[1].astype(np.int32)
     exp_n = np.frexp(amax_n)[1].astype(np.int32)
-    sig_m = np.ldexp(1.0, exp_m)
-    tau_n = np.ldexp(1.0, exp_n)
     w = np.ldexp(1.0, -12 - 7 * np.arange(s))  # pair-plane weights
 
     def dev_slices(role, arr, access_fn, o0, q0, bo, bq, evec, per_line):
@@ -341,9 +343,8 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             from ..io.native import split_f64_i8
             q8 = split_f64_i8(t, evec, per_line, s)
             if q8 is None:  # engine unavailable: numpy EFT chain
-                sigma_2d = (np.ldexp(1.0, evec)[:, None] if per_line
-                            else np.ldexp(1.0, evec)[None, :])
-                q8 = _split_slices(t, sigma_2d, s)
+                exps_2d = (evec[:, None] if per_line else evec[None, :])
+                q8 = _split_slices(t, exps_2d, s)
         finally:
             # every path: a leaked pin wedges the tile pinned+poisoned
             cache.unpin(pin)
@@ -435,7 +436,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         for jg in groups:
             for i in range(mB):
                 bi = min(sb, m - i * sb)
-                sig_blk = sig_m[i * sb:i * sb + bi]
+                em_blk = exp_m[i * sb:i * sb + bi]
                 S = {j: new_S() for j in jg}
                 c_acc = {j: np.zeros((sb, sb), np.float64) for j in jg}
                 k_acc = 0  # shared: every j in the group sees the same l
@@ -455,14 +456,21 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     k_acc += bl
                 for j in jg:
                     bj = min(sb, n - j * sb)
-                    tau_blk = tau_n[j * sb:j * sb + bj]
+                    en_blk = exp_n[j * sb:j * sb + bj]
                     cj = flush(S[j], c_acc[j])
+                    # apply sigma*tau through the integer exponent sum:
+                    # materializing the fp64 scale product can overflow
+                    # (e.g. 2^601 * 2^601) and then NaN-poison truncated
+                    # zeros via inf*0, while ldexp is exact and saturates
+                    # per element only when the true value overflows
                     if not c_nm:
-                        out = (alpha * (sig_blk[:, None] * tau_blk[None, :])
-                               * cj[:bi, :bj])
+                        out = alpha * np.ldexp(
+                            cj[:bi, :bj],
+                            em_blk[:, None] + en_blk[None, :])
                     else:
-                        out = (alpha * (tau_blk[:, None] * sig_blk[None, :])
-                               * cj[:bj, :bi])
+                        out = alpha * np.ldexp(
+                            cj[:bj, :bi],
+                            en_blk[:, None] + em_blk[None, :])
                     if beta != 0.0:
                         old = c.read_block_storage(i * sb, bi, j * sb, bj)
                         # tile-major C reads back the full padded tile

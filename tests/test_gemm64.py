@@ -137,8 +137,9 @@ def test_split_slices_exactness():
     rng = np.random.default_rng(3)
     x = rng.standard_normal((40, 30)) * 10.0 ** rng.uniform(-6, 6, (40, 1))
     sigma = _pow2_scale(np.abs(x).max(axis=1, keepdims=True))
+    exps = np.frexp(np.abs(x).max(axis=1, keepdims=True))[1].astype(np.int32)
     s = 8
-    q = _split_slices(x, sigma, s)
+    q = _split_slices(x, exps, s)
     assert q.dtype == np.int8
     recon = np.zeros_like(x)
     for i in range(s):
@@ -323,3 +324,61 @@ def test_debug_checks_rejects_nonfinite(ctx64, rng):
     gemm(A, B, C, blk=16, ctx=ctx64)
     want = a @ B.read_all()
     np.testing.assert_allclose(C.read_all(), want, rtol=1e-12)
+
+
+def test_huge_misaligned_scales_no_nan(ctx64):
+    """Regression: when A's row scale and B's column scale multiply past
+    DBL_MAX (2^601 * 2^601), the final scaling must go through the integer
+    exponent sum (ldexp) — materializing sigma*tau gave inf, and inf * a
+    truncated-to-zero plane fold produced NaN.  The true values here
+    (2.0) sit 2^-1200 below the combined scale, far outside the 2^-7s
+    capture window, so the in-model answer is exactly 0 — never NaN."""
+    k = 8
+    a_np = np.full((4, k), 2.0 ** -600)
+    a_np[:, 0] = 2.0 ** 600          # per-row amax 2^600
+    b_np = np.full((k, 4), 2.0 ** -600)
+    b_np[1, :] = 2.0 ** 600          # per-col amax 2^600, misaligned
+    A = mem_array((4, k), np.float64, "R", data=a_np, ctx=ctx64)
+    B = mem_array((k, 4), np.float64, "R", data=b_np, ctx=ctx64)
+    C = mem_array((4, 4), np.float64, "R", ctx=ctx64)
+    gemm64(A, B, C, blk=8, ctx=ctx64)
+    got = C.read_all()
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got, np.zeros((4, 4)))
+
+
+def test_huge_aligned_scales_saturate_to_inf(ctx64):
+    """When the true product overflows fp64 (aligned 2^600 entries), the
+    exponent-sum scaling must saturate to +/-inf exactly like a native
+    fp64 computation would — not NaN."""
+    k = 8
+    a_np = np.full((4, k), 1.0)
+    a_np[:, 0] = 2.0 ** 600
+    b_np = np.full((k, 4), 1.0)
+    b_np[0, :] = 2.0 ** 600          # aligned: C = 2^1200 + ... = inf
+    b_np[0, 2] = -(2.0 ** 600)       # sign must survive saturation
+    A = mem_array((4, k), np.float64, "R", data=a_np, ctx=ctx64)
+    B = mem_array((k, 4), np.float64, "R", data=b_np, ctx=ctx64)
+    C = mem_array((4, 4), np.float64, "R", ctx=ctx64)
+    gemm64(A, B, C, blk=8, ctx=ctx64)
+    got = C.read_all()
+    assert np.isposinf(got[:, [0, 1, 3]]).all()
+    assert np.isneginf(got[:, 2]).all()
+
+
+def test_frexp_exponent_1024_splits_exactly(ctx64):
+    """amax near DBL_MAX has frexp exponent 1024, where 2^1024 itself is
+    inf: the numpy fallback used to divide by that inf and silently zero
+    every slice.  ldexp-based splitting keeps the path exact."""
+    rng = np.random.default_rng(11)
+    k = 16
+    a_np = (0.5 + 0.5 * rng.random((8, k))) * 1.0e308   # exp 1024 rows
+    b_np = rng.standard_normal((k, 8)) * 2.0 ** -600    # keep C finite
+    A = mem_array((8, k), np.float64, "R", data=a_np, ctx=ctx64)
+    B = mem_array((k, 8), np.float64, "R", data=b_np, ctx=ctx64)
+    C = mem_array((8, 8), np.float64, "R", ctx=ctx64)
+    gemm64(A, B, C, blk=8, ctx=ctx64)
+    want = a_np @ b_np
+    got = C.read_all()
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
