@@ -225,17 +225,34 @@ class FlashArray:
 # ----------------------------------------------------------- constructors
 def map_array(path: str, shape, dtype=np.float32, order: str = "R",
               create: bool = False, ctx: Optional[FlashContext] = None,
-              o_direct: Optional[bool] = None) -> FlashArray:
-    """Open a file as a FlashArray (reference: map_file, allocator.h:19-45)."""
+              o_direct: Optional[bool] = None, offset: int = 0,
+              ld: Optional[int] = None) -> FlashArray:
+    """Open a file as a FlashArray (reference: map_file, allocator.h:19-45).
+
+    `ld` maps an ld-padded sub-matrix in place (reference gemm's
+    lda_a/lda_b/lda_c arguments, src/blas/gemm.cpp:44-67): the file holds
+    `ld` elements per storage line, of which shape[] are the logical
+    extent.  `offset` is the byte position of element (0, 0)."""
     ctx = ctx or get_context()
-    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    it = np.dtype(dtype).itemsize
+    if len(tuple(shape)) == 2:
+        lines = shape[0] if order == "R" else shape[1]
+        width = shape[1] if order == "R" else shape[0]
+        eff_ld = int(ld) if ld is not None else width
+        if eff_ld < width:
+            raise ValueError(f"ld {eff_ld} smaller than the storage line "
+                             f"width {width}")
+        nbytes = offset + ((lines - 1) * eff_ld + width) * it
+    else:
+        nbytes = offset + int(np.prod(shape)) * it
     store = ctx.open_store(path, create=create,
                            truncate_to=nbytes if create else 0,
                            o_direct=o_direct)
     if not create and store.size() < nbytes:
         raise IOError(f"{path}: file smaller than requested array "
                       f"({store.size()} < {nbytes})")
-    return FlashArray(store, shape, dtype, order, ctx=ctx)
+    return FlashArray(store, shape, dtype, order, offset=offset, ld=ld,
+                      ctx=ctx)
 
 
 def flash_empty(shape, dtype=np.float32, order: str = "R",

@@ -30,6 +30,11 @@ def main(argv=None):
                    help="operands are tile-major files with this tile edge "
                         "(drivers/repack); implies blk=tile so every "
                         "superblock read is one contiguous run")
+    p.add_argument("--lda", type=int, default=None,
+                   help="leading dimension of A's file (elements per "
+                        "storage line; reference drivers/gemm.cpp lda_a)")
+    p.add_argument("--ldb", type=int, default=None)
+    p.add_argument("--ldc", type=int, default=None)
     p.add_argument("--create-c", action="store_true")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"],
@@ -47,6 +52,8 @@ def main(argv=None):
     b_shape = (n, k) if args.tb == "T" else (k, n)
     if args.tile:
         from ..core.tiled_array import map_tiled_array
+        if args.lda or args.ldb or args.ldc:
+            p.error("--lda/--ldb/--ldc apply to flat layouts, not --tile")
         args.blk = args.tile
         A = map_tiled_array(args.a_path, a_shape, dt, args.order,
                             tile=args.tile, ctx=ctx)
@@ -55,10 +62,12 @@ def main(argv=None):
         C = map_tiled_array(args.c_path, (m, n), dt, args.order,
                             tile=args.tile, create=args.create_c, ctx=ctx)
     else:
-        A = map_array(args.a_path, a_shape, dt, args.order, ctx=ctx)
-        B = map_array(args.b_path, b_shape, dt, args.order, ctx=ctx)
+        A = map_array(args.a_path, a_shape, dt, args.order, ctx=ctx,
+                      ld=args.lda)
+        B = map_array(args.b_path, b_shape, dt, args.order, ctx=ctx,
+                      ld=args.ldb)
         C = map_array(args.c_path, (m, n), dt, args.order,
-                      create=args.create_c, ctx=ctx)
+                      create=args.create_c, ctx=ctx, ld=args.ldc)
     with Timed("gemm", flops=2.0 * m * n * k):
         if args.sharded:
             from ..parallel import gemm_sharded, make_mesh

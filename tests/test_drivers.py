@@ -358,3 +358,24 @@ def test_repack_and_tiled_gemm_driver(tmp_path, scratch):
     a_np = np.fromfile(a, np.float32).reshape(m, k)
     b_np = np.fromfile(b, np.float32).reshape(k, n)
     np.testing.assert_allclose(got, a_np @ b_np, rtol=2e-4, atol=1e-4)
+
+
+def test_gemm_driver_lda(tmp_path, scratch):
+    """ld-padded sub-matrices through the CLI (reference drivers/gemm.cpp
+    takes lda_a/lda_b/lda_c positionally; here --lda/--ldb/--ldc)."""
+    m, n, k = 48, 40, 56
+    lda, ldb, ldc = 64, 72, 50
+    rng = np.random.default_rng(9)
+    a_full = rng.standard_normal((m, lda)).astype(np.float32)
+    b_full = rng.standard_normal((k, ldb)).astype(np.float32)
+    c_full = np.zeros((m, ldc), np.float32)
+    a, b, c = (str(tmp_path / x) for x in "abc")
+    a_full.tofile(a); b_full.tofile(b); c_full.tofile(c)
+    run_driver("gemm", a, b, c, m, n, k, "--blk", 32,
+               "--lda", lda, "--ldb", ldb, "--ldc", ldc,
+               "--scratch", scratch)
+    got = np.fromfile(c, np.float32).reshape(m, ldc)
+    want = a_full[:, :k] @ b_full[:, :n]
+    np.testing.assert_allclose(got[:, :n], want, rtol=2e-4, atol=1e-4)
+    # bytes beyond the logical width are the pad, untouched by the kernel
+    np.testing.assert_array_equal(got[:, n:], 0.0)
