@@ -33,7 +33,8 @@ from .task import Task, TaskStatus, access_key
 
 class _Entry:
     __slots__ = ("store", "offset", "sinfo", "buf", "refs", "dirty",
-                 "alloc_only", "complete", "nbytes", "error", "poisoned")
+                 "alloc_only", "complete", "nbytes", "error", "poisoned",
+                 "stale")
 
     def __init__(self, store, offset, sinfo, alloc_only: bool):
         self.store = store
@@ -48,6 +49,9 @@ class _Entry:
         self.error: Optional[BaseException] = None  # failed read
         self.poisoned = False  # a failed task's write target: contents
         #   are uninitialized/partial — never serve from cache
+        self.stale = False  # a direct write overlapped this tile while
+        #   it was pinned: serve the current pins (documented dual-access
+        #   race window) but drop at zero refs so later accesses re-fetch
 
 
 class _UidKeyedDict(dict):
@@ -87,6 +91,16 @@ class _UidKeyedDict(dict):
         if default:
             return default[0]
         raise KeyError(key)
+
+    def _unsupported(self, *a, **k):
+        # enforce (not just document) the count invariant: these inherited
+        # mutators would silently desynchronize uid_counts and break
+        # invalidate_overlap's O(1) early-out — a coherence bug with no
+        # error at the mutation site
+        raise NotImplementedError(
+            "_UidKeyedDict: use item assignment / del / pop only")
+
+    clear = update = setdefault = popitem = _unsupported
 
 
 class TileCache:
@@ -420,6 +434,16 @@ class TileCache:
                                       e.offset, e.nbytes)
                         self._drop_locked(k, e)
                         METRICS.add("cache.drop_poisoned")
+                    elif e.stale:
+                        # a direct write overlapped this tile mid-pin:
+                        # a dirty result still writes back (same racing
+                        # order as eviction would have had), but the
+                        # buffer must not be served to later kernels
+                        if e.dirty:
+                            self._evict_locked(k)
+                        else:
+                            self._drop_locked(k, e)
+                        METRICS.add("cache.invalidate_deferred")
                     elif self.single_use_discard and not e.dirty:
                         self._drop_locked(k, e)
                     else:
@@ -514,6 +538,14 @@ class TileCache:
                     # poisoned/errored entries drop so a retry re-fetches;
                     # an aborted stream's still-in-flight read is orphaned
                     self._drop_locked(key, e)
+                elif e.stale:
+                    # direct write overlapped this tile mid-pin: dirty
+                    # results still write back, but never serve the buffer
+                    if e.dirty:
+                        self._evict_locked(key)
+                    else:
+                        self._drop_locked(key, e)
+                    METRICS.add("cache.invalidate_deferred")
                 else:
                     self._zero_ref[key] = None
                     self._zero_ref.move_to_end(key)
@@ -606,6 +638,12 @@ class TileCache:
                 if ehi <= lo or elo >= hi:
                     continue
                 if e.refs > 0:
+                    # mark stale so release() drops it at zero refs: the
+                    # incoherence must not outlive the documented
+                    # dual-access race window (serving THIS pin the old
+                    # bytes is the race; serving every later kernel the
+                    # old bytes would be a permanent coherence hole)
+                    e.stale = True
                     LOG.warning(
                         "direct write overlaps a pinned cache tile "
                         "(store %d, [%d, %d)) — racing an active kernel",

@@ -242,7 +242,8 @@ def map_array(path: str, shape, dtype=np.float32, order: str = "R",
         if eff_ld < width:
             raise ValueError(f"ld {eff_ld} smaller than the storage line "
                              f"width {width}")
-        nbytes = offset + ((lines - 1) * eff_ld + width) * it
+        nbytes = offset + (((lines - 1) * eff_ld + width) * it
+                           if lines > 0 else 0)
     else:
         nbytes = offset + int(np.prod(shape)) * it
     store = ctx.open_store(path, create=create,

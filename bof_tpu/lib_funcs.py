@@ -139,6 +139,14 @@ def flash_truncate(arr: FlashArray, n_elems: int) -> FlashArray:
     """Shrink a 1-D array (reference: flash_truncate, lib_funcs.h:89-99)."""
     if len(arr.shape) != 1 or n_elems > arr.shape[0]:
         raise ValueError("can only truncate 1-D arrays downward")
-    arr.store.truncate(arr.offset + n_elems * arr.itemsize)
+    # coherence: cached tiles of the removed range must not survive the
+    # truncate — a later write can re-extend the file with new bytes and
+    # a retained entry would serve the deleted pre-truncate contents
+    cut = arr.offset + n_elems * arr.itemsize
+    span = (arr.shape[0] - n_elems) * arr.itemsize
+    if span > 0:
+        from .io.stride import StrideInfo
+        arr._invalidate(cut, StrideInfo.contiguous(span))
+    arr.store.truncate(cut)
     return FlashArray(arr.store, (n_elems,), arr.dtype, arr.order,
                       arr.offset, ctx=arr.ctx)

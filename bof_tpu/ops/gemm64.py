@@ -462,15 +462,19 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                     # materializing the fp64 scale product can overflow
                     # (e.g. 2^601 * 2^601) and then NaN-poison truncated
                     # zeros via inf*0, while ldexp is exact and saturates
-                    # per element only when the true value overflows
-                    if not c_nm:
-                        out = alpha * np.ldexp(
-                            cj[:bi, :bj],
-                            em_blk[:, None] + en_blk[None, :])
-                    else:
-                        out = alpha * np.ldexp(
-                            cj[:bj, :bi],
-                            en_blk[:, None] + em_blk[None, :])
+                    # per element only when the true value overflows —
+                    # an intended outcome, so the overflow warning is
+                    # suppressed (np.seterr(over='raise') users would
+                    # otherwise get a spurious FloatingPointError)
+                    with np.errstate(over="ignore"):
+                        if not c_nm:
+                            out = alpha * np.ldexp(
+                                cj[:bi, :bj],
+                                em_blk[:, None] + en_blk[None, :])
+                        else:
+                            out = alpha * np.ldexp(
+                                cj[:bj, :bi],
+                                en_blk[:, None] + em_blk[None, :])
                     if beta != 0.0:
                         old = c.read_block_storage(i * sb, bi, j * sb, bj)
                         # tile-major C reads back the full padded tile

@@ -193,3 +193,98 @@ def test_uid_counts_stay_in_sync():
     assert 2 not in d.uid_counts
     del d[(1, 8, "b")]
     assert d.uid_counts == {} and d == {}
+
+
+def test_stale_pinned_tile_drops_at_unpin(ctx, tmp_path, rng):
+    """A direct write overlapping a PINNED tile cannot drop it (the pin
+    holder owns the buffer — dual-access race window), but the staleness
+    must not outlive the pin: once refs hit zero the entry drops and the
+    next pin re-fetches fresh bytes.  Exercises the native bof_cache
+    stale flag (file-backed store on the native backend)."""
+    data = rng.standard_normal(4096).astype(np.float32)
+    A = map_array(str(tmp_path / "s.bin"), (4096,), np.float32,
+                  create=True, ctx=ctx)
+    A.write_all(data)
+    cache = ctx.pin_cache()
+    off, sinfo = A.block_access(0, 4096)
+    pin = cache.pin_read(A.store, off, sinfo)
+    cache.wait_ready(pin)
+    old = cache.buf(pin).view(np.float32)[:4096].copy()
+    np.testing.assert_array_equal(old, data)
+    # direct write while pinned: entry survives for the pin holder
+    data2 = rng.standard_normal(4096).astype(np.float32)
+    A.write_all(data2)
+    cache.unpin(pin)           # staleness must die with the pin
+    pin2 = cache.pin_read(A.store, off, sinfo)
+    cache.wait_ready(pin2)
+    got = cache.buf(pin2).view(np.float32)[:4096].copy()
+    cache.unpin(pin2)
+    np.testing.assert_array_equal(got, data2)
+
+
+def test_stale_pinned_tile_drops_at_unpin_python(pyctx, tmp_path, rng):
+    """Same contract on the Python TileCache (python io backend)."""
+    data = rng.standard_normal(2048).astype(np.float32)
+    A = map_array(str(tmp_path / "sp.bin"), (2048,), np.float32,
+                  create=True, ctx=pyctx)
+    A.write_all(data)
+    cache = pyctx.pin_cache()
+    off, sinfo = A.block_access(0, 2048)
+    pin = cache.pin_read(A.store, off, sinfo)
+    cache.wait_ready(pin)
+    data2 = rng.standard_normal(2048).astype(np.float32)
+    A.write_all(data2)
+    cache.unpin(pin)
+    pin2 = cache.pin_read(A.store, off, sinfo)
+    cache.wait_ready(pin2)
+    got = cache.buf(pin2).view(np.float32)[:2048].copy()
+    cache.unpin(pin2)
+    np.testing.assert_array_equal(got, data2)
+
+
+def test_flash_truncate_invalidates_cut_range(ctx, tmp_path, rng):
+    """flash_truncate removes bytes; cached tiles of the cut range must
+    not survive — a later re-extension writes new bytes there and a
+    retained entry would serve the deleted contents."""
+    from bof_tpu import flash_truncate
+    data = (np.arange(4096) + 1).astype(np.float32)
+    A = map_array(str(tmp_path / "t.bin"), (4096,), np.float32,
+                  create=True, ctx=ctx)
+    A.write_all(data)
+    cache = ctx.pin_cache()
+    off, sinfo = A.block_access(2048, 2048)   # cache the tail
+    pin = cache.pin_read(A.store, off, sinfo)
+    cache.wait_ready(pin)
+    cache.unpin(pin)
+    T = flash_truncate(A, 2048)
+    assert T.shape == (2048,)
+    # re-extend with different bytes through the RAW store (bypasses the
+    # FlashArray write-path invalidation hook — only flash_truncate's own
+    # invalidation protects this read)
+    new_tail = np.zeros(2048, np.float32)
+    A.store.truncate(4096 * 4)
+    A.store.write(2048 * 4, StrideInfo.contiguous(2048 * 4),
+                  new_tail.view(np.uint8)).wait()
+    A.store.flush()
+    pin2 = cache.pin_read(A.store, off, sinfo)
+    cache.wait_ready(pin2)
+    got = cache.buf(pin2).view(np.float32)[:2048].copy()
+    cache.unpin(pin2)
+    np.testing.assert_array_equal(got, new_tail)
+
+
+def test_uid_keyed_dict_rejects_count_blind_mutators():
+    from bof_tpu.core.cache import _UidKeyedDict
+    d = _UidKeyedDict()
+    d[(1, 0, "a")] = "x"
+    for call in (d.clear, lambda: d.update({(2, 0, "b"): "y"}),
+                 lambda: d.setdefault((3, 0, "c"), "z"), d.popitem):
+        with pytest.raises(NotImplementedError):
+            call()
+    assert d.uid_counts == {1: 1}
+
+
+def test_map_array_zero_line_shape(ctx, tmp_path):
+    A = map_array(str(tmp_path / "z.bin"), (0, 64), np.float32, "R",
+                  create=True, ctx=ctx, ld=128)
+    assert A.shape == (0, 64)
