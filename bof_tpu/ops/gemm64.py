@@ -231,22 +231,22 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
 
     `mesh` shards every slice stack and int32 plane over the device mesh
     (gemm_sharded routes float64 here on fp64-less backends): the MXU
-    products run SPMD with exact int32 psum_scatters over ICI.  Single
-    process only — the host fp64 fold needs every plane shard
-    addressable."""
+    products run SPMD with exact int32 psum_scatters over ICI.  Under
+    `jax.process_count() > 1` each process folds only the int32 plane
+    shards its devices own and writes back only those regions of C (the
+    union over processes covers each tile exactly once, mirroring
+    parallel/mesh._writeback_shards); operand reads stay full-tile per
+    process (host bytes from the shared filesystem, no device cost)."""
     from ..io.store import store_uid
     from .gemm import HbmCache, _op_block_reader
 
     ctx = ctx or c.ctx or get_context()
     cfg = ctx.config
     sb = blk or cfg.gemm_blk_size
+    multihost = False
     if mesh is not None:
         import jax
-        if jax.process_count() > 1:
-            raise ValueError(
-                "gemm64 over a mesh is single-process only (the fp64 "
-                "fold reads every int32 plane shard); multi-host fp64 "
-                "needs fp64_device='native' on an x64 backend")
+        multihost = jax.process_count() > 1
         px, py = mesh.devices.shape
         lcm = int(np.lcm(px, py))
         sb = max(lcm, (sb // lcm) * lcm)
@@ -259,6 +259,11 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
 
     from ..core.tiled_array import check_tile_blk
     check_tile_blk((("a", a), ("b", b), ("c", c)), sb)
+    if multihost and getattr(c, "tile", None) is not None:
+        raise ValueError(
+            "gemm64: tile-major C is single-process only under a mesh "
+            "(per-shard region write-back needs flat storage; repack C "
+            "or use a flat map_array output)")
 
     m, n = c.shape
     k = a.shape[0] if ta else a.shape[1]
@@ -354,11 +359,32 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
         METRICS.add("gemm64.h2d_bytes", pad.nbytes)
         return hbm.put(key, d, pad.nbytes)
 
+    # under multihost each process can only materialize its ADDRESSABLE
+    # plane shards; it folds them at their (storage-major) coordinates and
+    # later writes back exactly those regions of C.  The regions are a
+    # property of the static sharding — recorded once on first flush.
+    owned_regions: list = []
+
     def flush(S, c_acc):
-        planes = dev.from_device(S)  # (s, sb, sb) int32, exact
-        METRICS.add("gemm64.d2h_bytes", planes.nbytes)
-        for p in range(planes.shape[0]):
-            c_acc += w[p] * planes[p]  # int32 * f64 scalar: exact products
+        if not multihost:
+            planes = dev.from_device(S)  # (s, sb, sb) int32, exact
+            METRICS.add("gemm64.d2h_bytes", planes.nbytes)
+            for p in range(planes.shape[0]):
+                c_acc += w[p] * planes[p]  # int32 * f64: exact products
+            return c_acc
+        record = not owned_regions
+        for shard in S.addressable_shards:
+            _, xs, ys = shard.index
+            planes = np.asarray(shard.data)  # (s, lx, ly) int32
+            METRICS.add("gemm64.d2h_bytes", planes.nbytes)
+            x0, y0 = xs.start or 0, ys.start or 0
+            block = c_acc[x0:x0 + planes.shape[1],
+                          y0:y0 + planes.shape[2]]
+            for p in range(planes.shape[0]):
+                block += w[p] * planes[p]
+            if record:
+                owned_regions.append(((x0, x0 + planes.shape[1]),
+                                      (y0, y0 + planes.shape[2])))
         return c_acc
 
     import queue
@@ -481,6 +507,26 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
                         out = out + beta * (
                             old[:out.shape[0], :out.shape[1]]
                             .astype(np.float64))
+                    if multihost:
+                        # persist only this process's owned storage-major
+                        # regions (the union over processes covers the
+                        # tile exactly once — mesh._writeback_shards)
+                        for (x0, x1), (y0, y1) in owned_regions:
+                            x1c = min(x1, out.shape[0])
+                            y1c = min(y1, out.shape[1])
+                            if x0 >= x1c or y0 >= y1c:
+                                continue
+                            data = np.ascontiguousarray(
+                                out[x0:x1c, y0:y1c])
+                            if not c_nm:  # storage rows = logical rows
+                                tickets.push(c.write_block_storage_async(
+                                    i * sb + x0, j * sb + y0,
+                                    x1c - x0, y1c - y0, data))
+                            else:  # storage rows = logical cols
+                                tickets.push(c.write_block_storage_async(
+                                    i * sb + y0, j * sb + x0,
+                                    y1c - y0, x1c - x0, data))
+                        continue
                     if c_tiled:  # tile-major C stores the full padded tile
                         full = np.zeros((sb, sb), np.float64)
                         full[:out.shape[0], :out.shape[1]] = out

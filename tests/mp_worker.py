@@ -86,6 +86,22 @@ def main() -> int:
     print(f"[p{pid}] kmeans dp done (inertia {inertia:.3f})", flush=True)
     multihost_utils.sync_global_devices("kmeans done")
 
+    # ---- sliced fp64 gemm: per-process plane-shard folds + region
+    # write-back (ops/gemm64.py multihost path; device sees int8/int32
+    # only, so no x64 mode is needed in the workers) ----
+    from bof_tpu.ops.gemm64 import gemm64
+    dm, dk, dn = 35, 33, 40  # ragged vs the lcm-rounded blk
+    A6 = bt.map_array(os.path.join(workdir, "A64.bin"), (dm, dk),
+                      np.float64, "R", ctx=ctx)
+    B6 = bt.map_array(os.path.join(workdir, "B64.bin"), (dk, dn),
+                      np.float64, "R", ctx=ctx)
+    C6 = bt.map_array(os.path.join(workdir, "C64_mp.bin"), (dm, dn),
+                      np.float64, "R", ctx=ctx)
+    gemm64(A6, B6, C6, blk=16, ctx=ctx, mesh=mesh)
+    C6.store.flush()
+    print(f"[p{pid}] gemm64 multihost done", flush=True)
+    multihost_utils.sync_global_devices("gemm64 done")
+
     ctx.destroy()
     print(f"[p{pid}] MP_OK", flush=True)
     return 0

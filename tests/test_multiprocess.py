@@ -79,6 +79,18 @@ def test_two_process_data_plane(ctx, rng, tmp_path):
                            "R", create=True, ctx=ctx)
         arr.write_all(np.zeros((sm, sn), np.float32))
 
+    dm, dk, dn = 35, 33, 40
+    a64 = rng.standard_normal((dm, dk)) * 10.0 ** rng.uniform(
+        -12, 12, (dm, 1))
+    b64 = rng.standard_normal((dk, dn))
+    for name, data, shape in (("A64.bin", a64, (dm, dk)),
+                              ("B64.bin", b64, (dk, dn)),
+                              ("C64_mp.bin", None, (dm, dn))):
+        arr = bt.map_array(os.path.join(workdir, name), shape, np.float64,
+                           "R", create=True, ctx=ctx)
+        arr.write_all(data if data is not None
+                      else np.zeros(shape, np.float64))
+
     kn, kd, kk = 165, 8, 4
     kp_np = rng.standard_normal((kn, kd)).astype(np.float32)
     KP = bt.map_array(os.path.join(workdir, "KP.bin"), (kn, kd),
@@ -164,3 +176,14 @@ def test_two_process_data_plane(ctx, rng, tmp_path):
     np.testing.assert_array_equal(got_l, want_l)
     kc_mp = np.load(os.path.join(workdir, "KC_mp.npy"))
     np.testing.assert_allclose(kc_mp, kc_sp, rtol=1e-5, atol=1e-5)
+
+    # sliced fp64 gemm: each process folded only its plane shards and
+    # wrote only those regions — the union must reproduce the fp64
+    # product to the slicing-model tolerance (exact int32 collectives,
+    # so the 2-process Gloo run loses nothing vs single-process)
+    got_64 = np.fromfile(os.path.join(workdir, "C64_mp.bin"),
+                         np.float64).reshape(dm, dn)
+    want_64 = a64 @ b64
+    scl = np.abs(a64).max(1)[:, None] * np.abs(b64).max(0)[None, :]
+    err = np.abs(got_64 - want_64) / np.maximum(scl * dk, 1e-300)
+    assert err.max() < 1e-12, err.max()
