@@ -95,8 +95,8 @@ def _apply_ata_one_pass(a: CsrFlashMatrix, v_np: np.ndarray,
 
 
 def _one_pass_stream(a: CsrFlashMatrix, v_np: np.ndarray, ctx, put_v,
-                     fwd_product, t_product, min_rows: int = 8
-                     ) -> np.ndarray:
+                     fwd_product, t_product, min_rows: int = 8,
+                     fold_u=None, finalize=None) -> np.ndarray:
     """Shared skeleton of the one-pass device operator (impl-dispatch and
     mesh-sharded variants): stream nnz-budgeted row blocks, count-sorted
     ELL banding on BOTH axes (documents and word frequencies are each
@@ -107,7 +107,12 @@ def _one_pass_stream(a: CsrFlashMatrix, v_np: np.ndarray, ctx, put_v,
     exactly once.  Variants differ only in how arrays reach the device
     and what executes one ELL gather product:
     `fwd_product(v_dev, ja, va)` -> the W panel the transposed half
-    consumes; `t_product(w, ja, va)` -> one U partial."""
+    consumes; `t_product(w, ja, va)` -> one U partial; `fold_u(u_part,
+    cols_sel, U)` -> accumulate one partial into the host U (default:
+    materialize the whole partial — multihost variants fold only their
+    addressable shards); `finalize(U)` -> the returned operator value
+    (default: U itself — multihost variants sum the per-process
+    partials)."""
     import scipy.sparse as sps
 
     from ..sparse import spmm_device as sdev
@@ -156,9 +161,12 @@ def _one_pass_stream(a: CsrFlashMatrix, v_np: np.ndarray, ctx, put_v,
                     cols_sel, min_rows=min_rows, idx_dtype=t_idt,
                     counts=ccounts)
                 u_part = t_product(w, cja, cva)
-                U[cols_sel] += np.asarray(u_part)[:len(cols_sel)]
+                if fold_u is not None:
+                    fold_u(u_part, cols_sel, U)
+                else:
+                    U[cols_sel] += np.asarray(u_part)[:len(cols_sel)]
     METRICS.add("eig.op_applies")
-    return U
+    return U if finalize is None else finalize(U)
 
 
 def _apply_ata_one_pass_device(a: CsrFlashMatrix, v_np: np.ndarray,
@@ -204,9 +212,10 @@ def _apply_ata_one_pass_sharded(a: CsrFlashMatrix, v_np: np.ndarray,
     over ICI; the transposed half row-shards A's columns against the
     replicated W.  A's bytes still cross the disk exactly once, the fp64
     U accumulator stays on the host, and count-sorted ELL banding applies
-    on both (power-law) axes.  Single-process meshes only: the host
-    accumulate needs every U shard addressable — multi-host eigensolving
-    uses the two-csrmm composition (one_pass=False).
+    on both (power-law) axes.  Multi-host: each process folds only the
+    U-partial rows its devices own; one fp64 all-gather+sum at the end
+    reconstructs U (each row of every partial is computed by exactly one
+    device, so the sum never double-counts).
     Reference semantics: csrmm 'T' dispatch (csrmm.cpp:364-420) fused
     with the 'N' product per block, distributed."""
     import jax
@@ -215,10 +224,7 @@ def _apply_ata_one_pass_sharded(a: CsrFlashMatrix, v_np: np.ndarray,
     from ..parallel.csrmm_sp import sharded_spmm_step
     from ..parallel.mesh import device_put_sharded
 
-    if jax.process_count() > 1:
-        raise ValueError("sharded one_pass needs every device addressable "
-                         "(single process); use one_pass=False on "
-                         "multi-host meshes")
+    multihost = jax.process_count() > 1
     from ..ops.device import dtype_native_on_device
     if not dtype_native_on_device(a.vals.dtype):
         # device-only path: fp64 values would silently narrow on upload
@@ -241,10 +247,31 @@ def _apply_ata_one_pass_sharded(a: CsrFlashMatrix, v_np: np.ndarray,
         return step(w_rep, device_put_sharded(ja, sh_rows),
                     device_put_sharded(va, sh_rows))
 
+    fold_u = finalize = None
+    if multihost:
+        def fold_u(u_part, cols_sel, U):
+            # fold only the rows this process's devices own (the partial
+            # is row-sharded; unaddressable shards live on other hosts)
+            nsel = len(cols_sel)
+            for shard in u_part.addressable_shards:
+                r0 = shard.index[0].start or 0
+                r1c = min(shard.index[0].stop or nsel, nsel)
+                if r0 >= r1c:
+                    continue
+                U[cols_sel[r0:r1c]] += np.asarray(
+                    shard.data)[:r1c - r0].astype(np.float64)
+
+        def finalize(U):
+            # disjoint per-device contributions: summing the per-process
+            # partials reconstructs U exactly once per contribution
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(U)).sum(axis=0)
+
     return _one_pass_stream(
         a, v_np, ctx, put_v=lambda v: device_put_sharded(v, sh_rep),
         fwd_product=fwd_product, t_product=t_product,
-        min_rows=max(8, n_dev))
+        min_rows=max(8, n_dev), fold_u=fold_u, finalize=finalize)
 
 
 def block_power_svd(a: CsrFlashMatrix, n_vals: int, n_iters: int = 12,
@@ -366,15 +393,8 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     at = W = None
     if one_pass and mesh is not None:
         # explicit opt-in: one streaming pass over A with both ELL halves
-        # row-sharded over the mesh.  Single process only (the host U
-        # accumulate needs every shard addressable) — validate at the API
-        # boundary instead of failing from inside the first operator
-        # application deep in the restart loop
-        import jax as _jax
-        if _jax.process_count() > 1:
-            raise ValueError("sharded one_pass needs every device "
-                             "addressable (single process); use "
-                             "one_pass=False on multi-host meshes")
+        # row-sharded over the mesh (multi-host folds per-process shards
+        # and all-gathers the fp64 U at the end)
 
         def apply_op(v_np: np.ndarray) -> np.ndarray:
             return _apply_ata_one_pass_sharded(a, v_np, mesh, ctx)

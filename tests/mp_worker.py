@@ -102,6 +102,17 @@ def main() -> int:
     print(f"[p{pid}] gemm64 multihost done", flush=True)
     multihost_utils.sync_global_devices("gemm64 done")
 
+    # ---- sharded one-pass AtA operator: per-process U-shard folds +
+    # final fp64 all-gather sum (apps/eigensolver.py multihost path) ----
+    from bof_tpu.apps.eigensolver import _apply_ata_one_pass_sharded
+    rng_op = np.random.default_rng(17)
+    v_op = rng_op.standard_normal((sk, 5)).astype(np.float32)
+    u_op = _apply_ata_one_pass_sharded(As, v_op, mesh, ctx)
+    if pid == 0:  # finalize() all-gathers: every process holds full U
+        np.save(os.path.join(workdir, "U_mp.npy"), u_op)
+    print(f"[p{pid}] one-pass AtA multihost done", flush=True)
+    multihost_utils.sync_global_devices("one-pass done")
+
     ctx.destroy()
     print(f"[p{pid}] MP_OK", flush=True)
     return 0

@@ -350,20 +350,35 @@ def test_block_lanczos_svd_sharded_one_pass(ctx, rng):
     np.testing.assert_allclose(sigma, want, rtol=1e-3)
 
 
-def test_sharded_one_pass_multihost_raises_at_entry(ctx, rng, monkeypatch):
-    """one_pass=True + mesh= under a multi-host runtime must fail at the
-    block_lanczos_svd API boundary (the host U accumulate needs every
-    shard addressable), not from inside the first operator application."""
+def test_sharded_one_pass_multihost_fold_hooks(ctx, rng, monkeypatch):
+    """one_pass=True + mesh= under a multi-host runtime folds only the
+    addressable U-partial shards and all-gather-sums the fp64 partials
+    (real 2-process coverage: tests/test_multiprocess.py).  Here the
+    single-process mesh is forced down the multihost code path — every
+    shard is addressable and process_allgather degrades to identity, so
+    the result must match the single-process answer exactly."""
     import jax
 
-    from bof_tpu.apps import block_lanczos_svd
+    from bof_tpu.apps.eigensolver import _apply_ata_one_pass_sharded
     from bof_tpu.parallel.mesh import make_mesh
     a_sp = sps.random(60, 40, density=0.1, format="csr", dtype=np.float32,
                       random_state=np.random.RandomState(11))
     A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx)
+    v = rng.standard_normal((40, 3)).astype(np.float32)
+    mesh = make_mesh()
+    want = _apply_ata_one_pass_sharded(A, v, mesh, ctx)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(ValueError, match="addressable"):
-        block_lanczos_svd(A, 4, one_pass=True, mesh=make_mesh(), ctx=ctx)
+    # process_allgather needs a real multi-process runtime; stub it to
+    # the single-process identity (the REAL 2-process finalize runs in
+    # tests/test_multiprocess.py) so this test covers the fold_u path
+    from jax.experimental import multihost_utils
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda x: np.asarray(x)[None])
+    got = _apply_ata_one_pass_sharded(A, v, mesh, ctx)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        got, a_sp.T.astype(np.float64) @ (a_sp.astype(np.float64) @ v),
+        rtol=2e-4, atol=1e-4)
 
 
 def test_one_pass_fp64_routes_to_exact_host(ctx, rng):

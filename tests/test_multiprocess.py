@@ -187,3 +187,11 @@ def test_two_process_data_plane(ctx, rng, tmp_path):
     scl = np.abs(a64).max(1)[:, None] * np.abs(b64).max(0)[None, :]
     err = np.abs(got_64 - want_64) / np.maximum(scl * dk, 1e-300)
     assert err.max() < 1e-12, err.max()
+
+    # one-pass AtA: per-process row folds + fp64 all-gather sum must
+    # match the scipy golden (fp32 ELL products bound the tolerance)
+    u_mp = np.load(os.path.join(workdir, "U_mp.npy"))
+    v_op = np.random.default_rng(17).standard_normal((sk, 5)) \
+        .astype(np.float32)
+    want_u = a_sp.T.astype(np.float64) @ (a_sp.astype(np.float64) @ v_op)
+    np.testing.assert_allclose(u_mp, want_u, rtol=2e-4, atol=1e-4)
