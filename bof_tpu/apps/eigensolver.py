@@ -389,7 +389,10 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
     timer = Timer()
 
     if one_pass is None:
-        one_pass = mesh is None
+        # multi-host default: the one-pass operator (fully supported);
+        # the two-csrmm composition needs shared scratch it cannot assume
+        import jax as _jx
+        one_pass = mesh is None or _jx.process_count() > 1
     at = W = None
     if one_pass and mesh is not None:
         # explicit opt-in: one streaming pass over A with both ELL halves
@@ -407,6 +410,14 @@ def block_lanczos_svd(a: CsrFlashMatrix, n_vals: int,
         W = flash_empty((m, b), np.float32, ctx=ctx)
 
         if mesh is not None:
+            import jax as _jax
+            if _jax.process_count() > 1:
+                raise ValueError(
+                    "one_pass=False over a multi-host mesh: the W/U "
+                    "scratch panels live in per-process scratch dirs, so "
+                    "each process would see only its own csrmm_sharded "
+                    "shard writes; use one_pass=True (multi-host "
+                    "supported) or a single process")
             from ..parallel import csrmm_sharded
 
             def _spmm(mat, x, out):

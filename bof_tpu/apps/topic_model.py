@@ -65,6 +65,14 @@ def topic_model_with_basis(a: CsrFlashMatrix, basis: np.ndarray,
     docs, vocab = a.shape
     proj_dim = basis.shape[1]
     timer = Timer()
+    if mesh is not None:
+        import jax as _jx
+        if _jx.process_count() > 1:
+            raise ValueError(
+                "topic_model over a multi-host mesh: the projection/label "
+                "scratch panels live in per-process scratch dirs (each "
+                "process would see only its own shard writes); run with a "
+                "single process or per-process document slices")
 
     R = mem_array((vocab, proj_dim), np.float32, data=basis, ctx=ctx)
     P = flash_empty((docs, proj_dim), np.float32, ctx=ctx)

@@ -255,6 +255,15 @@ def xml_rank(a: CsrFlashMatrix, w: FlashArray, k: int,
     cfg = ctx.config
     docs, vocab = a.shape
     n_labels, w_vocab = _label_axis(w)
+    if mesh is not None:
+        import jax as _jx
+        if _jx.process_count() > 1:
+            raise ValueError(
+                "xml_rank over a multi-host mesh: the score scratch and "
+                "top-k merge are per-process; inference is embarrassingly "
+                "parallel over docs — give each process its own doc-row "
+                "slice of A and run xml_rank without a mesh (or with its "
+                "process-local devices)")
     if w_vocab != vocab:
         raise ValueError(f"W vocab {w_vocab} != A vocab {vocab}")
     if not 1 <= k <= n_labels:
