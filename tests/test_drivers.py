@@ -135,6 +135,17 @@ def test_gemm_run_harness(scratch):
     assert "ALL PASS" in r.stdout
 
 
+def test_gemm_run_harness_fp64_ld(scratch):
+    """All 8 configs through the sliced fp64 path with ld-padded operand
+    files — near machine-eps (the harness analog of the reference's
+    gemm_run.sh, extended to FP_DOUBLE_PRECISION + lda)."""
+    r = run_driver("gemm_run", "--m", 48, "--n", 40, "--k", 56,
+                   "--blk", 16, "--dtype", "float64",
+                   "--fp64-device", "sliced", "--ld-pad", 5,
+                   "--scratch", scratch)
+    assert "ALL PASS" in r.stdout
+
+
 def test_eigensolver_driver(tmp_path, scratch):
     m, k = 150, 90
     prefix = str(tmp_path / "E")
