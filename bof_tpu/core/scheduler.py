@@ -29,24 +29,35 @@ from .task import Task, TaskStatus
 
 
 class CompletionRecord:
-    """Growable record of completed task ids (reference: scheduler.h:20-68
-    uses a bitmap; a set with a lock serves the same queries)."""
+    """Growable bitmap of completed task ids (reference: scheduler.h:20-68
+    — the same structure; a Python set would cost ~100 B per task ever
+    completed, real memory in a long-lived process streaming millions of
+    block tasks, vs 1 bit here)."""
 
     def __init__(self):
-        self._done: set[int] = set()
+        self._bits = bytearray(1024)
         self._lock = threading.Lock()
 
     def mark(self, task_id: int):
         with self._lock:
-            self._done.add(task_id)
+            byte = task_id >> 3
+            if byte >= len(self._bits):
+                self._bits.extend(
+                    bytes(max(byte + 1 - len(self._bits), len(self._bits))))
+            self._bits[byte] |= 1 << (task_id & 7)
+
+    def _is_complete_locked(self, task_id: int) -> bool:
+        byte = task_id >> 3
+        return (byte < len(self._bits)
+                and bool(self._bits[byte] & (1 << (task_id & 7))))
 
     def is_complete(self, task_id: int) -> bool:
         with self._lock:
-            return task_id in self._done
+            return self._is_complete_locked(task_id)
 
     def all_complete(self, ids: Iterable[int]) -> bool:
         with self._lock:
-            return all(i in self._done for i in ids)
+            return all(self._is_complete_locked(i) for i in ids)
 
 
 class SchedulerOptions:

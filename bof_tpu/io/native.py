@@ -355,6 +355,13 @@ class NativeFileStore(BaseStore):
                 raise IOError(f"store is closed: {self.path}")
             return self._lib.bof_file_size(self._fd)
 
+    def file_identity(self):
+        with self._fd_lock:
+            if self._fd is None:
+                return None
+            st = os.fstat(self._fd)
+            return (st.st_dev, st.st_ino)
+
     def truncate(self, nbytes: int):
         with self._fd_lock:
             if self._fd is None:

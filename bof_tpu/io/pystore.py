@@ -133,6 +133,13 @@ class PyFileStore(BaseStore):
     def size(self) -> int:
         return os.fstat(self._fd).st_size
 
+    def file_identity(self):
+        with self._fd_lock:
+            if self._fd is None:
+                return None
+            st = os.fstat(self._fd)
+            return (st.st_dev, st.st_ino)
+
     def truncate(self, nbytes: int):
         os.ftruncate(self._fd, nbytes)
 

@@ -27,6 +27,18 @@ _store_uid_counter = itertools.count(1)
 _store_uid_lock = threading.Lock()
 
 
+def same_backing(a, b) -> bool:
+    """True when two stores certainly share backing bytes: the same store
+    object, or file stores over the same inode (two `open_store` calls on
+    one path create distinct stores with distinct uids, so uid equality
+    alone cannot catch an aliased src/dst — the sort/map overlap guards
+    need inode-level identity)."""
+    if a is b or store_uid(a) == store_uid(b):
+        return True
+    ida = a.file_identity()
+    return ida is not None and ida == b.file_identity()
+
+
 def store_uid(store) -> int:
     u = getattr(store, "uid", None)
     if u is None:
@@ -96,6 +108,12 @@ class BaseStore:
 
     def close(self):
         pass
+
+    def file_identity(self):
+        """(st_dev, st_ino) for file-backed stores, None otherwise — the
+        aliasing identity used by `same_backing` (fd numbers and uids
+        both fail to identify one file opened twice)."""
+        return None
 
     # -- sync conveniences (reference: read_sync/write_sync lib_funcs.h:63-72)
     def read_sync(self, offset: int, sinfo: StrideInfo) -> np.ndarray:

@@ -40,11 +40,29 @@ def bof_map(src: FlashArray, dst: FlashArray, fn: Callable,
     ctx = ctx or src.ctx or get_context()
     if src.shape != dst.shape or len(src.shape) != 1:
         raise ValueError("map needs equal-shape 1-D arrays")
+    from ..io.store import same_backing, store_uid
+    if (same_backing(src.store, dst.store)
+            and src.offset < dst.offset + dst.nbytes
+            and dst.offset < src.offset + src.nbytes
+            and not (store_uid(src.store) == store_uid(dst.store)
+                     and src.offset == dst.offset
+                     and src.itemsize == dst.itemsize)):
+        # partially-overlapping src/dst would corrupt: block i's write can
+        # cover block i+1's source bytes.  Exact in-place through the SAME
+        # store is safe (read+write share one cache key/buffer per block);
+        # through two stores on one inode it is not (two incoherent cache
+        # entries), so that is rejected too (same guard family as
+        # bof_sort)
+        raise ValueError("map src/dst may alias only exactly in place "
+                         "through the same store object; partially "
+                         "overlapping ranges (or one file opened twice) "
+                         "are rejected")
     n = src.shape[0]
     blk = blk_elems or ctx.config.map_blk_elems
     from .device import dtype_native_on_device
-    if dtype_native_on_device(src.dtype) and dtype_native_on_device(
-            dst.dtype):
+    device_path = (dtype_native_on_device(src.dtype)
+                   and dtype_native_on_device(dst.dtype))
+    if device_path:
         jfn = _jit_elementwise(fn)
     else:
         # 64-bit blocks the device would silently narrow (x64 off / TPU
@@ -69,9 +87,21 @@ def bof_map(src: FlashArray, dst: FlashArray, fn: Callable,
         soff, ssin = src.block_access(b0, bn)
         doff, dsin = dst.block_access(b0, bn)
 
-        def run(task, soff=soff, ssin=ssin, doff=doff, dsin=dsin):
+        def run(task, bn=bn, soff=soff, ssin=ssin, doff=doff, dsin=dsin):
             x = task.buf(src.store, soff, ssin, src.dtype)
-            out = np.asarray(jfn(x))
+            if device_path and bn < blk:
+                # bucket the tail to the full block shape: each distinct
+                # device shape is a fresh ~30s remote compile (CLAUDE.md)
+                xp = np.zeros(blk, src.dtype)
+                xp[:bn] = x
+                out = np.asarray(jfn(xp))[:bn]
+            else:
+                out = np.asarray(jfn(x))
+            if out.dtype != dst.dtype:
+                raise ValueError(
+                    f"map fn returned {out.dtype} for a {dst.dtype} "
+                    "destination; cast inside fn (silent buffer-assignment "
+                    "casts hid truncation)")
             task.buf(dst.store, doff, dsin, dst.dtype)[:] = out
         t = FnTask(run)
         t.add_read(src.store, soff, ssin)
@@ -82,8 +112,19 @@ def bof_map(src: FlashArray, dst: FlashArray, fn: Callable,
     sched.flush_cache()
 
 
+def _sum_block(x):
+    """Exact within the accumulator type: integer inputs fold in their
+    own 64-bit family (float64 would round int64 sums past 2^53 — the
+    repo's 64-bit exactness invariant); floats fold in float64."""
+    if x.dtype.kind == "u":
+        return x.sum(dtype=np.uint64)
+    if x.dtype.kind in "ib":
+        return x.sum(dtype=np.int64)
+    return x.sum(dtype=np.float64)
+
+
 _REDUCERS = {
-    "sum": (lambda x: x.sum(dtype=np.float64), lambda a, b: a + b, 0.0),
+    "sum": (_sum_block, lambda a, b: a + b, None),  # typed zero at fold
     "max": (lambda x: x.max(), max, -np.inf),
     "min": (lambda x: x.min(), min, np.inf),
 }
@@ -125,5 +166,8 @@ def bof_reduce(src: FlashArray, op: str = "sum",
     sched.wait_for(tasks)
     acc = init
     for r in results:
-        acc = combine(acc, r)
+        acc = r if acc is None else combine(acc, r)
+    if acc is None:  # empty input with the typed-zero sentinel ('sum')
+        acc = (np.uint64(0) if src.dtype.kind == "u"
+               else np.int64(0) if src.dtype.kind in "ib" else 0.0)
     return acc

@@ -45,8 +45,8 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
     if src.dtype != dst.dtype:
         raise ValueError(f"sort needs matching dtypes: src {src.dtype} "
                          f"!= dst {dst.dtype}")
-    from ..io.store import store_uid
-    if (store_uid(src.store) == store_uid(dst.store)
+    from ..io.store import same_backing
+    if (same_backing(src.store, dst.store)
             and src.offset < dst.offset + dst.nbytes
             and dst.offset < src.offset + src.nbytes):
         # phase 3 reads source fragments while writing the output range:
@@ -91,6 +91,8 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
             # interchangeable: [:m] keeps exactly the finite values plus
             # j NaNs, matching the host np.sort (NaNs last) bit-for-bit.
             return np.array(np.nan, dt_)
+        if dt_ == np.bool_:  # np.iinfo rejects bool
+            return np.array(True, dt_)
         return np.array(np.iinfo(dt_).max, dt_)
 
     def sort_block(x):
@@ -190,6 +192,19 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
               bucket_starts[-1], n)
 
     # ---- phase 3: merge each bucket -------------------------------------
+    # duplicate-heavy data can funnel most elements into one pivot bucket,
+    # whose merge task would then exceed the cache budget and fail deep in
+    # the scheduler; surface the limit up front with a remedy (the
+    # reference's sample sort shares this failure mode, sort.tpp:87-131)
+    max_bucket = int(bucket_sizes.max()) if n_buckets else 0
+    cache_cap = sched.cache.max_size
+    if max_bucket * src.itemsize * 2 > cache_cap:
+        raise ValueError(
+            f"sample sort bucket of {max_bucket} elements needs "
+            f"{max_bucket * src.itemsize * 2} B in-memory (> program "
+            f"budget {cache_cap}); the input is too duplicate-heavy for "
+            "the sampled pivots — raise program_budget or pre-partition "
+            "the input")
     p3 = []
     for kb in range(n_buckets):
         outn = int(bucket_sizes[kb])

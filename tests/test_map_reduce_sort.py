@@ -223,3 +223,101 @@ def test_sort_rejects_overlapping_output(ctx, rng):
     s2.write_all(x)
     bof_sort(s2, d2, blk_elems=64, ctx=ctx)
     np.testing.assert_array_equal(d2.read_all(), np.sort(x))
+
+
+def test_sort_rejects_same_file_opened_twice(ctx, tmp_path, rng):
+    """store_uid differs across two open_store calls on one path, so the
+    overlap guard must use inode identity (same_backing), not uids."""
+    x = rng.standard_normal(256).astype(np.float32)
+    p = str(tmp_path / "alias.bin")
+    src = map_array(p, (256,), np.float32, create=True, ctx=ctx)
+    src.write_all(x)
+    dst = map_array(p, (256,), np.float32, ctx=ctx)  # same file, new store
+    with pytest.raises(ValueError, match="overlap"):
+        bof_sort(src, dst, blk_elems=64, ctx=ctx)
+
+
+def test_map_rejects_partial_overlap_allows_exact_inplace(ctx, rng):
+    from bof_tpu.core.flash_array import FlashArray
+    x = rng.standard_normal(256).astype(np.float32)
+    big = mem_array((512,), np.float32, ctx=ctx)
+    s = FlashArray(big.store, (256,), np.float32, "R", offset=0, ctx=ctx)
+    d_part = FlashArray(big.store, (256,), np.float32, "R", offset=512,
+                        ctx=ctx)  # half-overlapping
+    s.write_all(x)
+    with pytest.raises(ValueError, match="alias|overlap"):
+        bof_map(s, d_part, lambda v: v * 2.0, blk_elems=64, ctx=ctx)
+    # exact in-place through the same store is supported
+    bof_map(s, s, lambda v: v * 2.0, blk_elems=64, ctx=ctx)
+    np.testing.assert_allclose(s.read_all(), x * 2.0, rtol=1e-6)
+
+
+def test_map_tail_block_is_shape_bucketed(ctx, rng):
+    """A non-multiple length must not mint a tail-shaped device compile:
+    the tail pads to the full block shape and slices the result."""
+    n, blk = 300, 128  # tail of 44
+    x = rng.standard_normal(n).astype(np.float32)
+    src = mem_array((n,), np.float32, data=x, ctx=ctx)
+    dst = mem_array((n,), np.float32, ctx=ctx)
+    bof_map(src, dst, lambda v: v + 1.0, blk_elems=blk, ctx=ctx)
+    np.testing.assert_allclose(dst.read_all(), x + 1.0, rtol=1e-6)
+
+
+def test_map_rejects_silent_dtype_cast(ctx, rng):
+    import jax.numpy as jnp
+    x = rng.standard_normal(64).astype(np.float32)
+    src = mem_array((64,), np.float32, data=x, ctx=ctx)
+    dst = mem_array((64,), np.int32, ctx=ctx)
+    with pytest.raises(RuntimeError) as ei:
+        bof_map(src, dst, lambda v: v * 2.0, blk_elems=32, ctx=ctx)
+    assert "returned float32" in str(ei.value.__cause__)
+
+
+def test_reduce_int64_sum_exact_past_2_53(ctx):
+    """Integer sums fold in their own 64-bit family: float64 accumulation
+    would round away the +1s next to 2^62."""
+    vals = np.array([2 ** 62, 1, 1, 1, -(2 ** 62)] + [1] * 11, np.int64)
+    src = mem_array((len(vals),), np.int64, data=vals, ctx=ctx)
+    got = bof_reduce(src, "sum", blk_elems=4, ctx=ctx)
+    assert got == vals.sum()
+    assert np.asarray(got).dtype == np.int64
+    # uint64 stays in uint64
+    uv = np.array([2 ** 63, 1, 2, 3], np.uint64)
+    usrc = mem_array((4,), np.uint64, data=uv, ctx=ctx)
+    ugot = bof_reduce(usrc, "sum", blk_elems=2, ctx=ctx)
+    assert ugot == uv.sum() and np.asarray(ugot).dtype == np.uint64
+
+
+def test_sort_bool_device_path(ctx, rng):
+    """bool + device sort + non-power-of-two block: _pad_fill must not
+    call np.iinfo on bool."""
+    old = ctx.config.sort_compute
+    ctx.config.sort_compute = "device"
+    try:
+        x = (rng.random(300) > 0.5)
+        src = mem_array((300,), np.bool_, data=x, ctx=ctx)
+        dst = mem_array((300,), np.bool_, ctx=ctx)
+        bof_sort(src, dst, blk_elems=100, ctx=ctx)
+        np.testing.assert_array_equal(dst.read_all(), np.sort(x))
+    finally:
+        ctx.config.sort_compute = old
+
+
+def test_sort_duplicate_heavy_raises_clearly(tmp_path, rng):
+    """All-equal keys collapse into one bucket; when that bucket exceeds
+    the program budget the failure must be an up-front ValueError, not a
+    scheduler MemoryError mid-DAG."""
+    from bof_tpu import FlashConfig, FlashContext
+    small = FlashContext(FlashConfig(scratch_dir=str(tmp_path / "s"),
+                                     program_budget=8 << 20,
+                                     n_io_threads=2, n_compute_threads=1))
+    try:
+        n = 2_000_000  # phase-1 blocks (~180 KB) fit the 8 MiB budget,
+        # but the single all-equal bucket (8 MB x2) does not
+        src = mem_array((n,), np.float32,
+                        data=np.full(n, 7.0, np.float32), ctx=small)
+        dst = mem_array((n,), np.float32, ctx=small)
+        with pytest.raises(ValueError, match="duplicate-heavy"):
+            bof_sort(src, dst, blk_elems=1 << 18, ctx=small)
+    finally:
+        small.destroy()

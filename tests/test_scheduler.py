@@ -586,3 +586,19 @@ def test_eviction_write_error_contained_and_reported(ctx, rng):
             small.destroy()
         except IOError:
             pass
+
+
+def test_completion_record_bitmap():
+    """Bitmap semantics across growth boundaries (reference scheduler.h
+    :20-68 structure): ids far apart, re-mark idempotent, unmarked ids
+    within allocated range stay incomplete."""
+    from bof_tpu.core.scheduler import CompletionRecord
+    cr = CompletionRecord()
+    for tid in (0, 7, 8, 8191, 8192, 123_456, 1_000_003):
+        assert not cr.is_complete(tid)
+        cr.mark(tid)
+        cr.mark(tid)
+        assert cr.is_complete(tid)
+    assert not cr.is_complete(1_000_002)
+    assert cr.all_complete([0, 8191, 1_000_003])
+    assert not cr.all_complete([0, 999_999])

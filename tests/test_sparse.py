@@ -631,3 +631,22 @@ def test_csrmm_sharded_float64_rejected_without_x64(ctx, rng):
     C = mem_array((64, 8), np.float64, ctx=ctx)
     with pytest.raises(ValueError, match="narrowed|x64"):
         csrmm_sharded(A, B, C, mesh=make_mesh(8), ctx=ctx)
+
+
+def test_csrcsc_rejects_row_count_past_index_dtype(ctx):
+    """int32 indices that fit A's columns can silently wrap on A's ROW
+    count (the transpose's column indices); must be a loud error."""
+    import scipy.sparse as sps
+
+    from bof_tpu.sparse import CsrFlashMatrix
+    from bof_tpu.sparse.csrcsc import csrcsc
+    a_sp = sps.random(40, 30, density=0.1, format="csr", dtype=np.float32,
+                      random_state=np.random.RandomState(5))
+    A = CsrFlashMatrix.from_scipy(a_sp, ctx=ctx, idx_dtype=np.int32)
+    A.shape = (2**31 + 8, 30)  # simulate a giant row count
+    out_ia = mem_array((31,), np.int64, ctx=ctx)
+    out_ja = mem_array((A.nnz,), np.int32, ctx=ctx)
+    out_vals = mem_array((A.nnz,), np.float32, ctx=ctx)
+    out = CsrFlashMatrix(out_ia, out_ja, out_vals, (30, 2**31 + 8))
+    with pytest.raises(ValueError, match="index dtype"):
+        csrcsc(A, out, ctx=ctx)
