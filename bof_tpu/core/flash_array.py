@@ -58,6 +58,16 @@ class FlashArray:
         return (f"FlashArray(shape={self.shape}, dtype={self.dtype}, "
                 f"order={self.order}, offset={self.offset}, ld={self.ld})")
 
+    def file_span(self) -> Tuple[int, int]:
+        """[lo, hi) byte range this array touches in its store (covers the
+        ld gaps — the aliasing granularity, not the transferred bytes)."""
+        if int(np.prod(self.shape)) == 0:
+            return self.offset, self.offset
+        if len(self.shape) == 1:
+            return self.offset, self.offset + self.shape[0] * self.itemsize
+        off, sinfo = self.block_access(0, self.shape[0], 0, self.shape[1])
+        return off, off + sinfo.file_extent
+
     # ------------------------------------------------- access specifiers
     def block_access(self, r0: int, nr: int, c0: int = 0,
                      nc: Optional[int] = None) -> Tuple[int, StrideInfo]:
@@ -223,6 +233,32 @@ class FlashArray:
 
 
 # ----------------------------------------------------------- constructors
+def check_output_distinct(out: "FlashArray", **inputs) -> None:
+    """Reject an output array whose bytes alias any input's: every kernel
+    streams input tiles while the writer persists output tiles, so an
+    aliasing output would be consumed half-written (the same hazard class
+    bof_sort/bof_map guard against; inode-level identity because two
+    open_store calls on one path get distinct uids).  `beta`-style reads
+    of the output itself are NOT inputs here — they share the output's
+    cache keys by construction."""
+    from ..io.store import same_backing
+    o_lo, o_hi = out.file_span()
+    if o_hi <= o_lo:
+        return
+    for name, arr in inputs.items():
+        if arr is None:
+            continue
+        i_lo, i_hi = arr.file_span()
+        if (same_backing(out.store, arr.store)
+                and o_lo < i_hi and i_lo < o_hi):
+            raise ValueError(
+                f"output bytes [{o_lo}, {o_hi}) alias input '{name}' "
+                f"[{i_lo}, {i_hi}) in the same file: the kernel reads "
+                "inputs while writing the output, so aliasing would "
+                "consume half-written tiles — use a distinct output "
+                "file or range")
+
+
 def map_array(path: str, shape, dtype=np.float32, order: str = "R",
               create: bool = False, ctx: Optional[FlashContext] = None,
               o_direct: Optional[bool] = None, offset: int = 0,

@@ -51,6 +51,12 @@ class TiledFlashArray(FlashArray):
     def nbytes_stored(self) -> int:
         return self._tr * self._tc * self.tile * self.tile * self.itemsize
 
+    def file_span(self):
+        # base file_span would request one whole-array block_access,
+        # which the tile-aligned accessor rejects; the padded grid is
+        # contiguous from offset
+        return self.offset, self.offset + self.nbytes_stored
+
     def _tile_off(self, ti: int, tj: int) -> int:
         tb = self.tile * self.tile * self.itemsize
         return self.offset + (ti * self._tc + tj) * tb

@@ -126,6 +126,8 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
         raise ValueError("operand shapes inconsistent with transposes")
     if not (a.dtype == b.dtype == c.dtype):
         raise ValueError("mixed dtypes not supported")
+    from ..core.flash_array import check_output_distinct
+    check_output_distinct(c, a=a, b=b)
     if c.dtype == np.float64:
         mode = getattr(cfg, "fp64_device", "auto")
         if mode == "sliced" or (mode == "auto" and dev.on_tpu()):

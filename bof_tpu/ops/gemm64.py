@@ -265,6 +265,8 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             "(per-shard region write-back needs flat storage; repack C "
             "or use a flat map_array output)")
 
+    from ..core.flash_array import check_output_distinct
+    check_output_distinct(c, a=a, b=b)
     m, n = c.shape
     k = a.shape[0] if ta else a.shape[1]
     mB, nB, kB = cdiv(m, sb), cdiv(n, sb), cdiv(k, sb)

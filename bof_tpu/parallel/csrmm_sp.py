@@ -70,6 +70,8 @@ def csrmm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     m, k = a.shape
     if b.shape[0] != k or c.shape != (m, b.shape[1]):
         raise ValueError("operand shapes inconsistent")
+    from ..core.flash_array import check_output_distinct
+    check_output_distinct(c, b=b, ia=a.ia, ja=a.ja, vals=a.vals)
     from ..core.tiled_array import reject_tiled
     reject_tiled((("b", b), ("c", c)),
                  "csrmm_sharded's row blocks are nnz-adaptive and cannot "

@@ -342,6 +342,8 @@ def gemm_sharded(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     sb = max(lcm, (sb // lcm) * lcm)
     ta, tb = transa.upper() == "T", transb.upper() == "T"
 
+    from ..core.flash_array import check_output_distinct
+    check_output_distinct(c, a=a, b=b)
     m, n = c.shape
     k = a.shape[0] if ta else a.shape[1]
     if (a.shape != ((k, m) if ta else (m, k))

@@ -106,6 +106,8 @@ def csrmm(a: CsrFlashMatrix, b: FlashArray, c: FlashArray,
     n = b.shape[1]
     if c.shape != (m, n):
         raise ValueError(f"C shape {c.shape} != ({m}, {n})")
+    from ..core.flash_array import check_output_distinct
+    check_output_distinct(c, b=b, ia=a.ia, ja=a.ja, vals=a.vals)
     if not (b.dtype == c.dtype == a.vals.dtype):
         # fail up front like gemm does — a mismatch would otherwise
         # surface as a confusing buffer-size error inside the writer

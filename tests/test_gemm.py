@@ -236,3 +236,29 @@ def test_gemm_int8_transfer_mode(ctx, rng):
         assert after > before
     finally:
         ctx.config.transfer_dtype = "float32"
+
+
+def test_gemm_rejects_output_aliasing_input(ctx, tmp_path, rng):
+    """C aliasing A/B bytes (same store or the same file opened twice)
+    would let the writer clobber tiles the producer still reads."""
+    from bof_tpu import map_array
+    m = 64
+    a_np = rng.standard_normal((m, m)).astype(np.float32)
+    p = str(tmp_path / "ab.bin")
+    A = map_array(p, (m, m), np.float32, "R", create=True, ctx=ctx)
+    A.write_all(a_np)
+    B = mem_array((m, m), np.float32, data=a_np, ctx=ctx)
+    C = map_array(p, (m, m), np.float32, "R", ctx=ctx)  # same file!
+    with pytest.raises(ValueError, match="alias"):
+        gemm(A, B, C, blk=32, ctx=ctx)
+    # disjoint ranges of one file are fine
+    big = map_array(str(tmp_path / "big.bin"), (2 * m, m), np.float32,
+                    "R", create=True, ctx=ctx)
+    from bof_tpu.core.flash_array import FlashArray
+    A2 = FlashArray(big.store, (m, m), np.float32, "R", offset=0, ctx=ctx)
+    C2 = FlashArray(big.store, (m, m), np.float32, "R",
+                    offset=m * m * 4, ctx=ctx)
+    A2.write_all(a_np)
+    gemm(A2, B, C2, blk=32, ctx=ctx)
+    np.testing.assert_allclose(C2.read_all(), a_np @ a_np,
+                               rtol=2e-4, atol=1e-4)
