@@ -11,6 +11,14 @@ Exit 0 = every operation verified; any mismatch/exception prints the
 failing seed and exits 1.  Not part of the default pytest suite (wall
 time scales with --seconds); run before releases or after concurrency
 work.
+
+Runs on the CPU backend: the races under test live in the host-side
+scheduler/cache/pipeline, and the randomized shapes would mint a ~30s
+remote compile each on the dev tunnel (plus a second tunnel client
+stalls any concurrent chip run).  If the interpreter started with a
+non-CPU JAX platform pinned (the axon sitecustomize), main() re-execs
+once with the scrubbed environment tests/conftest.py uses; pass
+--device to keep the default backend instead.
 """
 from __future__ import annotations
 
@@ -217,6 +225,20 @@ OPS = [op_gemm, op_csrmm, op_sort, op_map_reduce, op_flash_io,
        op_csrgemv, op_csrcsc, op_xml_rank, op_gemm64, op_rewrite_gemm]
 
 
+def _reexec_on_cpu() -> None:
+    """Re-run this script once with the scrubbed CPU environment (the
+    tests/conftest.py pattern): the axon sitecustomize imports jax and
+    pins JAX_PLATFORMS at interpreter start, before any code here runs."""
+    import subprocess
+    env = dict(os.environ)
+    env["BOF_SOAK_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(pp)
+    os._exit(subprocess.run([sys.executable] + sys.argv, env=env).returncode)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seconds", type=float, default=60.0)
@@ -225,7 +247,13 @@ def main():
                    help="small budget keeps eviction/backlog paths hot")
     p.add_argument("--scratch", default="/tmp/bof_soak")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--device", action="store_true",
+                   help="soak the default JAX backend instead of CPU")
     args = p.parse_args()
+
+    if (not args.device and os.environ.get("BOF_SOAK_REEXEC") != "1"
+            and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")):
+        _reexec_on_cpu()
 
     from bof_tpu import FlashConfig, FlashContext
     ctx = FlashContext(FlashConfig(
