@@ -124,13 +124,57 @@ def ensure_operand(path: str, n: int, seed: int):
     if os.path.exists(path) and os.path.getsize(path) == nbytes:
         return
     rng = np.random.default_rng(seed)
-    with open(path, "wb") as f:
+    # atomic publish (tmp + rename, pid-unique tmp): a concurrent bench
+    # process must never observe a partially-written operand
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
         chunk = 1 << 22  # elements
         left = n * n
         while left:
             c = min(chunk, left)
             f.write(rng.standard_normal(c).astype(np.float32).tobytes())
             left -= c
+    os.replace(tmp, path)
+
+
+def output_path(stem: str) -> str:
+    """Per-PROCESS output file under CACHE_DIR.  Outputs cannot be shared
+    the way input operands are: concurrent bench processes (the test
+    suite launches every mode at once, and nothing stops a user doing the
+    same) would interleave scrubs/writes inside each other's verify
+    windows — e.g. the int8-transfer secondary rewriting C_{n}.bin with
+    quantized bytes while another process verifies its fp32 windows, a
+    flaky verified=false.  Outputs are written by the kernel under test,
+    so a fresh sparse file costs nothing; normal exits unlink it and
+    main() sweeps leftovers whose owning pid is gone (crashed runs)."""
+    path = os.path.join(CACHE_DIR, f"{stem}.pid{os.getpid()}.bin")
+    import atexit
+
+    def _unlink():
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    atexit.register(_unlink)
+    return path
+
+
+def sweep_stale_outputs():
+    """Remove *.pid{N}.bin outputs left by crashed bench processes."""
+    try:
+        names = os.listdir(CACHE_DIR)
+    except OSError:
+        return
+    for f in names:
+        if not f.endswith(".bin"):
+            continue
+        mid = f.rfind(".pid")
+        pid = f[mid + 4:-4] if mid >= 0 else ""
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            try:
+                os.unlink(os.path.join(CACHE_DIR, f))
+            except OSError:
+                pass
 
 
 def ensure_csr_operands(m: int, k: int, row_nnz: int, n: int):
@@ -200,7 +244,7 @@ def run_csrmm(ctx) -> dict:
     prefix, b_path = ensure_csr_operands(m, k, row_nnz, n)
     A = CsrFlashMatrix.map_files(prefix, (m, k), ctx=ctx)
     B = bt.map_array(b_path, (k, n), np.float32, "R", ctx=ctx)
-    c_path = os.path.join(CACHE_DIR, f"spC_{m}x{n}.bin")
+    c_path = output_path(f"spC_{m}x{n}")
     C = bt.map_array(c_path, (m, n), np.float32, "R", create=True, ctx=ctx)
 
     # warm-up on a row slice: compiles the bucketed ELL kernels.  Pin the
@@ -229,9 +273,9 @@ def run_csrmm(ctx) -> dict:
     vr = min(2048, m)  # verify window (clamped for BOF_BENCH_SP_M < 2048)
 
     def scrub():
-        # C_{...}.bin is a persistent cache and the operands are
-        # deterministic, so a previous run's correct output would make
-        # verification vacuous — zero the verify window first
+        # the verify window must be zeroed between passes: the device
+        # pass's correct bytes would otherwise make the host pass's
+        # check (and any re-run over the same file) vacuous
         C.write_block(0, np.zeros((vr, n), np.float32))
 
     def check():  # verify the path that JUST ran, before C is overwritten
@@ -448,7 +492,7 @@ def run_csrcsc_sort(ctx) -> dict:
     spath = os.path.join(CACHE_DIR, f"sort_{n_el}.bin")
     ensure_operand_1d(spath, n_el, seed=13)
     src = bt.map_array(spath, (n_el,), np.float32, ctx=ctx)
-    dst = bt.map_array(os.path.join(ctx.config.scratch_dir, "sorted.bin"),
+    dst = bt.map_array(output_path(f"sorted_{n_el}"),
                        (n_el,), np.float32, create=True, ctx=ctx)
     dst.write_block(0, np.zeros(4096, np.float32))  # scrub stale cache
     t0 = time.perf_counter()
@@ -490,7 +534,7 @@ def run_map_reduce(ctx) -> dict:
     spath = os.path.join(CACHE_DIR, f"mr_{n_el}.bin")
     ensure_operand_1d(spath, n_el, seed=17)
     src = bt.map_array(spath, (n_el,), np.float32, ctx=ctx)
-    dst = bt.map_array(os.path.join(ctx.config.scratch_dir, "mapped.bin"),
+    dst = bt.map_array(output_path(f"mapped_{n_el}"),
                        (n_el,), np.float32, create=True, ctx=ctx)
     # scrub the WHOLE destination with a sentinel sqrt∘abs can never
     # produce: mapped.bin persists across runs with deterministic input,
@@ -656,13 +700,14 @@ def ensure_operand_1d(path: str, n_elems: int, seed: int):
     if os.path.exists(path) and os.path.getsize(path) == nbytes:
         return
     rng = np.random.default_rng(seed)
-    with open(path + ".tmp", "wb") as f:
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
         left = n_elems
         while left:
             c = min(1 << 22, left)
             f.write(rng.standard_normal(c).astype(np.float32).tobytes())
             left -= c
-    os.replace(path + ".tmp", path)
+    os.replace(tmp, path)
 
 
 def _progress(msg: str):
@@ -699,6 +744,7 @@ def main():
             "default": jax.lax.Precision.DEFAULT}[prec_name]
 
     os.makedirs(CACHE_DIR, exist_ok=True)
+    sweep_stale_outputs()
     xfer = os.environ.get("BOF_BENCH_TRANSFER", "fp32")
     xfer_map = {"fp32": "float32", "bf16": "bfloat16", "int8": "int8"}
     cfg = bt.FlashConfig(
@@ -954,7 +1000,7 @@ def main():
 
     a_path = os.path.join(CACHE_DIR, f"A_{n}.bin")
     b_path = os.path.join(CACHE_DIR, f"B_{n}.bin")
-    c_path = os.path.join(CACHE_DIR, f"C_{n}.bin")
+    c_path = output_path(f"C_{n}")
     _progress(f"operands n={n} (generate-if-missing)")
     ensure_operand(a_path, n, 1)
     ensure_operand(b_path, n, 2)
@@ -977,9 +1023,9 @@ def main():
     n_h2d_warm = len(METRICS.samples("gemm.h2d_tile_gbps"))
     n_d2h_warm = len(METRICS.samples("gemm.d2h_tile_gbps"))
 
-    # scrub the verify window: C_{n}.bin persists across runs with
-    # deterministic operands, so stale correct bytes would make the
-    # post-run check vacuous
+    # scrub the verify window: the warm-up superblock just wrote real
+    # values into C's top-left corner, which would make the post-run
+    # check vacuous whenever the K loop is a single block
     C.write_block(0, np.zeros((64, 64), np.float32))
 
     _progress(f"measured gemm n={n} starting")
