@@ -469,7 +469,8 @@ def run_csrcsc_sort(ctx) -> dict:
     t0 = time.perf_counter()
     csrcsc(A, AT, ctx=ctx)
     dt_t = time.perf_counter() - t0
-    bytes_t = 2.0 * (A.nnz * 12 + (m + 1 + k + 1) * 8)
+    bytes_t = 2.0 * (A.nnz * (A.ja.dtype.itemsize + A.vals.dtype.itemsize)
+                     + (m + 1 + k + 1) * A.ia.dtype.itemsize)
     sp = A.to_scipy()
     t0 = time.perf_counter()
     want_csc = sp.tocsc()
@@ -536,6 +537,19 @@ def run_map_reduce(ctx) -> dict:
     src = bt.map_array(spath, (n_el,), np.float32, ctx=ctx)
     dst = bt.map_array(output_path(f"mapped_{n_el}"),
                        (n_el,), np.float32, create=True, ctx=ctx)
+
+    def map_fn(x):  # ONE fn object: warm-up and measured run share the jit
+        return jnp.sqrt(jnp.abs(x))
+
+    # warm-up on a one-block view: compiles the bucketed map block shape
+    # (tails pad to map_blk_elems, so any bn compiles the same shape)
+    # outside the measured window — a cold remote compile is 30s+ and at
+    # toy sizes used to floor the measured rate to 0.0
+    wn = min(ctx.config.map_blk_elems, n_el)
+    src_w = bt.FlashArray(src.store, (wn,), np.float32, ctx=ctx)
+    dst_w = bt.FlashArray(dst.store, (wn,), np.float32, ctx=ctx)
+    bof_map(src_w, dst_w, map_fn, ctx=ctx)
+
     # scrub the WHOLE destination with a sentinel sqrt∘abs can never
     # produce: mapped.bin persists across runs with deterministic input,
     # so stale-correct bytes would make every verify window AND the
@@ -546,7 +560,7 @@ def run_map_reduce(ctx) -> dict:
         dst.write_block(w0, sent[:min(1 << 20, n_el - w0)])
 
     t0 = time.perf_counter()
-    bof_map(src, dst, lambda x: jnp.sqrt(jnp.abs(x)), ctx=ctx)
+    bof_map(src, dst, map_fn, ctx=ctx)
     dt_m = time.perf_counter() - t0
     t0 = time.perf_counter()
     got_sum = bof_reduce(dst, "sum", ctx=ctx)
@@ -566,8 +580,10 @@ def run_map_reduce(ctx) -> dict:
                                      want[w0:w0 + 4096], rtol=1e-6))
     ok = ok and bool(abs(got_sum - want_sum)
                      / max(abs(want_sum), 1.0) < 1e-6)
-    return {"map_gbps": round(2.0 * n_el * 4 / dt_m / 1e9, 4),
-            "reduce_gbps": round(n_el * 4 / dt_r / 1e9, 4),
+    # 4 significant digits, not 4 decimals: a toy-size rate under heavy
+    # load must stay > 0 (the artifact's value key asserts positivity)
+    return {"map_gbps": float(f"{2.0 * n_el * 4 / dt_m / 1e9:.4g}"),
+            "reduce_gbps": float(f"{n_el * 4 / dt_r / 1e9:.4g}"),
             "map_reduce_seconds": [round(dt_m, 2), round(dt_r, 2)],
             "map_reduce_n": n_el,
             "map_reduce_vs_inmem": round(dt_in / (dt_m + dt_r), 4),

@@ -16,6 +16,7 @@ provide the same bound without serializing.
 """
 from __future__ import annotations
 
+import functools
 import threading
 from typing import Callable, Optional
 
@@ -27,7 +28,11 @@ from ..core.task import FnTask
 from ..utils import cdiv
 
 
+@functools.lru_cache(maxsize=64)
 def _jit_elementwise(fn):
+    # memoized per fn object: callers that map the same fn repeatedly
+    # (warm-up + measured run, or an iterative solver) reuse one jit
+    # wrapper instead of retracing per bof_map call
     import jax
     return jax.jit(fn)
 
