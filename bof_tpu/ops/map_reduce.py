@@ -16,8 +16,8 @@ provide the same bound without serializing.
 """
 from __future__ import annotations
 
-import functools
 import threading
+import weakref
 from typing import Callable, Optional
 
 import numpy as np
@@ -27,21 +27,50 @@ from ..core.flash_array import FlashArray
 from ..core.task import FnTask
 from ..utils import cdiv
 
+# Weakref-keyed (not lru_cache): a dead fn releases its closure AND the
+# compiled executable immediately instead of pinning up to 64 of them for
+# process lifetime, and an unhashable/non-weakrefable callable degrades to
+# a per-call jit (the pre-memoization semantics) instead of raising.
+_jit_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_jit_lock = threading.Lock()
 
-@functools.lru_cache(maxsize=64)
+
 def _jit_elementwise(fn):
     # memoized per fn object: callers that map the same fn repeatedly
     # (warm-up + measured run, or an iterative solver) reuse one jit
     # wrapper instead of retracing per bof_map call
     import jax
-    return jax.jit(fn)
+    try:
+        with _jit_lock:
+            hit = _jit_cache.get(fn)
+            if hit is None:
+                # jit a trampoline that holds fn only WEAKLY: caching
+                # jax.jit(fn) directly would make the value reference its
+                # own key, which defeats WeakKeyDictionary collection (the
+                # documented value->key caveat) and pins fn's closure +
+                # executable for process lifetime.  The caller holds fn
+                # for the duration of the bof_map call, so the deref
+                # cannot fail mid-trace.
+                ref = weakref.ref(fn)
+                hit = jax.jit(lambda x: ref()(x))
+                _jit_cache[fn] = hit
+            return hit
+    except TypeError:  # unhashable or not weakref-able: fresh jit per call
+        return jax.jit(fn)
 
 
 def bof_map(src: FlashArray, dst: FlashArray, fn: Callable,
             blk_elems: Optional[int] = None, ctx=None) -> None:
     """dst[i] = fn(src[i]) streamed in blocks (reference: flash::map,
     map_reduce.tpp:12-53).  `fn` maps a 1-D jnp vector to a same-shape
-    vector; it is jitted once and reused for every block."""
+    vector; it is jitted once and reused for every block.
+
+    Standard jax.jit semantics apply: values `fn` captures by closure are
+    BAKED IN at first trace, and the trace is cached per fn object — a
+    caller that mutates captured state between bof_map calls on the same
+    fn object gets the first trace's values.  Pass varying state through
+    the data, or use a fresh fn object.  The cache is weakref-keyed, so a
+    released fn frees its closure and compiled executable."""
     ctx = ctx or src.ctx or get_context()
     if src.shape != dst.shape or len(src.shape) != 1:
         raise ValueError("map needs equal-shape 1-D arrays")
@@ -74,9 +103,12 @@ def bof_map(src: FlashArray, dst: FlashArray, fn: Callable,
         # fp64): apply fn to the numpy block directly — numpy-ufunc fns
         # stay exact; a jnp-based fn would come back narrowed, which the
         # dtype check below turns into a diagnosable error instead of a
-        # silent precision loss
+        # silent precision loss.  The apply fans out over host threads
+        # (the reference MapTask's OpenMP elementwise apply,
+        # map_reduce_task.h:11-48); fn must be value-wise.
         def jfn(x):
-            out = np.asarray(fn(x))
+            from ..utils.hostpar import parallel_map_chunks
+            out = parallel_map_chunks(fn, x)
             if out.dtype != dst.dtype:
                 raise ValueError(
                     f"map fn returned {out.dtype} for a {dst.dtype} "
