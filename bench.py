@@ -27,6 +27,14 @@ BOF_BENCH_KERNEL selects standalone modes covering every
 BASELINE.json.configs entry (each prints its own one-JSON-line result):
   sgemm (default) | csrmm | csrgemv | kmeans | csrcsc_sort | map_reduce
   | io (native-engine disk GB/s, tunnel-independent; BOF_BENCH_IO_GB)
+  | fp64 (sliced fp64 gemm on the chip; BOF_BENCH_FP64_N/_BLK)
+
+The default-mode artifact is self-labeling (VERDICT r3): `link_verdict`
+grades the measured window saturated/tunnel_degraded/pipeline_bubble from
+its own evidence, a degraded window is re-measured once when the re-probe
+shows recovery, the compressed-transfer secondary is guaranteed a sample
+(sub-sizing instead of skipping), and every artifact embeds a compact
+`last_good` summary of the most recent verified chip run.
 """
 from __future__ import annotations
 
@@ -541,11 +549,12 @@ def run_map_reduce(ctx) -> dict:
     def map_fn(x):  # ONE fn object: warm-up and measured run share the jit
         return jnp.sqrt(jnp.abs(x))
 
-    # warm-up on a one-block view: compiles the bucketed map block shape
-    # (tails pad to map_blk_elems, so any bn compiles the same shape)
-    # outside the measured window — a cold remote compile is 30s+ and at
-    # toy sizes used to floor the measured rate to 0.0
-    wn = min(ctx.config.map_blk_elems, n_el)
+    # warm-up on a TINY view: any bn < map_blk_elems pads the tail to the
+    # full block shape, so 4096 elements compile the identical (blk,)
+    # executable with negligible I/O — warming at min(map_blk_elems, n)
+    # re-mapped the ENTIRE dataset at the defaults (~128 MB of extra
+    # tunnel I/O inside the wall budget, ADVICE r3)
+    wn = min(4096, n_el)
     src_w = bt.FlashArray(src.store, (wn,), np.float32, ctx=ctx)
     dst_w = bt.FlashArray(dst.store, (wn,), np.float32, ctx=ctx)
     bof_map(src_w, dst_w, map_fn, ctx=ctx)
@@ -711,6 +720,107 @@ def run_io(ctx) -> dict:
             "io_verified": ok}
 
 
+def ensure_operand_f64(path: str, n: int, seed: int,
+                       scale_decades: float = 0.0):
+    """Cached square float64 operand; scale_decades > 0 spreads per-row
+    magnitudes over ±that many decades — the regime the sliced fp64
+    path's per-row sigma scaling exists for (fp32 would over/underflow)."""
+    nbytes = n * n * 8
+    if os.path.exists(path) and os.path.getsize(path) == nbytes:
+        return
+    rng = np.random.default_rng(seed)
+    tmp = f"{path}.tmp{os.getpid()}"
+    rows_per = max(1, (1 << 22) // n)
+    with open(tmp, "wb") as f:
+        for r0 in range(0, n, rows_per):
+            r1 = min(n, r0 + rows_per)
+            blk = rng.standard_normal((r1 - r0, n))
+            if scale_decades:
+                blk *= 10.0 ** rng.uniform(-scale_decades, scale_decades,
+                                           (r1 - r0, 1))
+            f.write(blk.tobytes())
+    os.replace(tmp, path)
+
+
+def run_gemm64(ctx) -> dict:
+    """Sliced fp64 GEMM on the real chip (VERDICT r3 #3): effective fp64
+    GFLOP/s of the Ozaki-style exact int8-slicing path (ops/gemm64.py)
+    over flash-resident operands whose row magnitudes span ±12 decades,
+    verified against a host float64 column strip at the ~k·2⁻⁵⁵-of-scale
+    bound.  Reference parity: FP_DOUBLE_PRECISION gemm maps every kernel
+    to cblas_d* (reference: include/bof_types.h:24-42); the host twin is
+    numpy's BLAS dgemm (the in_mem_gemm.cpp role), time-extrapolated from
+    a 2048³ sample cubically."""
+    import bof_tpu as bt
+    from bof_tpu.ops.gemm64 import gemm64
+    from bof_tpu.utils import METRICS
+
+    n = int(os.environ.get("BOF_BENCH_FP64_N", 4096))
+    sb = int(os.environ.get("BOF_BENCH_FP64_BLK", 2048))
+    sb = min(sb, n)
+    a_path = os.path.join(CACHE_DIR, f"A64_{n}.bin")
+    b_path = os.path.join(CACHE_DIR, f"B64_{n}.bin")
+    _progress(f"fp64 operands n={n} (generate-if-missing)")
+    ensure_operand_f64(a_path, n, seed=31, scale_decades=12.0)
+    ensure_operand_f64(b_path, n, seed=37)
+    A = bt.map_array(a_path, (n, n), np.float64, "R", ctx=ctx)
+    B = bt.map_array(b_path, (n, n), np.float64, "R", ctx=ctx)
+    C = bt.map_array(output_path(f"C64_{n}"), (n, n), np.float64, "R",
+                     create=True, ctx=ctx)
+
+    # warm-up superblock compiles the (s, sb, sb) slice-accum kernel
+    # outside the measured window (~30-60s cold over the tunnel)
+    _progress("fp64 warm-up superblock")
+    Aw = bt.FlashArray(A.store, (sb, sb), np.float64, "R", ld=n, ctx=ctx)
+    Bw = bt.FlashArray(B.store, (sb, sb), np.float64, "R", ld=n, ctx=ctx)
+    Cw = bt.FlashArray(C.store, (sb, sb), np.float64, "R", ld=n, ctx=ctx)
+    gemm64(Aw, Bw, Cw, blk=sb, ctx=ctx)
+    C.write_block(0, np.zeros((64, 64), np.float64))  # scrub stale window
+
+    _progress(f"measured fp64 gemm n={n} blk={sb}")
+    mb = METRICS.snapshot()
+    t0 = time.perf_counter()
+    gemm64(A, B, C, blk=sb, ctx=ctx)
+    dt = time.perf_counter() - t0
+    ma = METRICS.snapshot()
+
+    # verify a full column strip at the documented error bound: the
+    # scaled error divides by k * sigma_row * tau_col (the bound's units)
+    a64 = A.read_all()
+    b_win = B.read_block(0, n, 0, 64)
+    want = a64 @ b_win
+    got = C.read_block(0, n, 0, 64)
+    sigma = np.abs(a64).max(axis=1)
+    tau = np.abs(b_win).max(axis=0)
+    denom = np.maximum(n * sigma[:, None] * tau[None, :], 1e-300)
+    err = float((np.abs(got - want) / denom).max())
+    ok = err < 1e-12
+
+    # host fp64 twin (BLAS dgemm), extrapolated cubically from a sample
+    nn = min(2048, n)
+    aa = np.ascontiguousarray(a64[:nn, :nn])
+    bb = B.read_block(0, nn, 0, nn)
+    t0 = time.perf_counter()
+    aa @ bb
+    t_host = (time.perf_counter() - t0) * (n / nn) ** 3
+    eff = 2.0 * n**3 / dt / 1e9
+    return {
+        "fp64_gflops": round(eff, 2), "fp64_seconds": round(dt, 2),
+        "fp64_n": n, "fp64_blk": sb,
+        "fp64_slices": int(getattr(ctx.config, "fp64_slices", 8)),
+        "fp64_max_scaled_err": float(f"{err:.3g}"),
+        "fp64_scale_decades": 12.0,
+        "fp64_h2d_gb": round((ma.get("gemm64.h2d_bytes", 0.0)
+                              - mb.get("gemm64.h2d_bytes", 0.0)) / 1e9, 3),
+        "fp64_d2h_gb": round((ma.get("gemm64.d2h_bytes", 0.0)
+                              - mb.get("gemm64.d2h_bytes", 0.0)) / 1e9, 3),
+        "fp64_host_twin_s": round(t_host, 2),
+        "fp64_host_twin_source": f"extrapolated_from_{nn}",
+        "fp64_vs_inmem": round(t_host / dt, 4),
+        "fp64_verified": ok,
+    }
+
+
 def ensure_operand_1d(path: str, n_elems: int, seed: int):
     nbytes = n_elems * 4
     if os.path.exists(path) and os.path.getsize(path) == nbytes:
@@ -724,6 +834,52 @@ def ensure_operand_1d(path: str, n_elems: int, seed: int):
             f.write(rng.standard_normal(c).astype(np.float32).tobytes())
             left -= c
     os.replace(tmp, path)
+
+
+def link_verdict(busy_frac: float, tile_median_gbps: float,
+                 probe_gbps: float, prev_sustained_gbps: float) -> str:
+    """Self-labeling verdict for a measured window (VERDICT r3 #1),
+    computed from evidence the artifact already carries — the decision
+    rule of docs/PERFORMANCE.md, mechanized:
+
+      busy_frac ~ 1 + tile rates ~ probes  -> "saturated"
+      busy_frac ~ 1 + tile rates << probes -> "tunnel_degraded"
+                                              (mid-run channel collapse)
+      busy_frac << 1                       -> "pipeline_bubble"
+
+    The reference rate is the larger of the day's probes and the best
+    sustained rate a previous *saturated* run recorded: a probe taken on
+    an already-collapsed channel must not grade its own run healthy."""
+    ref = max(probe_gbps, prev_sustained_gbps or 0.0)
+    if tile_median_gbps and ref > 0 and tile_median_gbps < 0.5 * ref:
+        return "tunnel_degraded"
+    if busy_frac < 0.7:
+        return "pipeline_bubble"
+    return "saturated"
+
+
+def last_good_blurb() -> dict:
+    """Compact summary of the most recent VERIFIED chip artifact, embedded
+    in EVERY artifact (VERDICT r3 #1): a degraded-day or failed run then
+    carries the last real measurement and is interpretable standalone."""
+    try:
+        with open(os.path.join(CACHE_DIR, "last_good.json")) as f:
+            lg = json.load(f)
+        res = lg.get("result", {})
+        keep = {k: res[k] for k in ("metric", "value", "unit",
+                                    "vs_baseline", "n", "precision",
+                                    "link_utilization", "link_verdict",
+                                    "wall_s") if k in res}
+        xf = res.get("gemm_xfer")
+        if isinstance(xf, dict) and "gflops" in xf:
+            keep["xfer_gflops"] = xf["gflops"]
+        if not keep:
+            return {}
+        return {"last_good": keep,
+                "last_good_age_h": round(
+                    (time.time() - float(lg.get("ts", 0))) / 3600, 1)}
+    except (OSError, ValueError, TypeError):
+        return {}
 
 
 def _progress(msg: str):
@@ -744,12 +900,12 @@ def main():
 
     kernel = os.environ.get("BOF_BENCH_KERNEL", "sgemm")
     if kernel not in ("sgemm", "csrmm", "csrgemv", "kmeans", "csrcsc_sort",
-                      "map_reduce", "io"):
+                      "map_reduce", "io", "fp64"):
         print(json.dumps({"metric": "error", "value": 0, "unit": "",
                           "vs_baseline": 0,
                           "error": f"unknown BOF_BENCH_KERNEL={kernel!r}; "
                           "use sgemm|csrmm|csrgemv|kmeans|csrcsc_sort|"
-                          "map_reduce|io"}))
+                          "map_reduce|io|fp64"}))
         return 2
     budget_s = float(os.environ.get("BOF_BENCH_BUDGET_S", "240"))
     prec_name = os.environ.get("BOF_BENCH_PREC", "highest")
@@ -786,7 +942,7 @@ def main():
         result = {"metric": "native_io_seq_read_gbps",
                   "value": r.pop("seq_read_gbps"), "unit": "GB/s",
                   "vs_baseline": r.pop("io_vs_buffered"), **r,
-                  "verified": ok}
+                  **last_good_blurb(), "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
     # first device contact — shared by EVERY device-touching mode (the
@@ -855,6 +1011,17 @@ def main():
     device_attach_s = round(time.perf_counter() - t0, 1)
     _progress(f"device attached in {device_attach_s}s")
 
+    if kernel == "fp64":  # sliced fp64 gemm on the chip (VERDICT r3 #3)
+        r = run_gemm64(ctx)
+        ctx.destroy()
+        ok = r.pop("fp64_verified")
+        result = {"metric": "ooc_fp64_gemm_gflops",
+                  "value": r.pop("fp64_gflops"), "unit": "GFLOP/s",
+                  "vs_baseline": r.pop("fp64_vs_inmem"), **r,
+                  "device_attach_s": device_attach_s,
+                  **last_good_blurb(), "verified": ok}
+        print(json.dumps(result))
+        return 0 if ok else 1
     if kernel == "csrmm":  # sparse-only mode
         h2d_1 = measure_h2d_gbps()
         r = run_csrmm(ctx)
@@ -862,7 +1029,8 @@ def main():
         ok = r.pop("csrmm_verified")
         result = {"metric": "ooc_csrmm_gbps", "value": r.pop("csrmm_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("csrmm_vs_inmem"),
-                  "h2d_gbps": round(h2d_1, 4), **r, "verified": ok}
+                  "h2d_gbps": round(h2d_1, 4), **r,
+                  **last_good_blurb(), "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
     if kernel == "csrgemv":  # sparse matrix-vector mode
@@ -872,7 +1040,7 @@ def main():
         result = {"metric": "ooc_csrgemv_gbps",
                   "value": r.pop("csrgemv_n_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("csrgemv_n_vs_inmem"),
-                  **r, "verified": ok}
+                  **r, **last_good_blurb(), "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
     if kernel == "kmeans":  # streaming Lloyd mode
@@ -881,7 +1049,7 @@ def main():
         ok = r.pop("kmeans_verified")
         result = {"metric": "ooc_kmeans_gbps", "value": r.pop("kmeans_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("kmeans_vs_inmem"),
-                  **r, "verified": ok}
+                  **r, **last_good_blurb(), "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
     if kernel == "map_reduce":  # streamed map + reduce mode
@@ -891,7 +1059,7 @@ def main():
         result = {"metric": "ooc_map_gbps", "value": r.pop("map_gbps"),
                   "unit": "GB/s",
                   "vs_baseline": r.pop("map_reduce_vs_inmem"),
-                  **r, "verified": ok}
+                  **r, **last_good_blurb(), "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
     if kernel == "csrcsc_sort":  # transpose + external sort mode
@@ -900,7 +1068,7 @@ def main():
         ok = r.pop("csrcsc_sort_verified")
         result = {"metric": "ooc_csrcsc_gbps", "value": r.pop("csrcsc_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("csrcsc_vs_inmem"),
-                  **r, "verified": ok}
+                  **r, **last_good_blurb(), "verified": ok}
         print(json.dumps(result))
         return 0 if ok else 1
 
@@ -1014,6 +1182,19 @@ def main():
             if near:
                 n = max(near)
 
+    # degraded-day self-sizing can collapse n to 2 superblocks (8 steps,
+    # 8 hbm hits / 8 misses in r03) — toy scale for the HBM group
+    # schedule + LRU this design exists for (VERDICT r3 #6).  Shrink blk
+    # so the step grid is at least 4x4x4: B panels then reuse across i
+    # sweeps and hbm_tier records a real LRU hit pattern.  Only when the
+    # user did not pin BOF_BENCH_BLK, and only to the 1024-aligned bucket
+    # (every distinct blk is a one-time ~30s remote compile).
+    blk_shrunk = False
+    if (not os.environ.get("BOF_BENCH_BLK") and n // sb <= 2
+            and (n // 4) % 1024 == 0):
+        sb = n // 4
+        blk_shrunk = True
+
     a_path = os.path.join(CACHE_DIR, f"A_{n}.bin")
     b_path = os.path.join(CACHE_DIR, f"B_{n}.bin")
     c_path = output_path(f"C_{n}")
@@ -1035,31 +1216,6 @@ def main():
     Cw = bt.FlashArray(C.store, (warm, warm), np.float32, "R", ld=n, ctx=ctx)
     _progress("gemm warm-up superblock")
     gemm(Aw, Bw, Cw, blk=sb, ctx=ctx)
-    # per-tile rate samples from the warm-up must not pollute the run's
-    n_h2d_warm = len(METRICS.samples("gemm.h2d_tile_gbps"))
-    n_d2h_warm = len(METRICS.samples("gemm.d2h_tile_gbps"))
-
-    # scrub the verify window: the warm-up superblock just wrote real
-    # values into C's top-left corner, which would make the post-run
-    # check vacuous whenever the K loop is a single block
-    C.write_block(0, np.zeros((64, 64), np.float32))
-
-    _progress(f"measured gemm n={n} starting")
-    m_before = METRICS.snapshot()
-    t0 = time.perf_counter()
-    gemm(A, B, C, blk=sb, ctx=ctx)
-    dt = time.perf_counter() - t0
-    m_after = METRICS.snapshot()
-
-    def md(key):
-        return m_after.get(key, 0.0) - m_before.get(key, 0.0)
-
-    flops = 2.0 * n**3
-    ooc_gflops = flops / dt / 1e9
-    h2d_bytes, h2d_s = md("gemm.h2d_bytes"), md("gemm.h2d_s")
-    d2h_bytes, d2h_s = md("gemm.d2h_bytes"), md("gemm.d2h_s")
-    h2d_tiles = METRICS.samples("gemm.h2d_tile_gbps")[n_h2d_warm:]
-    d2h_tiles = METRICS.samples("gemm.d2h_tile_gbps")[n_d2h_warm:]
 
     def tile_stats(samples):
         """first/median/last expose in-run link drift (the tunnel can
@@ -1073,6 +1229,102 @@ def main():
                 "median": round(s[len(s) // 2], 4),
                 "last": round(samples[-1], 4),
                 "min": round(s[0], 4), "max": round(s[-1], 4)}
+
+    flops = 2.0 * n**3
+
+    def gemm_window(tag: str) -> dict:
+        """One measured out-of-core gemm sweep over the full operands,
+        with stage/tile telemetry deltas isolated to this window (the
+        per-tile samples from warm-up or an earlier window never pollute
+        it).  The verify window is scrubbed first so the post-run check
+        is never vacuous, including on a re-measure."""
+        C.write_block(0, np.zeros((64, 64), np.float32))
+        nh = len(METRICS.samples("gemm.h2d_tile_gbps"))
+        nd = len(METRICS.samples("gemm.d2h_tile_gbps"))
+        mb = METRICS.snapshot()
+        _progress(f"measured gemm n={n} blk={sb} ({tag})")
+        t0 = time.perf_counter()
+        gemm(A, B, C, blk=sb, ctx=ctx)
+        dt = time.perf_counter() - t0
+        ma = METRICS.snapshot()
+
+        def md(key):
+            return ma.get(key, 0.0) - mb.get(key, 0.0)
+        h2d_tiles = METRICS.samples("gemm.h2d_tile_gbps")[nh:]
+        d2h_tiles = METRICS.samples("gemm.d2h_tile_gbps")[nd:]
+        return {
+            "dt": dt, "gflops": flops / dt / 1e9,
+            "h2d_bytes": md("gemm.h2d_bytes"),
+            "d2h_bytes": md("gemm.d2h_bytes"),
+            "h2d_s": md("gemm.h2d_s"), "d2h_s": md("gemm.d2h_s"),
+            "tiles": sorted(h2d_tiles + d2h_tiles),
+            "h2d_tile_gbps": tile_stats(h2d_tiles),
+            "d2h_tile_gbps": tile_stats(d2h_tiles),
+            "stall_s": {"disk": round(md("gemm.disk_wait_s"), 2),
+                        "prep": round(md("gemm.prep_s"), 2),
+                        "lock_wait": round(md("gemm.lock_wait_s"), 2),
+                        "h2d": round(md("gemm.h2d_s"), 2),
+                        "d2h": round(md("gemm.d2h_s"), 2),
+                        "accum_wait": round(md("gemm.accum_wait_s"), 2),
+                        "tile_wait": round(md("gemm.tile_wait_s"), 2),
+                        "write_wait": round(md("gemm.write_wait_s"), 2)},
+            "hbm_tier": {"hits": int(md("hbm.hit")),
+                         "misses": int(md("hbm.miss"))},
+        }
+
+    # verdict reference: the best sustained rate a previous SATURATED run
+    # recorded (an all-day-degraded run must not lower the bar for the
+    # next one), falling back to whatever the last run measured
+    prev_sustained = max(float(state.get("sustained_good", 0.0) or 0.0),
+                         float(state.get("sustained_gbps", 0.0) or 0.0))
+
+    def judge_window(w: dict, probes_list) -> tuple:
+        busy = (w["h2d_s"] + w["d2h_s"]) / w["dt"] if w["dt"] else 0.0
+        med = w["tiles"][len(w["tiles"]) // 2] if w["tiles"] else 0.0
+        probe_mean = sum(probes_list) / len(probes_list)
+        v = link_verdict(busy, med, probe_mean, prev_sustained)
+        return v, {"busy_frac": round(busy, 4),
+                   "tile_median_gbps": round(med, 4),
+                   "probe_mean_gbps": round(probe_mean, 4),
+                   "prev_sustained_gbps": round(prev_sustained, 4)}
+
+    win = gemm_window("first")
+    _progress("end-of-run link re-probe")
+    probe_after = measure_link_gbps()
+    probes_all = [probe_before["h2d"], probe_before["d2h"],
+                  probe_after["h2d"], probe_after["d2h"]]
+    verdict, evidence = judge_window(win, probes_all)
+    first_attempt = None
+    if verdict == "tunnel_degraded":
+        # the number about to be recorded is tunnel weather, not
+        # capability (r03 recorded 10.83 GFLOP/s unlabeled while the same
+        # round measured 87.5, VERDICT r3 #1): if the re-probe says the
+        # channel recovered and the wall can absorb one more sweep,
+        # re-measure ONCE and record the first attempt alongside
+        rate_now = max(0.5 * (probe_after["h2d"] + probe_after["d2h"]),
+                       1e-3)
+        predicted = ((win["h2d_bytes"] + win["d2h_bytes"]) / 1e9 / rate_now
+                     + 0.1 * win["dt"] + 5)
+        if elapsed() + predicted < 0.85 * budget_s:
+            _progress(f"link_verdict=tunnel_degraded: re-measuring once "
+                      f"(predicted {predicted:.0f}s)")
+            win2 = gemm_window("re-measure")
+            probe_final = measure_link_gbps()
+            probes_all += [probe_final["h2d"], probe_final["d2h"]]
+            v2, e2 = judge_window(win2, probes_all)
+            first_attempt = {"gflops": round(win["gflops"], 2),
+                             "seconds": round(win["dt"], 2),
+                             "link_verdict": verdict, **evidence}
+            win, verdict, evidence = win2, v2, e2
+            probe_after = probe_final
+        else:
+            _progress("link_verdict=tunnel_degraded: no budget for a "
+                      "re-measure; recording the labeled sample")
+
+    dt = win["dt"]
+    ooc_gflops = win["gflops"]
+    h2d_bytes, h2d_s = win["h2d_bytes"], win["h2d_s"]
+    d2h_bytes, d2h_s = win["d2h_bytes"], win["d2h_s"]
 
     # honest in-memory twin at the SAME problem size.  `inmem_measured`
     # holds ONLY values genuinely measured at that N (so the jit is in
@@ -1121,10 +1373,7 @@ def main():
             # invest in the full-size twin; value stays an extrapolation
             seen[nkey] = round(inmem_tflops, 2)
     save_state()
-    probe_after = measure_link_gbps()
-    probes = [probe_before["h2d"], probe_before["d2h"],
-              probe_after["h2d"], probe_after["d2h"]]
-    link = sum(probes) / len(probes)
+    link = sum(probes_all) / len(probes_all)
 
     # sanity: verify one output block against a host golden sample
     if os.environ.get("BOF_BENCH_SKIP_VERIFY") != "1":
@@ -1156,14 +1405,19 @@ def main():
         # tunnel degradation (tile rates << probes) from pipeline bubbles
         # (link_busy_frac << 1) from the JSON alone ----
         "telemetry_sync": bool(cfg.telemetry_sync),
+        # the artifact grades ITSELF (VERDICT r3 #1): saturated /
+        # tunnel_degraded / pipeline_bubble, from busy_frac + per-tile
+        # medians vs the probes and the best prior saturated rate
+        "link_verdict": verdict,
+        "link_verdict_evidence": evidence,
         "link_probe_gbps": {"h2d": [probe_before["h2d"], probe_after["h2d"]],
                             "d2h": [probe_before["d2h"], probe_after["d2h"]]},
         "h2d_gb": round(h2d_bytes / 1e9, 3),
         "d2h_gb": round(d2h_bytes / 1e9, 3),
         "h2d_gbps_while_moving": round(h2d_s and h2d_bytes / h2d_s / 1e9, 4),
         "d2h_gbps_while_moving": round(d2h_s and d2h_bytes / d2h_s / 1e9, 4),
-        "h2d_tile_gbps": tile_stats(h2d_tiles),
-        "d2h_tile_gbps": tile_stats(d2h_tiles),
+        "h2d_tile_gbps": win["h2d_tile_gbps"],
+        "d2h_tile_gbps": win["d2h_tile_gbps"],
         # the tunnel serializes H2D and D2H (parallel pulls don't scale —
         # measured in docs/PERFORMANCE.md), so combined bytes/wall-time vs
         # the probed link rate is the honest saturation figure
@@ -1171,16 +1425,14 @@ def main():
         "link_utilization": round((h2d_bytes + d2h_bytes) / dt / 1e9
                                   / (link or 1), 4),
         "link_busy_frac": round((h2d_s + d2h_s) / dt, 4),
-        "stall_s": {"disk": round(md("gemm.disk_wait_s"), 2),
-                    "prep": round(md("gemm.prep_s"), 2),
-                    "lock_wait": round(md("gemm.lock_wait_s"), 2),
-                    "h2d": round(h2d_s, 2), "d2h": round(d2h_s, 2),
-                    "accum_wait": round(md("gemm.accum_wait_s"), 2),
-                    "tile_wait": round(md("gemm.tile_wait_s"), 2),
-                    "write_wait": round(md("gemm.write_wait_s"), 2)},
+        "stall_s": win["stall_s"],
         # HBM tile-LRU effectiveness: each hit is a superblock upload
-        # the link never paid for
-        "hbm_tier": {"hits": int(md("hbm.hit")), "misses": int(md("hbm.miss"))},
+        # the link never paid for (blk auto-shrinks at small n so this
+        # measures a real B-panel-reuse schedule, VERDICT r3 #6)
+        "hbm_tier": win["hbm_tier"],
+        **({"blk_auto_shrunk": True} if blk_shrunk else {}),
+        **({"first_attempt": first_attempt} if first_attempt else {}),
+        **last_good_blurb(),
     }
     try:  # observability: native engine + pin cache activity
         import ctypes
@@ -1196,8 +1448,14 @@ def main():
             headline["tile_cache"] = nat.stats()
     except Exception:
         pass
-    # persist the measured sustained rate for next-run sizing
+    # persist the measured sustained rate for next-run sizing; a
+    # SATURATED window additionally raises the verdict reference bar
+    # (sustained_good) that a later degraded day is judged against
     state["sustained_gbps"] = headline["combined_link_gbps"]
+    if verdict == "saturated":
+        state["sustained_good"] = max(
+            float(state.get("sustained_good", 0.0) or 0.0),
+            headline["combined_link_gbps"])
     save_state()
 
     # compressed-transfer gemm secondary at the SAME n: int8 quarters the
@@ -1218,9 +1476,35 @@ def main():
     xfer_key = f"{sb}@{xfer2}"
     xfer_pad = 20 if xfer_warm.get(xfer_key) else 150
     if (xfer == "fp32" and byte_ratio is not None
-            and os.environ.get("BOF_BENCH_SKIP_VERIFY") != "1"
-            and elapsed() + byte_ratio * dt + xfer_pad < 0.9 * budget_s):
-        _progress(f"{xfer2}-transfer gemm secondary at n={n}")
+            and os.environ.get("BOF_BENCH_SKIP_VERIFY") != "1"):
+        # the secondary is GUARANTEED a recorded sample (VERDICT r3 #2 —
+        # it is the repo's best single-chip number and r03's artifact
+        # dropped it while finding 19s for a tertiary): it shares the
+        # headline's operands, so when the remaining wall cannot absorb
+        # a full-n sweep it runs on the largest ld-padded sub-view that
+        # fits (floor 2*sb: <2 min even on a collapsed tunnel) instead
+        # of being skipped.
+        rate_now = max(0.5 * (probe_after["h2d"] + probe_after["d2h"]),
+                       3e-3)
+
+        def xfer_predict(nn):
+            return byte_ratio * 3 * nn * nn * 4 / 1e9 / rate_now + 5
+        n2 = n
+        while (n2 - sb >= 2 * sb
+               and elapsed() + xfer_pad + xfer_predict(n2)
+               > 1.2 * budget_s):
+            n2 -= sb
+        if n2 == n:
+            A2, B2, C2 = A, B, C
+        else:
+            A2 = bt.FlashArray(A.store, (n2, n2), np.float32, "R", ld=n,
+                               ctx=ctx)
+            B2 = bt.FlashArray(B.store, (n2, n2), np.float32, "R", ld=n,
+                               ctx=ctx)
+            C2 = bt.FlashArray(C.store, (n2, n2), np.float32, "R", ld=n,
+                               ctx=ctx)
+        flops2 = 2.0 * n2**3
+        _progress(f"{xfer2}-transfer gemm secondary at n={n2}")
         ctx.config.transfer_dtype = xfer_map[xfer2]
         ctx.config.c_transfer_dtype = "bfloat16"
         try:
@@ -1230,23 +1514,28 @@ def main():
             nh2 = len(METRICS.samples("gemm.h2d_tile_gbps"))
             nd2 = len(METRICS.samples("gemm.d2h_tile_gbps"))
             t0 = time.perf_counter()
-            gemm(A, B, C, blk=sb, ctx=ctx)
+            gemm(A2, B2, C2, blk=sb, ctx=ctx)
             dt2 = time.perf_counter() - t0
             ma2 = METRICS.snapshot()
             got2 = C.read_block(0, 64, 0, 64).astype(np.float64)
-            rel2 = float(np.abs(got2 - want).max()
-                         / (np.abs(want).max() or 1.0))
+            want2 = (want if n2 == n
+                     else a_rows[:, :n2] @ b_cols[:n2, :])
+            rel2 = float(np.abs(got2 - want2).max()
+                         / (np.abs(want2).max() or 1.0))
             tol2 = {"bf16": 2e-2, "int8": 5e-2}[xfer2]
 
             def xd(key):
                 return ma2.get(key, 0.0) - mb2.get(key, 0.0)
             result["gemm_xfer"] = {
-                "mode": xfer2, "c_transfer": "bfloat16",
-                "gflops": round(flops / dt2 / 1e9, 2),
+                "mode": xfer2, "c_transfer": "bfloat16", "n": n2,
+                "gflops": round(flops2 / dt2 / 1e9, 2),
                 "seconds": round(dt2, 2),
                 "h2d_gb": round(xd("gemm.h2d_bytes") / 1e9, 3),
                 "d2h_gb": round(xd("gemm.d2h_bytes") / 1e9, 3),
-                "speedup_vs_fp32": round(dt / dt2, 3),
+                # vs the fp32 headline's time scaled to n2's link bytes
+                # (both runs are link-bound, bytes ~ n^2); at n2 == n
+                # this is the plain time ratio
+                "speedup_vs_fp32": round(dt * (n2 / n) ** 2 / dt2, 3),
                 # same truth-telemetry as the headline: stage seconds and
                 # in-run per-tile link samples attribute any slowdown to
                 # tunnel drift vs pipeline bubble from the JSON alone
@@ -1281,7 +1570,7 @@ def main():
     # history — when the wall gets tight the tertiary is the one to drop
     # (its rotation index only advances on a completed run, so the
     # skipped kernel goes first next time)
-    rotation = ["csrgemv", "kmeans", "csrcsc_sort", "map_reduce"]
+    rotation = ["csrgemv", "kmeans", "csrcsc_sort", "map_reduce", "fp64"]
     # gate against the hard ~6-min wall (1.5x the 240s budget), reserving
     # the worst tertiary observed (cold compile 30s+ on a degraded tunnel
     # can stretch a 15-30s tertiary to ~90s) so the artifact never
@@ -1293,7 +1582,7 @@ def main():
         try:
             r = {"csrgemv": run_csrgemv, "kmeans": run_kmeans,
                  "csrcsc_sort": run_csrcsc_sort,
-                 "map_reduce": run_map_reduce}[tert](ctx)
+                 "map_reduce": run_map_reduce, "fp64": run_gemm64}[tert](ctx)
             tert_ok = r.pop(f"{tert}_verified", True)
             result.update(r)
             result["tertiary_kernel"] = tert

@@ -42,6 +42,7 @@ MODES = {
                     "BOF_BENCH_SP_NNZ": "8", "BOF_BENCH_SORT_N": "65536"},
     "map_reduce": {"BOF_BENCH_MR_N": "65536"},
     "io": {"BOF_BENCH_IO_GB": "0.1"},  # clamps to the 64 MiB floor
+    "fp64": {"BOF_BENCH_FP64_N": "512", "BOF_BENCH_FP64_BLK": "256"},
 }
 
 
@@ -90,6 +91,37 @@ def test_bench_mode(bench_results, mode):
         assert r.get("telemetry_sync") is True
         assert r.get("h2d_tile_gbps"), r
         assert "accum_wait" in r.get("stall_s", {}), r
+        # self-labeling artifact (VERDICT r3 #1): the window grades
+        # itself from its own evidence
+        assert r.get("link_verdict") in ("saturated", "tunnel_degraded",
+                                         "pipeline_bubble"), r
+        assert "busy_frac" in r.get("link_verdict_evidence", {}), r
+        # the secondary records the size it actually ran at
+        assert r["gemm_xfer"].get("n"), r
+    if mode == "fp64":
+        assert r["metric"] == "ooc_fp64_gemm_gflops"
+        assert r["fp64_max_scaled_err"] < 1e-12
+
+
+def test_link_verdict_rules():
+    """The artifact's self-grading decision rule (VERDICT r3 #1),
+    exercised directly: saturated / tunnel_degraded / pipeline_bubble."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+    # busy channel, tile rates tracking the probes: saturated
+    assert b.link_verdict(0.99, 0.040, 0.045, 0.040) == "saturated"
+    # busy channel, tile rates far below the probes: mid-run collapse
+    assert b.link_verdict(0.99, 0.008, 0.043, 0.040) == "tunnel_degraded"
+    # idle channel: the pipeline, not the link, is the bottleneck
+    assert b.link_verdict(0.30, 0.040, 0.045, 0.040) == "pipeline_bubble"
+    # a probe taken on an already-collapsed channel must not grade its
+    # own run healthy: the prior saturated sustained rate is the bar
+    assert b.link_verdict(0.99, 0.005, 0.006, 0.040) == "tunnel_degraded"
+    # no prior history: the probes alone decide
+    assert b.link_verdict(0.99, 0.005, 0.006, 0.0) == "saturated"
 
 
 def test_bench_attach_failure_artifact(tmp_path):
