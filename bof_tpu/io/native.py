@@ -169,7 +169,13 @@ def load_library():
                 ("bof_split_f64_i8",
                  [ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
                   ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-                  ctypes.c_void_p], None)):
+                  ctypes.c_void_p], None),
+                ("bof_merge_sorted_runs",
+                 [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+                  ctypes.c_int], ctypes.c_int),
+                ("bof_counting_argsort_i32",
+                 [ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+                  ctypes.c_void_p], ctypes.c_int)):
             fn = getattr(lib, name, None)
             if fn is not None:
                 fn.argtypes = argtypes
@@ -232,6 +238,55 @@ def split_f64_i8(src: np.ndarray, exps: np.ndarray, per_line: bool,
                          e.ctypes.data, int(bool(per_line)), s,
                          out.ctypes.data)
     return out
+
+
+_SORT_KINDS = {
+    np.dtype(np.float32): 0, np.dtype(np.float64): 1,
+    np.dtype(np.int64): 2, np.dtype(np.uint64): 3,
+    np.dtype(np.int32): 4, np.dtype(np.uint32): 5,
+    np.dtype(np.int16): 6, np.dtype(np.uint16): 7,
+    np.dtype(np.int8): 8, np.dtype(np.uint8): 9,
+}
+
+
+def merge_sorted_runs(x: np.ndarray, bounds: np.ndarray) -> bool:
+    """In-place parallel merge of adjacent PRE-SORTED runs of a
+    contiguous 1-D array — the native half of the parallel block sort
+    (utils/hostpar.parallel_sort; the reference's __gnu_parallel::sort
+    role, include/tasks/sort_task.h:8,37).  The runs come from numpy's
+    SIMD np.sort on Python threads (measured ~20x faster per shard than
+    scalar std::sort — an all-native sort would be a pessimization).
+    Float NaNs order last, matching np.sort.  Returns False when the
+    engine or dtype can't take it — caller falls back to np.sort."""
+    lib = load_library()
+    if (lib is None or not hasattr(lib, "bof_merge_sorted_runs")
+            or not x.flags["C_CONTIGUOUS"] or x.ndim != 1):
+        return False
+    kind = _SORT_KINDS.get(x.dtype)
+    if kind is None:
+        return False
+    b = np.ascontiguousarray(bounds, np.int64)
+    if b.ndim != 1 or b.size < 2 or b[0] != 0 or b[-1] != x.size \
+            or (np.diff(b) < 0).any():
+        raise ValueError(f"bad run bounds {b} for {x.size} elements")
+    return lib.bof_merge_sorted_runs(x.ctypes.data, b.ctypes.data,
+                                     b.size - 1, kind) == 0
+
+
+def counting_argsort_i32(keys: np.ndarray, k: int):
+    """Stable argsort of int32 keys known to lie in [0, k) — the ordering
+    pass of csrcsc's phase-2 ragged merge (reference: BlockMergeTask's
+    OpenMP merge, csrcsc_task.h:101-169).  Parallel counting sort:
+    O(n + k) work beats comparison argsort even single-threaded.  Returns
+    the int64 permutation, or None (caller falls back to np.argsort)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "bof_counting_argsort_i32"):
+        return None
+    keys = np.ascontiguousarray(keys, np.int32)
+    out = np.empty(keys.size, np.int64)
+    rc = lib.bof_counting_argsort_i32(keys.ctypes.data, keys.size,
+                                      int(k), out.ctypes.data)
+    return out if rc == 0 else None
 
 
 def cast_bf16(src: np.ndarray) -> np.ndarray:

@@ -634,6 +634,148 @@ static void prep_parallel(int64_t n, Fn fn) {
   for (auto& th : ts) th.join();
 }
 
+// ---------- host phase-body kernels (sort / stable merge order) ----------
+// The reference's block sort is __gnu_parallel::sort and its merge bodies
+// are OpenMP (reference: include/tasks/sort_task.h:8,37,
+// csrcsc_task.h:101-169); these are the engine's equivalents, on the same
+// one-off fan-out discipline as the prep kernels (never the I/O pool).
+// BOF_HOST_THREADS overrides the thread count (tests force >1 on a 1-core
+// box so the sharded merge paths stay covered; read once per call on the
+// calling thread — no per-op getenv from workers).
+
+static int64_t host_fanout_threads(int64_t n, int64_t min_per) {
+  int64_t nt;
+  if (const char* e = getenv("BOF_HOST_THREADS")) {
+    nt = atoll(e);
+    if (nt < 1) nt = 1;
+    if (nt > 16) nt = 16;
+  } else {
+    unsigned hw = std::thread::hardware_concurrency();
+    nt = std::min<int64_t>(hw ? hw : 1, 8);
+  }
+  return std::max<int64_t>(1, std::min(nt, (n + min_per - 1) / min_per));
+}
+
+// numpy sort order for floats: all NaNs compare equivalent and land LAST
+// (plain operator< on NaN is not a strict weak ordering — UB in std::sort)
+template <typename T>
+struct TotalLess {
+  bool operator()(T a, T b) const { return a < b; }
+};
+template <>
+struct TotalLess<float> {
+  bool operator()(float a, float b) const {
+    if (b != b) return a == a;
+    if (a != a) return false;
+    return a < b;
+  }
+};
+template <>
+struct TotalLess<double> {
+  bool operator()(double a, double b) const {
+    if (b != b) return a == a;
+    if (a != a) return false;
+    return a < b;
+  }
+};
+
+// Merge-path co-rank: how many of the first t outputs of merge(A, B)
+// come from A (the classic GPU merge-path partition).  Values only — a
+// value sort's equal elements are interchangeable, so any diagonal
+// intersection yields a correct merge.
+template <typename T>
+static int64_t merge_split(const T* A, int64_t la, const T* B, int64_t lb,
+                           int64_t t, TotalLess<T> less) {
+  int64_t lo = std::max<int64_t>(0, t - lb);
+  int64_t hi = std::min<int64_t>(t, la);
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (less(B[t - mid - 1], A[mid]))
+      hi = mid;
+    else
+      lo = mid + 1;
+  }
+  return lo;
+}
+
+// Merge n_runs ADJACENT pre-sorted runs in place: log2(n_runs) passes of
+// pairwise merges, each pair PARTITIONED into balanced chunks by
+// merge-path co-ranks so every pass keeps the whole thread team busy —
+// a naive per-pair fan-out leaves the final full-array merge on one
+// thread, which alone costs more than numpy's SIMD sort.  The runs are
+// sorted by the CALLER: numpy's np.sort per shard (GIL released) beats
+// scalar std::sort ~20x, so the fast parallel sort is numpy shards +
+// this native merge, not an all-native sort.  Runs must use np.sort's
+// order (floats: NaNs last), which TotalLess reproduces.
+template <typename T>
+static void merge_runs_impl(T* d, const int64_t* b, int64_t nr) {
+  TotalLess<T> less;
+  const int64_t n = b[nr];
+  const int64_t nt = host_fanout_threads(n, 1 << 14);
+  std::vector<T> tmp(n);
+  std::vector<int64_t> cur(b, b + nr + 1);
+  T* src = d;
+  T* dst = tmp.data();
+  while ((int64_t)cur.size() > 2) {
+    const int64_t runs = (int64_t)cur.size() - 1;
+    struct Chunk { const T* a; int64_t la; const T* bb; int64_t lb; T* out; };
+    std::vector<Chunk> chunks;
+    std::vector<int64_t> nxt{0};
+    const int64_t target =
+        std::max<int64_t>((n + 2 * nt - 1) / (2 * nt), 1 << 14);
+    for (int64_t i = 0; i < runs; i += 2) {
+      const int64_t lo = cur[i];
+      const int64_t mid = cur[std::min(i + 1, runs)];
+      const int64_t hi = cur[std::min(i + 2, runs)];
+      nxt.push_back(hi);
+      const T* A = src + lo;
+      const T* B = src + mid;
+      const int64_t la = mid - lo, lb = hi - mid, total = la + lb;
+      if (total == 0) continue;
+      const int64_t nc =
+          std::max<int64_t>(1, std::min<int64_t>(
+              (total + target - 1) / target, 2 * nt));
+      int64_t prev_a = 0, prev_t = 0;
+      for (int64_t c = 1; c <= nc; ++c) {
+        const int64_t t_c = (c == nc) ? total : c * total / nc;
+        const int64_t ai = (c == nc) ? la
+                                     : merge_split(A, la, B, lb, t_c, less);
+        chunks.push_back({A + prev_a, ai - prev_a,
+                          B + (prev_t - prev_a),
+                          (t_c - ai) - (prev_t - prev_a),
+                          dst + lo + prev_t});
+        prev_a = ai;
+        prev_t = t_c;
+      }
+    }
+    std::atomic<int64_t> next{0};
+    auto work = [&] {
+      for (;;) {
+        const int64_t c = next.fetch_add(1, std::memory_order_relaxed);
+        if (c >= (int64_t)chunks.size()) return;
+        const Chunk& ck = chunks[c];
+        if (ck.lb == 0)
+          std::copy(ck.a, ck.a + ck.la, ck.out);
+        else if (ck.la == 0)
+          std::copy(ck.bb, ck.bb + ck.lb, ck.out);
+        else
+          std::merge(ck.a, ck.a + ck.la, ck.bb, ck.bb + ck.lb, ck.out,
+                     less);
+      }
+    };
+    {
+      std::vector<std::thread> ts;
+      const int64_t team = std::min<int64_t>(nt, (int64_t)chunks.size());
+      for (int64_t t = 1; t < team; ++t) ts.emplace_back(work);
+      work();
+      for (auto& th : ts) th.join();
+    }
+    cur = std::move(nxt);
+    std::swap(src, dst);
+  }
+  if (src != d) std::copy(src, src + n, d);
+}
+
 }  // namespace
 
 extern "C" {
@@ -713,6 +855,87 @@ void bof_split_f64_i8(const double* src, long long n_lines, long long width,
       }
     }
   });
+}
+
+// Merge adjacent pre-sorted runs (the parallel half of the reference's
+// __gnu_parallel::sort role, sort_task.h:8,37 — the sorted runs come
+// from numpy's SIMD np.sort on Python threads).  bounds has n_runs+1
+// int64 entries; kind selects the element type; float kinds use the
+// NaN-last total order matching np.sort.  Returns 0, or -1 for an
+// unsupported kind (caller falls back to a whole-array np.sort).
+int bof_merge_sorted_runs(void* data, const long long* bounds,
+                          long long n_runs, int kind) {
+  if (n_runs <= 1) return 0;
+  const int64_t* b = (const int64_t*)bounds;
+  switch (kind) {
+    case 0: merge_runs_impl((float*)data, b, n_runs); return 0;
+    case 1: merge_runs_impl((double*)data, b, n_runs); return 0;
+    case 2: merge_runs_impl((int64_t*)data, b, n_runs); return 0;
+    case 3: merge_runs_impl((uint64_t*)data, b, n_runs); return 0;
+    case 4: merge_runs_impl((int32_t*)data, b, n_runs); return 0;
+    case 5: merge_runs_impl((uint32_t*)data, b, n_runs); return 0;
+    case 6: merge_runs_impl((int16_t*)data, b, n_runs); return 0;
+    case 7: merge_runs_impl((uint16_t*)data, b, n_runs); return 0;
+    case 8: merge_runs_impl((int8_t*)data, b, n_runs); return 0;
+    case 9: merge_runs_impl((uint8_t*)data, b, n_runs); return 0;
+  }
+  return -1;
+}
+
+// Stable parallel counting argsort of int32 keys in [0, k): the ordering
+// pass of csrcsc's phase-2 ragged merge (reference: BlockMergeTask's
+// OpenMP row-parallel merge, csrcsc_task.h:101-169).  Per-thread
+// histograms + cross-thread exclusive offsets keep the scatter stable.
+// O(n + k*nt) beats comparison argsort even single-threaded.  Returns 0,
+// or -1 when k is out of range (caller falls back to np.argsort).
+int bof_counting_argsort_i32(const int* keys, long long n, long long k,
+                             long long* out) {
+  if (k <= 0 || k > (1 << 22)) return -1;
+  if (n <= 0) return 0;
+  int64_t nt = host_fanout_threads(n, 1 << 14);
+  while (nt > 1 && nt * k > (int64_t)1 << 23) nt /= 2;  // histogram cap
+  std::vector<int64_t> b(nt + 1), hist((size_t)nt * k, 0);
+  for (int64_t i = 0; i <= nt; ++i) b[i] = i * n / nt;
+  std::atomic<int> bad{0};
+  {
+    std::vector<std::thread> ts;
+    auto count = [&](int64_t t) {
+      int64_t* h = hist.data() + t * k;
+      for (int64_t i = b[t]; i < b[t + 1]; ++i) {
+        uint32_t key = (uint32_t)keys[i];
+        if (key >= (uint64_t)k) {  // out-of-range key: abort, no UB write
+          bad.store(1, std::memory_order_relaxed);
+          return;
+        }
+        ++h[key];
+      }
+    };
+    for (int64_t t = 1; t < nt; ++t) ts.emplace_back(count, t);
+    count(0);
+    for (auto& th : ts) th.join();
+  }
+  if (bad.load(std::memory_order_relaxed)) return -2;
+  // exclusive scan: per-key base across all threads, then per-thread
+  // starting offsets in stable (thread, position) order
+  int64_t run = 0;
+  std::vector<int64_t> start((size_t)nt * k);
+  for (int64_t key = 0; key < k; ++key)
+    for (int64_t t = 0; t < nt; ++t) {
+      start[(size_t)t * k + key] = run;
+      run += hist[(size_t)t * k + key];
+    }
+  {
+    std::vector<std::thread> ts;
+    auto scatter = [&](int64_t t) {
+      int64_t* s = start.data() + t * k;
+      for (int64_t i = b[t]; i < b[t + 1]; ++i)
+        out[s[keys[i]]++] = i;
+    };
+    for (int64_t t = 1; t < nt; ++t) ts.emplace_back(scatter, t);
+    scatter(0);
+    for (auto& th : ts) th.join();
+  }
+  return 0;
 }
 
 // Runtime toggle for span coalescing (replaces per-op getenv; see

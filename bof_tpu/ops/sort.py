@@ -111,7 +111,11 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
                 padded = x
             x[:] = np.asarray(jnp.sort(jnp.asarray(padded)))[:m]
         else:
-            x.sort()
+            # parallel block sort (the reference's __gnu_parallel::sort,
+            # sort_task.h:8,37): multi-core hosts shard over np.sort
+            # threads + native run merge; 1-core hosts take plain np.sort
+            from ..utils.hostpar import parallel_sort
+            parallel_sort(x)
 
     def searchsorted_keyed(x_sorted, pivots):
         if key is None:

@@ -175,7 +175,13 @@ def csrcsc(a: CsrFlashMatrix, out: CsrFlashMatrix, ctx=None) -> None:
                     cols_parts.append(np.repeat(
                         np.arange(c1 - c0, dtype=np.int32), lens))
                 cols = np.concatenate(cols_parts)
-                order = np.argsort(cols, kind="stable")
+                # native stable counting argsort (parallel on multi-core
+                # hosts — the reference's OpenMP merge parity,
+                # csrcsc_task.h:101-169); np.argsort fallback
+                from ..io.native import counting_argsort_i32
+                order = counting_argsort_i32(cols, c1 - c0)
+                if order is None:
+                    order = np.argsort(cols, kind="stable")
                 out_rows[:] = np.concatenate(rows_parts)[order]
                 out_vals[:] = np.concatenate(vals_parts)[order]
                 assert len(cols) == n_out
