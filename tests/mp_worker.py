@@ -113,6 +113,22 @@ def main() -> int:
     print(f"[p{pid}] one-pass AtA multihost done", flush=True)
     multihost_utils.sync_global_devices("one-pass done")
 
+    # ---- flagship app x multihost data plane: block Lanczos SVD with
+    # every operator application running the sharded one-pass AtA
+    # (VERDICT r3 #7 — the last composition that had never executed
+    # under jax.process_count() > 1).  The Krylov host algebra stays in
+    # lockstep across processes because U is all-gather-replicated.
+    from bof_tpu.apps.eigensolver import block_lanczos_svd
+    sigma, V = block_lanczos_svd(As, n_vals=3, max_kdim=24,
+                                 n_restarts=4, seed=11,
+                                 one_pass=True, mesh=mesh, ctx=ctx)
+    if pid == 0:
+        np.save(os.path.join(workdir, "SVD_sigma_mp.npy"), sigma)
+        np.save(os.path.join(workdir, "SVD_V_mp.npy"), V)
+    print(f"[p{pid}] block_lanczos_svd multihost done "
+          f"(sigma {np.array2string(sigma, precision=4)})", flush=True)
+    multihost_utils.sync_global_devices("lanczos done")
+
     ctx.destroy()
     print(f"[p{pid}] MP_OK", flush=True)
     return 0

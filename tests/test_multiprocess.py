@@ -195,3 +195,21 @@ def test_two_process_data_plane(ctx, rng, tmp_path):
         .astype(np.float32)
     want_u = a_sp.T.astype(np.float64) @ (a_sp.astype(np.float64) @ v_op)
     np.testing.assert_allclose(u_mp, want_u, rtol=2e-4, atol=1e-4)
+
+    # flagship app x multihost (VERDICT r3 #7): the 2-process block
+    # Lanczos SVD (sharded one-pass AtA operator per application) must
+    # reproduce the single-process run's singular values and the exact
+    # dense SVD golden; the collectives' fp32 rounding-order difference
+    # bounds the cross-run tolerance
+    from bof_tpu.apps.eigensolver import block_lanczos_svd
+    sigma_sp, V_sp = block_lanczos_svd(As, n_vals=3, max_kdim=24,
+                                       n_restarts=4, seed=11,
+                                       one_pass=True, mesh=mesh, ctx=ctx)
+    sigma_mp = np.load(os.path.join(workdir, "SVD_sigma_mp.npy"))
+    V_mp = np.load(os.path.join(workdir, "SVD_V_mp.npy"))
+    np.testing.assert_allclose(sigma_mp, sigma_sp, rtol=1e-4, atol=1e-4)
+    want_sigma = np.linalg.svd(a_sp.toarray(), compute_uv=False)[:3]
+    np.testing.assert_allclose(sigma_mp, want_sigma, rtol=1e-3)
+    # right singular vectors match up to per-column sign
+    dots = np.abs(np.sum(V_mp * V_sp, axis=0))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-3)
