@@ -21,6 +21,7 @@ block size so exactly one kernel shape is compiled per config.
 from __future__ import annotations
 
 import collections
+import os
 import queue
 import threading
 import time
@@ -100,15 +101,60 @@ def _storage_shape(arr: FlashArray, logical_shape):
     return (r, c) if arr.order == "R" else (c, r)
 
 
+def _journal_header(m, n, k, alpha, beta, transa, transb, sb, dtype,
+                    xfer_mode) -> str:
+    import json
+    return json.dumps(
+        {"m": m, "n": n, "k": k, "alpha": float(alpha),
+         "beta": float(beta), "ta": transa, "tb": transb, "blk": sb,
+         "dtype": str(dtype), "xfer": xfer_mode}, sort_keys=True)
+
+
+def _load_journal(path: str, header: str) -> set:
+    """Completed (i, j) C-superblocks recorded by an interrupted run.
+    A header mismatch means the journal belongs to a DIFFERENT problem
+    (shape/blk/precision changed between runs) — resuming from it would
+    silently skip wrong blocks, so that is an error, not a restart."""
+    import os
+    done = set()
+    if not os.path.exists(path):
+        return done
+    with open(path) as f:
+        first = f.readline().rstrip("\n")
+        if first != header:
+            raise ValueError(
+                f"resume journal {path} was written by a different gemm "
+                "call (shape/blk/config mismatch); delete it to start "
+                "fresh")
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:  # a torn final line is simply ignored
+                done.add((int(parts[0]), int(parts[1])))
+    return done
+
+
 def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
          alpha: float = 1.0, beta: float = 0.0,
          transa: str = "N", transb: str = "N",
-         blk: Optional[int] = None, ctx=None) -> None:
+         blk: Optional[int] = None, ctx=None,
+         resume_journal: Optional[str] = None) -> None:
     """C = alpha*op(A)op(B) + beta*C over flash-resident matrices.
 
     a: logical (m,k) if transa=='N' else (k,m)
     b: logical (k,n) if transb=='N' else (n,k)
     c: logical (m,n).  Layouts may mix freely.
+
+    `resume_journal` makes the kernel restartable at C-SUPERBLOCK
+    granularity (beyond the reference, which restarts only at kernel
+    boundaries — SURVEY §5 checkpoint/resume): each finished (i, j)
+    superblock is appended to the journal only AFTER its bytes are
+    fsync-durable in C, so a killed run resumes by skipping exactly the
+    superblocks whose data is already on disk, and the resumed C is
+    byte-identical to an uninterrupted run (the K-chain order per block
+    is deterministic).  The journal is keyed by the problem header and
+    removed on completion.  Requires beta == 0: an interrupted write may
+    leave an unfinished block partially written, which a beta
+    accumulation would then read back.
     """
     ctx = ctx or c.ctx or get_context()
     cfg = ctx.config
@@ -201,6 +247,27 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
     else:
         steps = [(i, j, l) for jg in groups for i in range(mB)
                  for l in range(kB) for j in jg]
+
+    journal_f = None
+    if resume_journal is not None:
+        if beta != 0.0:
+            raise ValueError(
+                "resume_journal requires beta == 0 (an interrupted write "
+                "can leave an unfinished C block partially written, which "
+                "a beta accumulation would read back)")
+        header = _journal_header(m, n, k, alpha, beta, transa, transb,
+                                 sb, c.dtype, xfer_mode)
+        done_blocks = _load_journal(resume_journal, header)
+        if done_blocks:
+            steps = [s for s in steps
+                     if (s[0], s[1]) not in done_blocks]
+            LOG.info("gemm resume: %d of %d C superblocks already "
+                     "durable, %d steps remain", len(done_blocks),
+                     mB * nB, len(steps))
+        journal_f = open(resume_journal, "a")
+        if not done_blocks and journal_f.tell() == 0:
+            journal_f.write(header + "\n")
+            journal_f.flush()
 
     def tile_dims(i, j, l):
         return min(sb, m - i * sb), min(sb, n - j * sb), min(sb, k - l * sb)
@@ -421,8 +488,24 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                 METRICS.add("gemm.d2h_bytes", c_host.nbytes)
                 if c_xfer_bf16:  # promote back for fp32 storage
                     c_host = c_host.astype(np.float32)
-                write_tickets.push(c.write_block_storage_async(
-                    i * sb, j * sb, bi, bj, c_host))
+                if journal_f is None:
+                    write_tickets.push(c.write_block_storage_async(
+                        i * sb, j * sb, bi, bj, c_host))
+                else:
+                    # durability order is the journal's correctness: the
+                    # block's bytes reach disk (wait + fsync) BEFORE its
+                    # journal line does — a crash between the two re-does
+                    # the block, never skips a missing one.  One fsync
+                    # per superblock (tens of MB) is noise.
+                    t0 = time.perf_counter()
+                    c.write_block_storage_async(
+                        i * sb, j * sb, bi, bj, c_host).wait()
+                    c.store.flush()
+                    METRICS.add("gemm.write_wait_s",
+                                time.perf_counter() - t0)
+                    journal_f.write(f"{i} {j}\n")
+                    journal_f.flush()
+                    os.fsync(journal_f.fileno())
             write_tickets.wait_all()
             # includes waits absorbed inside push() when the window was
             # full — the pre-TicketWindow metric only timed the final
@@ -496,8 +579,18 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
             writ_t.join(timeout=30)
             break
     if errors:
+        if journal_f is not None:
+            journal_f.close()  # keep the journal: the next call resumes
         raise errors[0]
     c.store.flush()
+    if journal_f is not None:
+        # complete: the journal has served its purpose (leaving it would
+        # make a LATER run over rewritten operands silently skip blocks)
+        journal_f.close()
+        try:
+            os.unlink(resume_journal)
+        except OSError:
+            pass
     hbm.clear()
     METRICS.add("gemm.ms", timer.elapsed_ms())
     flops = 2.0 * m * n * k
