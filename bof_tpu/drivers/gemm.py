@@ -44,6 +44,11 @@ def main(argv=None):
                    help="run the multi-chip path over all local devices "
                         "(jax mesh + psum_scatter; new capability beyond "
                         "the single-node reference)")
+    p.add_argument("--resume-journal", default=None,
+                   help="journal file for superblock-granular "
+                        "kill-and-resume (beyond the reference's "
+                        "kernel-boundary restartability); requires "
+                        "beta=0; removed on completion")
     args = p.parse_args(argv)
     ctx = make_context(args)
     m, n, k = args.m, args.n, args.k
@@ -68,6 +73,8 @@ def main(argv=None):
                       ld=args.ldb)
         C = map_array(args.c_path, (m, n), dt, args.order,
                       create=args.create_c, ctx=ctx, ld=args.ldc)
+    if args.resume_journal and args.sharded:
+        p.error("--resume-journal applies to the single-chip path")
     with Timed("gemm", flops=2.0 * m * n * k):
         if args.sharded:
             from ..parallel import gemm_sharded, make_mesh
@@ -76,7 +83,8 @@ def main(argv=None):
                          mesh=make_mesh(), ctx=ctx)
         else:
             gemm(A, B, C, alpha=args.alpha, beta=args.beta,
-                 transa=args.ta, transb=args.tb, blk=args.blk, ctx=ctx)
+                 transa=args.ta, transb=args.tb, blk=args.blk, ctx=ctx,
+                 resume_journal=args.resume_journal)
     print(f"checksum {checksum(C.read_block(0, min(m, 128), 0, min(n, 128)))}")
     ctx.destroy()
 
