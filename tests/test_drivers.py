@@ -37,6 +37,16 @@ def test_dense_create_and_gemm_driver(tmp_path, scratch):
     a_np = np.fromfile(a, np.float32).reshape(m, k)
     b_np = np.fromfile(b, np.float32).reshape(k, n)
     np.testing.assert_allclose(got, a_np @ b_np, rtol=2e-4, atol=1e-4)
+    # journaled run through the CLI: completes, removes its journal,
+    # and --resume-journal + --sharded is a usage error
+    jp = str(tmp_path / "journal.txt")
+    run_driver("gemm", a, b, c, m, n, k, "--blk", 32, "--scratch",
+               scratch, "--resume-journal", jp)
+    assert not os.path.exists(jp)
+    r = run_driver("gemm", a, b, c, m, n, k, "--blk", 32, "--scratch",
+                   scratch, "--resume-journal", jp, "--sharded",
+                   check=False)
+    assert r.returncode != 0 and "single-chip" in r.stderr
 
 
 def test_sparse_create_and_csrmm_driver(tmp_path, scratch):
