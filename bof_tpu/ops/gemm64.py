@@ -33,9 +33,11 @@ storage-major contracting-dims scheme as ops/device.py; no jax x64 mode
 is needed (the device only ever sees int8/int32).
 
 Capacity model: ~s(s+1)/2 int8 MXU products per fp64 superblock product.
-On v5e (394 int8 TOPS) at s=8 that is ~11 effective fp64 TFLOP/s — far
-above any host CPU's fp64 GEMM — while A/B tiles cross the link at
-8 bytes/element (s int8 slices), exactly fp64 width.
+On v5e (394 int8 TOPS) at s=8 the model gives ~11 effective fp64
+TFLOP/s; measured 6.25 TF/s device-resident (tools/fp64_bench.py,
+docs/PERFORMANCE.md) — far above any host CPU's fp64 GEMM — while A/B
+tiles cross the link at 8 bytes/element (s int8 slices), exactly fp64
+width.
 """
 from __future__ import annotations
 
