@@ -124,6 +124,29 @@ def test_link_verdict_rules():
     assert b.link_verdict(0.99, 0.005, 0.006, 0.0) == "saturated"
 
 
+def test_blk_auto_shrink_exercises_hbm_lru(tmp_path):
+    """When self-sizing lands on few superblocks and BOF_BENCH_BLK is
+    unset, bench shrinks blk to n/4 so the recorded hbm_tier measures a
+    real B-panel-reuse LRU pattern (VERDICT r3 #6): a 4x4x4 grid makes
+    hits strictly dominate misses (each tile re-used across sweeps)."""
+    env = dict(os.environ)
+    env["HOME"] = str(tmp_path)
+    env.pop("BOF_BENCH_BLK", None)
+    env.update({"BOF_BENCH_N": "4096", "BOF_BENCH_CSRMM": "0",
+                "BOF_BENCH_TERTIARY": "0", "BOF_BENCH_XFER": "0",
+                "BOF_BENCH_BUDGET_S": "1800"})
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    r = json.loads(p.stdout.strip().splitlines()[-1])
+    assert r["verified"] is True
+    assert r["blk"] == 1024 and r.get("blk_auto_shrunk") is True, r
+    hbm = r["hbm_tier"]
+    assert hbm["hits"] > hbm["misses"] > 0, hbm
+
+
 def test_bench_attach_failure_artifact(tmp_path):
     """Bad-relay round-end insurance: when the device backend cannot
     initialize (the documented 'Unable to initialize backend ...
