@@ -278,3 +278,45 @@ def test_kmeans_fp64_fuzz(case, ctx):
     np.testing.assert_allclose(got_c, want_c, rtol=1e-12, atol=0,
                                err_msg=f"case {case} n{n} d{d} k{kk}")
     assert counts.sum() == n
+
+
+@pytest.mark.parametrize("case", range(_N or 12))
+def test_hostpar_fuzz(case, monkeypatch):
+    """Randomized shard counts / sizes / dtypes / duplicate densities for
+    the parallel host phase bodies (merge-path run merges + counting
+    argsort): the shard boundaries and co-rank splits are where the bugs
+    live, and every case checks against the numpy golden."""
+    rng = np.random.default_rng(7000 + case)
+    monkeypatch.setenv("BOF_HOST_THREADS", str(int(rng.integers(2, 11))))
+    from bof_tpu.io.native import counting_argsort_i32, load_library
+    from bof_tpu.utils.hostpar import parallel_sort
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+
+    n = int(rng.integers(1, 200_000))
+    dt = rng.choice([np.float32, np.float64, np.int32, np.int64,
+                     np.uint16, np.int8])
+    if np.dtype(dt).kind == "f":
+        # mix wide range, duplicates, and (sometimes) NaN/inf
+        x = rng.standard_normal(n) * 10.0 ** rng.integers(-20, 20)
+        if rng.random() < 0.5 and n > 4:
+            x[rng.integers(0, n, n // 4)] = rng.choice(
+                [np.nan, np.inf, -np.inf, 0.0])
+        x = x.astype(dt)
+    else:
+        hi = int(rng.integers(2, 1 << 14))  # duplicate-heavy
+        x = rng.integers(0, hi, n).astype(dt)
+    want = np.sort(x.copy())
+    parallel_sort(x)
+    if np.dtype(dt).kind == "f":
+        np.testing.assert_array_equal(np.isnan(x), np.isnan(want))
+        m = ~np.isnan(x)
+        np.testing.assert_array_equal(x[m], want[m])
+    else:
+        np.testing.assert_array_equal(x, want)
+
+    k = int(rng.integers(1, 5000))
+    keys = rng.integers(0, k, int(rng.integers(0, 100_000))).astype(np.int32)
+    got = counting_argsort_i32(keys, k)
+    assert got is not None
+    np.testing.assert_array_equal(got, np.argsort(keys, kind="stable"))
