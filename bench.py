@@ -1473,10 +1473,17 @@ def main():
     # completes, the persistent compile cache makes later warm-ups cheap;
     # the state marker records which pairs have paid that cost.
     xfer_warm = state.setdefault("xfer_warm", {})
-    xfer_key = f"{sb}@{xfer2}"
-    xfer_pad = 20 if xfer_warm.get(xfer_key) else 150
     if (xfer == "fp32" and byte_ratio is not None
             and os.environ.get("BOF_BENCH_SKIP_VERIFY") != "1"):
+        # when the headline auto-shrank blk (HBM-LRU showcase), the
+        # secondary runs at the ORIGINAL blk: it wants throughput, and
+        # the tunnel's ~0.45s fixed cost per transfer eats small tiles —
+        # measured: int8 at blk=2048 (4 MB tiles) moved 0.0139 GB/s
+        # against the same day's 0.028 sustained, halving the showcase
+        sb2 = min(int(os.environ.get("BOF_BENCH_BLK", "4096")), n) \
+            if blk_shrunk else sb
+        xfer_key = f"{sb2}@{xfer2}"
+        xfer_pad = 20 if xfer_warm.get(xfer_key) else 150
         # the secondary is GUARANTEED a recorded sample (VERDICT r3 #2 —
         # it is the repo's best single-chip number and r03's artifact
         # dropped it while finding 19s for a tertiary): it shares the
@@ -1490,7 +1497,7 @@ def main():
         def xfer_predict(nn):
             return byte_ratio * 3 * nn * nn * 4 / 1e9 / rate_now + 5
         n2 = n
-        while (n2 - sb >= 2 * sb
+        while (n2 - sb >= 2 * sb2
                and elapsed() + xfer_pad + xfer_predict(n2)
                > 1.2 * budget_s):
             n2 -= sb
@@ -1504,17 +1511,24 @@ def main():
             C2 = bt.FlashArray(C.store, (n2, n2), np.float32, "R", ld=n,
                                ctx=ctx)
         flops2 = 2.0 * n2**3
-        _progress(f"{xfer2}-transfer gemm secondary at n={n2}")
+        _progress(f"{xfer2}-transfer gemm secondary at n={n2} blk={sb2}")
         ctx.config.transfer_dtype = xfer_map[xfer2]
         ctx.config.c_transfer_dtype = "bfloat16"
         try:
-            gemm(Aw, Bw, Cw, blk=sb, ctx=ctx)  # compile warm-up
+            warm2 = min(sb2, n)
+            Aw2 = bt.FlashArray(A.store, (warm2, warm2), np.float32, "R",
+                                ld=n, ctx=ctx)
+            Bw2 = bt.FlashArray(B.store, (warm2, warm2), np.float32, "R",
+                                ld=n, ctx=ctx)
+            Cw2 = bt.FlashArray(C.store, (warm2, warm2), np.float32, "R",
+                                ld=n, ctx=ctx)
+            gemm(Aw2, Bw2, Cw2, blk=sb2, ctx=ctx)  # compile warm-up
             C.write_block(0, np.zeros((64, 64), np.float32))  # scrub
             mb2 = METRICS.snapshot()
             nh2 = len(METRICS.samples("gemm.h2d_tile_gbps"))
             nd2 = len(METRICS.samples("gemm.d2h_tile_gbps"))
             t0 = time.perf_counter()
-            gemm(A2, B2, C2, blk=sb, ctx=ctx)
+            gemm(A2, B2, C2, blk=sb2, ctx=ctx)
             dt2 = time.perf_counter() - t0
             ma2 = METRICS.snapshot()
             got2 = C.read_block(0, 64, 0, 64).astype(np.float64)
@@ -1528,6 +1542,7 @@ def main():
                 return ma2.get(key, 0.0) - mb2.get(key, 0.0)
             result["gemm_xfer"] = {
                 "mode": xfer2, "c_transfer": "bfloat16", "n": n2,
+                "blk": sb2,
                 "gflops": round(flops2 / dt2 / 1e9, 2),
                 "seconds": round(dt2, 2),
                 "h2d_gb": round(xd("gemm.h2d_bytes") / 1e9, 3),
