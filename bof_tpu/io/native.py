@@ -175,7 +175,11 @@ def load_library():
                   ctypes.c_int], ctypes.c_int),
                 ("bof_counting_argsort_i32",
                  [ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
-                  ctypes.c_void_p], ctypes.c_int)):
+                  ctypes.c_void_p], ctypes.c_int),
+                ("bof_fold_i32_f64",
+                 [ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+                  ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+                  ctypes.c_longlong], None)):
             fn = getattr(lib, name, None)
             if fn is not None:
                 fn.argtypes = argtypes
@@ -287,6 +291,35 @@ def counting_argsort_i32(keys: np.ndarray, k: int):
     rc = lib.bof_counting_argsort_i32(keys.ctypes.data, keys.size,
                                       int(k), out.ctypes.data)
     return out if rc == 0 else None
+
+
+def fold_i32_f64(planes: np.ndarray, weights: np.ndarray,
+                 acc: np.ndarray) -> bool:
+    """acc += sum_p weights[p] * planes[p] in ONE fused parallel pass —
+    the sliced fp64 gemm's plane fold (ops/gemm64.py flush).  numpy does
+    s separate multiply-add sweeps, each re-reading acc and building a
+    full-size f64 temporary.  Per element the fused loop applies the
+    SAME fp64 operation sequence, so the result is bit-identical.
+    `acc` may be a strided row view (multihost shard regions); `planes`
+    must be a contiguous (s, lines, width) int32 stack.  Returns False
+    when the engine is unavailable or layouts don't qualify (caller
+    falls back to the numpy chain)."""
+    lib = load_library()
+    if (lib is None or not hasattr(lib, "bof_fold_i32_f64")
+            or planes.dtype != np.int32 or acc.dtype != np.float64
+            or planes.ndim != 3 or acc.ndim != 2
+            or not planes.flags["C_CONTIGUOUS"]
+            or planes.shape[1:] != acc.shape
+            or acc.strides[1] != 8 or acc.strides[0] % 8):
+        return False
+    w = np.ascontiguousarray(weights, np.float64)
+    if w.shape != (planes.shape[0],):
+        raise ValueError(f"weights {w.shape} != plane count "
+                         f"{planes.shape[0]}")
+    lib.bof_fold_i32_f64(planes.ctypes.data, planes.shape[0],
+                         acc.shape[0], acc.shape[1], w.ctypes.data,
+                         acc.ctypes.data, acc.strides[0] // 8)
+    return True
 
 
 def cast_bf16(src: np.ndarray) -> np.ndarray:

@@ -938,6 +938,29 @@ int bof_counting_argsort_i32(const int* keys, long long n, long long k,
   return 0;
 }
 
+// Fused int32-plane fold: acc[l, c] += sum_p w[p] * planes[p, l, c]
+// (the sliced fp64 gemm's flush fold, ops/gemm64.py).  One parallel pass
+// over the tile instead of numpy's s separate multiply-add sweeps (each
+// re-reading acc and materializing an f64 temporary).  int32 -> f64
+// conversion and the f64 multiply-adds are exact per element, identical
+// to the numpy chain's operation order per element (w descends in p
+// exactly as the caller supplies it).  acc may be a strided row view
+// (acc_ld >= width) — the multihost shard regions.
+void bof_fold_i32_f64(const int* planes, long long s, long long n_lines,
+                      long long width, const double* w, double* acc,
+                      long long acc_ld) {
+  const int64_t n = (int64_t)n_lines * width;
+  prep_parallel(n, [&](int64_t lo, int64_t hi, int64_t) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t line = i / width, col = i % width;
+      double v = acc[line * acc_ld + col];
+      for (int64_t p = 0; p < s; ++p)
+        v += w[p] * (double)planes[p * n + i];
+      acc[line * acc_ld + col] = v;
+    }
+  });
+}
+
 // Runtime toggle for span coalescing (replaces per-op getenv; see
 // g_span_disable).  Exported so the Python side can mirror env changes.
 void bof_set_span_disable(int disable) {

@@ -369,12 +369,20 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
     # property of the static sharding — recorded once on first flush.
     owned_regions: list = []
 
+    def _fold(planes, block):
+        """block += sum_p w[p]*planes[p]: native fused pass (one sweep,
+        prep_parallel fan-out, bit-identical per-element fp64 sequence)
+        with the numpy multiply-add chain as fallback."""
+        from ..io.native import fold_i32_f64
+        if not fold_i32_f64(planes, w, block):
+            for p in range(planes.shape[0]):
+                block += w[p] * planes[p]  # int32 * f64: exact products
+
     def flush(S, c_acc):
         if not multihost:
             planes = dev.from_device(S)  # (s, sb, sb) int32, exact
             METRICS.add("gemm64.d2h_bytes", planes.nbytes)
-            for p in range(planes.shape[0]):
-                c_acc += w[p] * planes[p]  # int32 * f64: exact products
+            _fold(planes, c_acc)
             return c_acc
         record = not owned_regions
         for shard in S.addressable_shards:
@@ -384,8 +392,7 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             x0, y0 = xs.start or 0, ys.start or 0
             block = c_acc[x0:x0 + planes.shape[1],
                           y0:y0 + planes.shape[2]]
-            for p in range(planes.shape[0]):
-                block += w[p] * planes[p]
+            _fold(planes, block)
             if record:
                 owned_regions.append(((x0, x0 + planes.shape[1]),
                                       (y0, y0 + planes.shape[2])))

@@ -157,3 +157,34 @@ def test_csrcsc_forced_fanout(forced_threads, ctx):
     np.testing.assert_array_equal(AT.read_ia(), want.indptr)
     np.testing.assert_array_equal(AT.ja.read_all(), want.indices)
     np.testing.assert_allclose(AT.vals.read_all(), want.data, rtol=1e-6)
+
+
+def test_fold_i32_f64_bit_identical(forced_threads):
+    """The fused plane fold must be BIT-identical to the numpy
+    multiply-add chain (same per-element fp64 operation sequence) —
+    gemm64's accuracy contract depends on it; strided acc views
+    (multihost shard regions) included."""
+    from bof_tpu.io.native import fold_i32_f64
+    rng = np.random.default_rng(11)
+    s, lines, width = 8, 37, 53
+    planes = rng.integers(-(2**28), 2**28, (s, lines, width),
+                          dtype=np.int32)
+    w = np.ldexp(1.0, -12 - 7 * np.arange(s))
+    acc0 = rng.standard_normal((lines, width))
+    want = acc0.copy()
+    for p in range(s):
+        want += w[p] * planes[p]
+    got = acc0.copy()
+    assert fold_i32_f64(planes, w, got) is True
+    np.testing.assert_array_equal(got, want)
+    # strided view: fold into the interior of a larger array
+    parent = rng.standard_normal((lines + 4, width + 9))
+    view = parent[2:2 + lines, 3:3 + width]
+    want2 = view.copy()
+    for p in range(s):
+        want2 += w[p] * planes[p]
+    assert fold_i32_f64(planes, w, view) is True
+    np.testing.assert_array_equal(view, want2)
+    # non-qualifying layouts fall back
+    assert fold_i32_f64(planes[:, :, ::2], w,
+                        acc0[:, ::2].copy()) is False
