@@ -44,6 +44,19 @@ def test_scrub_noop_on_clean_output():
     assert ge._scrub_aot_pseudo_feature_noise(out) == out
 
 
+def test_stderr_fd_scrub_inprocess_path(capfd):
+    # the in-process dryrun path captures OS-level fd 2 (XLA's C++ logs
+    # bypass sys.stderr); pseudo-feature lines written straight to the fd
+    # must be scrubbed, real content re-emitted
+    with ge._scrubbed_stderr_fd():
+        os.write(2, _PSEUDO.encode())
+        os.write(2, b"real stderr line\n")
+    got = capfd.readouterr().err
+    assert "prefer-no-scatter" not in got
+    assert "real stderr line" in got
+    assert "scrubbed 1 cpu_aot_loader" in got
+
+
 def test_machine_sig_stable_and_short():
     a, b = ge._machine_sig(), ge._machine_sig()
     assert a == b and len(a) == 12
