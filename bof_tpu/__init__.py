@@ -14,6 +14,7 @@ from .core.tiled_array import repack, unpack
 from .io import MemStore, StrideInfo
 from .lib_funcs import flash_memcpy, flash_memset, flash_truncate
 from .ops import bof_map, bof_reduce, bof_sort, gemm, gemm_in_mem
+from .utils.lexkey import lex_composite
 from .ops.gemm64 import gemm64
 from .ops.kmeans import kmeans_fit, lloyds_iter
 from .sparse import (CsrFlashMatrix, csrcsc, csrcsc_scratch, csrgemv,
@@ -30,6 +31,7 @@ __all__ = [
     "flash_memcpy", "flash_memset", "flash_truncate", "gemm64",
     "TiledFlashArray", "map_tiled_array", "repack", "unpack",
     "bof_map", "bof_reduce", "bof_sort", "gemm", "gemm_in_mem",
+    "lex_composite",
     "kmeans_fit", "lloyds_iter",
     "CsrFlashMatrix", "csrcsc", "csrcsc_scratch", "csrgemv", "csrmm",
     "block_lanczos_svd", "block_power_svd", "topic_model", "xml_rank",

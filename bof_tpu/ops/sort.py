@@ -38,8 +38,21 @@ def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
              ctx=None) -> None:
     """`key`, if given, maps a value vector to sortable keys (the analog of
     the reference's comparator template parameter, sort.tpp `Comparator`);
-    it must be order-embedding (vectorized, deterministic)."""
+    it must be order-embedding (vectorized, deterministic).  A key that
+    returns a TUPLE/LIST of equal-length columns sorts lexicographically
+    by position (primary key first) — the multi-field comparator case —
+    via an order-preserving bytes composite (utils/lexkey.py; see its
+    docstring for per-column descending and NaN placement)."""
     ctx = ctx or src.ctx or get_context()
+    if key is not None:
+        _user_key = key
+
+        def key(x, _uk=_user_key):
+            k = _uk(x)
+            if isinstance(k, (tuple, list)):
+                from ..utils.lexkey import lex_composite
+                return lex_composite(k)
+            return np.asarray(k)
     if src.shape != dst.shape or len(src.shape) != 1:
         raise ValueError("sort needs equal-shape 1-D arrays")
     if src.dtype != dst.dtype:
