@@ -34,16 +34,40 @@ from ..utils import cdiv, fatal
 
 
 def bof_sort(src: FlashArray, dst: FlashArray, descending: bool = False,
-             key=None, blk_elems: Optional[int] = None, oversample: int = 32,
-             ctx=None) -> None:
+             key=None, cmp=None, blk_elems: Optional[int] = None,
+             oversample: int = 32, ctx=None) -> None:
     """`key`, if given, maps a value vector to sortable keys (the analog of
     the reference's comparator template parameter, sort.tpp `Comparator`);
     it must be order-embedding (vectorized, deterministic).  A key that
     returns a TUPLE/LIST of equal-length columns sorts lexicographically
     by position (primary key first) — the multi-field comparator case —
     via an order-preserving bytes composite (utils/lexkey.py; see its
-    docstring for per-column descending and NaN placement)."""
+    docstring for per-column descending and NaN placement).
+
+    `cmp`, if given, is an ARBITRARY three-way scalar comparator
+    (`cmp(a, b) < 0` iff a orders before b; must induce a strict weak
+    order) — the exact analog of the reference's `flash::sort<T, Cmp>`
+    template argument for comparators no vectorized key expresses.  It
+    runs at Python-comparison speed (every block argsort/searchsorted
+    goes element-wise through `cmp`), so prefer `key=` wherever an
+    order-embedding exists; a C++ less-functor `less(a,b)` maps to
+    `cmp=lambda a, b: less(b, a) - less(a, b)`.  Mutually exclusive
+    with `key=`.  Ascending runs are stable — equal-comparing elements
+    keep their input order (stable block argsorts, pivot-consistent
+    bucketing, block-ordered fragment merges); `descending=True`
+    reverses the stable ascending result."""
     ctx = ctx or src.ctx or get_context()
+    if cmp is not None:
+        if key is not None:
+            raise ValueError("pass either key= or cmp=, not both")
+        from functools import cmp_to_key
+        _K = cmp_to_key(cmp)
+
+        def key(x, _K=_K):
+            out = np.empty(len(x), dtype=object)
+            for i, v in enumerate(x):
+                out[i] = _K(v)
+            return out
     if key is not None:
         _user_key = key
 

@@ -118,6 +118,63 @@ def test_sort_tuple_key_structured_records(ctx, rng):
     np.testing.assert_array_equal(got, data[order])
 
 
+def test_sort_arbitrary_cmp(ctx, rng):
+    """cmp= is the reference comparator's full analog (flash::sort<T,Cmp>,
+    sort.tpp:13): evens ascending before odds descending — a strict weak
+    order with no single vectorized order-embedding."""
+    from functools import cmp_to_key
+
+    def cmp(a, b):
+        a, b = int(a), int(b)
+        ea, eb = a % 2 == 0, b % 2 == 0
+        if ea != eb:
+            return -1 if ea else 1
+        return (a > b) - (a < b) if ea else (b > a) - (b < a)
+
+    n = 25_000
+    data = rng.integers(-900, 900, n).astype(np.int32)
+    src = mem_array((n,), np.int32, data=data.copy(), ctx=ctx)
+    dst = mem_array((n,), np.int32, ctx=ctx)
+    bof_sort(src, dst, cmp=cmp, blk_elems=3000, ctx=ctx)
+    want = np.array(sorted(data.tolist(), key=cmp_to_key(cmp)), np.int32)
+    np.testing.assert_array_equal(dst.read_all(), want)
+    # descending reverses the ascending comparator order
+    dst2 = mem_array((n,), np.int32, ctx=ctx)
+    bof_sort(src, dst2, cmp=cmp, descending=True, blk_elems=3000, ctx=ctx)
+    np.testing.assert_array_equal(dst2.read_all(), want[::-1])
+
+
+def test_sort_cmp_is_stable(ctx, rng):
+    """Ascending cmp sort preserves input order among equal-comparing
+    records (python sorted() golden, which is stable by spec)."""
+    rec = np.dtype([("k", np.int8), ("tag", np.int32)])
+    n = 9_000
+    data = np.empty(n, rec)
+    data["k"] = rng.integers(0, 4, n)          # duplicate-heavy keys
+    data["tag"] = np.arange(n, dtype=np.int32)  # input-position tracer
+
+    def cmp(a, b):  # compares ONLY field 0 — ties decided by stability
+        return int(a[0]) - int(b[0])
+
+    src = mem_array((n,), rec, data=data, ctx=ctx)
+    dst = mem_array((n,), rec, ctx=ctx)
+    bof_sort(src, dst, cmp=cmp, blk_elems=1024, ctx=ctx)
+    got = dst.read_all()
+    from functools import cmp_to_key
+    want = np.array(sorted(data, key=cmp_to_key(cmp)), rec)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sort_cmp_key_mutually_exclusive(ctx, rng):
+    n = 256
+    src = mem_array((n,), np.int32,
+                    data=rng.integers(0, 9, n).astype(np.int32), ctx=ctx)
+    dst = mem_array((n,), np.int32, ctx=ctx)
+    with pytest.raises(ValueError, match="not both"):
+        bof_sort(src, dst, key=lambda x: x,
+                 cmp=lambda a, b: int(a) - int(b), ctx=ctx)
+
+
 def test_sort_tuple_key_descending(ctx, rng):
     n = 12_000
     data = rng.integers(0, 40, n).astype(np.int32)
