@@ -50,6 +50,10 @@ def main(argv=None):
                         "kernel-boundary restartability); requires "
                         "beta=0; removed on completion")
     args = p.parse_args(argv)
+    if args.resume_journal and args.sharded:
+        # argument validation must precede map_array: --create-c would
+        # otherwise create/truncate the C file before the usage error
+        p.error("--resume-journal applies to the single-chip path")
     ctx = make_context(args)
     m, n, k = args.m, args.n, args.k
     dt = np.dtype(args.dtype)
@@ -73,8 +77,6 @@ def main(argv=None):
                       ld=args.ldb)
         C = map_array(args.c_path, (m, n), dt, args.order,
                       create=args.create_c, ctx=ctx, ld=args.ldc)
-    if args.resume_journal and args.sharded:
-        p.error("--resume-journal applies to the single-chip path")
     with Timed("gemm", flops=2.0 * m * n * k):
         if args.sharded:
             from ..parallel import gemm_sharded, make_mesh

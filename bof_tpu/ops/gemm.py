@@ -128,7 +128,11 @@ def _load_journal(path: str, header: str) -> set:
                 "fresh")
         for line in f:
             parts = line.split()
-            if len(parts) == 2:  # a torn final line is simply ignored
+            # a torn final line is ignored — and a tear can truncate a
+            # TOKEN, not just drop one ('12 34\n' -> '12 3' still splits
+            # into two parts), so only a complete line (trailing newline
+            # intact) may mark a superblock done
+            if line.endswith("\n") and len(parts) == 2:
                 done.add((int(parts[0]), int(parts[1])))
     return done
 

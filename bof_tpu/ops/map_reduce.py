@@ -29,9 +29,16 @@ from ..utils import cdiv
 
 # Weakref-keyed (not lru_cache): a dead fn releases its closure AND the
 # compiled executable immediately instead of pinning up to 64 of them for
-# process lifetime, and an unhashable/non-weakrefable callable degrades to
-# a per-call jit (the pre-memoization semantics) instead of raising.
+# process lifetime.  Hashable-but-non-weakrefable callables (builtins
+# like `abs`: weakref.ref(abs) raises TypeError) get a small strong-ref
+# LRU — such callables are process-global singletons, so pinning them
+# leaks nothing, and losing memoization would retrace (a ~30s remote
+# compile here) on EVERY bof_map call.  numpy ufuncs are resolved to
+# their jax.numpy namesake before caching (see _jit_elementwise).
+# Unhashable callables degrade to a per-call jit.
 _jit_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_jit_strong_cache: "dict" = {}  # insertion-ordered: oldest evicted first
+_JIT_STRONG_CAP = 64
 _jit_lock = threading.Lock()
 
 
@@ -40,23 +47,52 @@ def _jit_elementwise(fn):
     # (warm-up + measured run, or an iterative solver) reuse one jit
     # wrapper instead of retracing per bof_map call
     import jax
-    try:
-        with _jit_lock:
-            hit = _jit_cache.get(fn)
+    if isinstance(fn, np.ufunc):
+        # numpy ufuncs call __array__ on tracers (untraceable under jit)
+        # and cannot be weakref'd; the jax.numpy function of the same
+        # name is both traceable and a cacheable module singleton
+        import jax.numpy as jnp
+        jfn = getattr(jnp, fn.__name__, None)
+        if jfn is None:
+            raise TypeError(
+                f"bof_map fn {fn!r} has no jax.numpy equivalent "
+                f"(jnp.{fn.__name__} does not exist); pass a jnp-based "
+                "callable instead")
+        fn = jfn
+    with _jit_lock:
+        try:
+            ref = weakref.ref(fn)
+        except TypeError:
+            ref = None
+        # non-weakref-path jits go through a strong trampoline lambda:
+        # jax.jit itself weakrefs its fun (its internal cache), so
+        # jit(np.sqrt) raises the very TypeError being handled here
+        if ref is not None:
+            try:
+                hit = _jit_cache.get(fn)
+            except TypeError:  # unhashable: fresh jit per call
+                return jax.jit(lambda x, _fn=fn: _fn(x))
             if hit is None:
                 # jit a trampoline that holds fn only WEAKLY: caching
-                # jax.jit(fn) directly would make the value reference its
-                # own key, which defeats WeakKeyDictionary collection (the
-                # documented value->key caveat) and pins fn's closure +
-                # executable for process lifetime.  The caller holds fn
-                # for the duration of the bof_map call, so the deref
-                # cannot fail mid-trace.
-                ref = weakref.ref(fn)
+                # jax.jit(fn) directly would make the value reference
+                # its own key, which defeats WeakKeyDictionary
+                # collection (the documented value->key caveat) and pins
+                # fn's closure + executable for process lifetime.  The
+                # caller holds fn for the duration of the bof_map call,
+                # so the deref cannot fail mid-trace.
                 hit = jax.jit(lambda x: ref()(x))
                 _jit_cache[fn] = hit
             return hit
-    except TypeError:  # unhashable or not weakref-able: fresh jit per call
-        return jax.jit(fn)
+        try:
+            hit = _jit_strong_cache.pop(fn, None)
+        except TypeError:  # unhashable: fresh jit per call
+            return jax.jit(lambda x, _fn=fn: _fn(x))
+        if hit is None:
+            hit = jax.jit(lambda x, _fn=fn: _fn(x))
+            if len(_jit_strong_cache) >= _JIT_STRONG_CAP:
+                _jit_strong_cache.pop(next(iter(_jit_strong_cache)))
+        _jit_strong_cache[fn] = hit  # (re-)insert at LRU tail
+        return hit
 
 
 def bof_map(src: FlashArray, dst: FlashArray, fn: Callable,

@@ -27,9 +27,13 @@ def fanout_threads(n: int, min_per: int = 1 << 19) -> int:
     at least min_per elements each, BOF_HOST_THREADS override (<= 16)."""
     env = os.environ.get("BOF_HOST_THREADS")
     if env:
-        nt = max(1, min(int(env), 16))
-    else:
-        nt = min(os.cpu_count() or 1, 8)
+        # explicit override: the min_per amortization floor does NOT
+        # apply — 1-core CI sets this to force the sharded paths under
+        # test, and capping by n // min_per would silently send those
+        # tests down the serial path (only the hard one-element-per-
+        # shard bound remains)
+        return max(1, min(int(env), 16, n))
+    nt = min(os.cpu_count() or 1, 8)
     return max(1, min(nt, n // min_per if n >= min_per else 1))
 
 

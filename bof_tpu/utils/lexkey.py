@@ -18,12 +18,17 @@ Per-column transform to big-endian order-preserving bytes:
   order after `x ^ MIN`);
 - floats: the IEEE-754 total-order trick — view as signed int `i`, then
   negatives map to `~i` and non-negatives to `i | SIGN`, giving an
-  unsigned integer that increases with the float value.  +NaN payloads
-  land above +inf (numpy's own NaN-last placement); a NEGATIVE-sign NaN
-  lands below -inf — unlike `np.sort`, which puts every NaN last.  -0.0
-  orders just below +0.0 (they are numerically equal, so any stable
-  order between them is a valid tie-break);
+  unsigned integer that increases with the float value.  Value-equal
+  floats must map to ONE key (a later column breaks the tie, and
+  distinct keys would break lexicographic order on every subsequent
+  column), so the column is canonicalized first: `-0.0 -> +0.0`, and
+  every NaN (any sign/payload) -> the positive quiet NaN, which lands
+  above +inf — numpy's own NaN-last placement;
 - bool: one byte.
+
+Non-native byte orders are converted to native before the transforms
+(viewing big-endian storage as native integers would apply the sign-bit
+flip to the wrong lane).
 
 Descending on an individual column: pass the bitwise/arithmetic
 complement of that column (`-x` for signed/float without extrema,
@@ -40,6 +45,8 @@ def _column_bytes(col: np.ndarray) -> np.ndarray:
     col = np.ascontiguousarray(col)
     if col.ndim != 1:
         raise ValueError(f"key columns must be 1-D, got shape {col.shape}")
+    if not col.dtype.isnative and col.dtype != np.bool_:
+        col = col.astype(col.dtype.newbyteorder("="))
     dt = col.dtype
     if dt == np.bool_:
         u = col.astype(np.uint8)
@@ -58,6 +65,13 @@ def _column_bytes(col: np.ndarray) -> np.ndarray:
             idt, udt, sign = np.int64, np.uint64, np.uint64(1 << 63)
         else:
             raise TypeError(f"unsupported float itemsize {dt.itemsize}")
+        # canonicalize value-equal bit patterns: -0.0 == +0.0 and all
+        # NaNs must share one key, or a "tie" poisons every later column
+        col = col + dt.type(0.0)  # -0.0 + 0.0 -> +0.0, others unchanged
+        nan = np.isnan(col)
+        if nan.any():
+            col = col.copy()
+            col[nan] = dt.type(np.nan)  # one positive quiet NaN pattern
         i = col.view(idt)
         u = np.where(i < 0, ~i, i | idt(sign)).view(udt)
     else:

@@ -110,6 +110,21 @@ def test_gemm_kill_and_resume(ctx, tmp_path):
                                atol=1e-3)
 
 
+def test_journal_torn_lines_ignored(tmp_path):
+    """A power-loss tear can truncate a TOKEN, not just drop one:
+    '12 34\\n' torn to '12 3' still splits into two parts — only a line
+    with its trailing newline intact may mark a superblock done
+    (accepting '12 3' would skip a never-computed block on resume)."""
+    from bof_tpu.ops.gemm import _load_journal
+    jp = str(tmp_path / "j.txt")
+    with open(jp, "w") as f:
+        f.write("HDR\n0 1\n2 3\n12 3")  # last line torn mid-token
+    assert _load_journal(jp, "HDR") == {(0, 1), (2, 3)}
+    with open(jp, "w") as f:
+        f.write("HDR\n0 1\n2")  # torn to a single token
+    assert _load_journal(jp, "HDR") == {(0, 1)}
+
+
 def test_resume_journal_guards(ctx, tmp_path):
     import bof_tpu as bt
     from bof_tpu.ops.gemm import gemm

@@ -129,6 +129,12 @@ def test_fanout_threads_bounds(monkeypatch):
     assert fanout_threads(100) == 1  # tiny body stays serial
     monkeypatch.setenv("BOF_HOST_THREADS", "99")
     assert fanout_threads(1 << 24) == 16  # override is capped
+    # the override BYPASSES the min_per amortization floor — otherwise
+    # every forced-fanout test in this file with n < 2*min_per would
+    # silently run the serial path and never reach the merge kernels
+    monkeypatch.setenv("BOF_HOST_THREADS", "7")
+    assert fanout_threads(100_003) == 7
+    assert fanout_threads(3) == 3  # hard one-element-per-shard bound
 
 
 def test_bof_sort_forced_fanout(forced_threads, ctx, rng):

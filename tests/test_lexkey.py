@@ -41,11 +41,10 @@ def test_composite_matches_lexsort(rng, dtypes):
         if dt == np.bool_:
             cols.append(rng.integers(0, 2, n).astype(bool))
         elif np.issubdtype(dt, np.floating):
-            # duplicates force tie-breaks through later columns; `+ 0.0`
-            # normalizes -0.0 -> +0.0 (composite orders -0.0 < +0.0, a
-            # valid tie-break that lexsort's stable ties would not take)
-            cols.append((np.round(rng.standard_normal(n), 1) + 0.0)
-                        .astype(dt))
+            # duplicates (incl. -0.0 from rounding negatives) force
+            # tie-breaks through later columns — the composite
+            # canonicalizes -0.0 == +0.0 exactly like lexsort
+            cols.append(np.round(rng.standard_normal(n), 1).astype(dt))
         else:
             info = np.iinfo(dt)
             cols.append(rng.integers(info.min, info.max, n, dtype=dt,
@@ -56,8 +55,8 @@ def test_composite_matches_lexsort(rng, dtypes):
 
 
 def test_composite_float_specials():
-    # +-0 are numerically equal: composite may order -0 before +0 (a valid
-    # tie-break), so compare VALUE sequences, not permutations
+    # +-0 are numerically equal and canonicalize to one key; compare
+    # VALUE sequences (the permutation among equal zeros is input order)
     x = np.array([0.0, -0.0, np.inf, -np.inf, 1.5, -1.5,
                   np.finfo(np.float64).tiny, -np.finfo(np.float64).tiny],
                  np.float64)
@@ -74,6 +73,53 @@ def test_composite_int_extremes():
                   np.iinfo(np.int64).max], np.int64)
     order = np.argsort(lex_composite((x[::-1].copy(),)))
     np.testing.assert_array_equal(x[::-1][order], x)
+
+
+def test_composite_negative_zero_tie_breaks_through_later_columns():
+    """-0.0 and +0.0 are value-equal: they must map to ONE key so the
+    next column decides the order (distinct keys would poison every
+    subsequent column's tie-break)."""
+    a = np.array([-0.0, 0.0, -0.0, 0.0], np.float64)
+    b = np.array([3, 1, 2, 0], np.int64)
+    got = np.argsort(lex_composite((a, b)), kind="stable")
+    np.testing.assert_array_equal(got, np.lexsort((b, a)))
+    # and within an all-zero primary the order is exactly b's
+    np.testing.assert_array_equal(b[got], [0, 1, 2, 3])
+
+
+def test_composite_nan_payloads_group_as_one_key():
+    """Any-sign/any-payload NaNs canonicalize to one key (above +inf),
+    so a later column breaks NaN ties — and placement matches numpy's
+    NaN-last."""
+    neg_nan = np.frombuffer(np.uint64(0xFFF8000000000123).tobytes(),
+                            np.float64)[0]
+    payload_nan = np.frombuffer(np.uint64(0x7FF8000000000456).tobytes(),
+                                np.float64)[0]
+    a = np.array([np.nan, 1.0, neg_nan, np.inf, payload_nan], np.float64)
+    b = np.array([2, 9, 1, 9, 0], np.int64)
+    order = np.argsort(lex_composite((a, b)), kind="stable")
+    # finite/inf first, then the three NaNs ordered by the SECOND column
+    assert not np.isnan(a[order][:2]).any()
+    assert np.isnan(a[order][2:]).all()
+    np.testing.assert_array_equal(b[order][2:], [0, 1, 2])
+
+
+def test_composite_non_native_byte_order():
+    """Big-endian storage (network/file formats) must byteswap before
+    the sign-bit/total-order transforms, or signed/float lanes missort."""
+    rng = np.random.default_rng(17)
+    for dt in (">i4", ">f8", ">u4", ">i8", ">f4"):
+        native = rng.integers(-1000, 1000, 500).astype(np.dtype(dt).newbyteorder("="))
+        if np.dtype(dt).kind == "f":
+            native = (native + rng.standard_normal(500)).astype(
+                np.dtype(dt).newbyteorder("="))
+        swapped = native.astype(dt)
+        got = np.argsort(lex_composite((swapped,)), kind="stable")
+        want = np.argsort(lex_composite((native,)), kind="stable")
+        np.testing.assert_array_equal(got, want, err_msg=dt)
+        np.testing.assert_array_equal(swapped[got],
+                                      np.sort(native).astype(dt),
+                                      err_msg=dt)
 
 
 def test_composite_rejects_bad_input():

@@ -20,6 +20,45 @@ def test_map_sqrt(ctx, rng):
     np.testing.assert_allclose(dst.read_all(), np.sqrt(data), rtol=1e-6)
 
 
+def test_map_jit_cache_handles_every_callable_kind(ctx, rng):
+    """Every callable kind memoizes (or degrades) correctly: plain fns
+    via the weakref cache; numpy ufuncs resolve to their jnp namesake
+    (np.sqrt calls __array__ on tracers AND can't be weakref'd);
+    non-weakrefable builtins (abs) take the strong LRU; unhashable fns
+    degrade to per-call jit.  Losing memoization means a full retrace
+    per bof_map call (~30s remote compiles)."""
+    from bof_tpu.ops.map_reduce import _jit_elementwise
+
+    # ufunc: resolves to jnp.sqrt, same compiled wrapper on every lookup
+    assert _jit_elementwise(np.sqrt) is _jit_elementwise(np.sqrt)
+    # unknown ufunc name raises clearly, not deep in a trace
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="jax.numpy equivalent"):
+        _jit_elementwise(np.isnat)  # datetime ufunc: no jnp namesake
+    # plain function: weakref path, also memoized
+    f = lambda x: x + 1  # noqa: E731
+    assert _jit_elementwise(f) is _jit_elementwise(f)
+    # builtin (non-weakrefable, hashable): strong LRU, memoized
+    assert _jit_elementwise(abs) is _jit_elementwise(abs)
+
+    n = 4_000
+    data = np.abs(rng.standard_normal(n)).astype(np.float32) - 0.5
+    src = mem_array((n,), np.float32, data=data, ctx=ctx)
+    dst = mem_array((n,), np.float32, ctx=ctx)
+    bof_map(src, dst, np.abs, blk_elems=512, ctx=ctx)  # ufunc end-to-end
+    np.testing.assert_allclose(dst.read_all(), np.abs(data), rtol=1e-6)
+    bof_map(src, dst, abs, blk_elems=512, ctx=ctx)  # builtin end-to-end
+    np.testing.assert_allclose(dst.read_all(), np.abs(data), rtol=1e-6)
+
+    class UnhashableFn:
+        __hash__ = None
+
+        def __call__(self, x):
+            return x * 2.0
+    bof_map(src, dst, UnhashableFn(), blk_elems=512, ctx=ctx)
+    np.testing.assert_allclose(dst.read_all(), data * 2.0, rtol=1e-6)
+
+
 def test_map_in_place(ctx, rng):
     n = 5000
     data = rng.standard_normal(n).astype(np.float32)
