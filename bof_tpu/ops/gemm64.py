@@ -32,12 +32,13 @@ tighter than) a native fp64 accumulation of k terms.  All eight
 storage-major contracting-dims scheme as ops/device.py; no jax x64 mode
 is needed (the device only ever sees int8/int32).
 
-Capacity model: ~s(s+1)/2 int8 MXU products per fp64 superblock product.
-On v5e (394 int8 TOPS) at s=8 the model gives ~11 effective fp64
-TFLOP/s; measured 6.25 TF/s device-resident (tools/fp64_bench.py,
-docs/PERFORMANCE.md) — far above any host CPU's fp64 GEMM — while A/B
-tiles cross the link at 8 bytes/element (s int8 slices), exactly fp64
-width.
+Capacity model: ~s(s+1)/2 int8 MXU products' worth of MACs per fp64
+superblock product, packed into s anti-diagonal dot_generals (see
+_slice_accum).  On v5e (394 int8 TOPS) at s=8 the model gives ~11
+effective fp64 TFLOP/s; measured 6.72 TF/s device-resident
+(tools/fp64_bench.py, docs/PERFORMANCE.md) — far above any host CPU's
+fp64 GEMM — while A/B tiles cross the link at 8 bytes/element (s int8
+slices), exactly fp64 width.
 """
 from __future__ import annotations
 
@@ -88,27 +89,35 @@ def _split_slices(tile: np.ndarray, exps: np.ndarray, s: int) -> np.ndarray:
 def _slice_accum(S, a_sl, b_sl, *, a_km: bool, b_nk: bool, c_nm: bool):
     """S[p] += sum_{i+j=p} op(A_i) op(B_j) as exact int8->int32 MXU
     products, storage-major layouts absorbed by contracting dims exactly
-    like ops/device.py accum_step (the fp64 analog of accum_step_q)."""
+    like ops/device.py accum_step (the fp64 analog of accum_step_q).
+
+    Each weight plane is ONE dot_general: the anti-diagonal i+j=p pairs
+    a_sl[0..p] with b_sl[p..0], so contracting the plane-index dim AND
+    the k dim together computes the whole diagonal sum inside the MXU's
+    int32 accumulator.  vs the naive s(s+1)/2 separate products this
+    runs the same MACs in s dots and replaces the s(s+1)/2 HBM-bound
+    (sb, sb) int32 plane adds with s — integer arithmetic, so the planes
+    are BIT-identical to the pairwise form (the k_flush overflow bound
+    |S_p| <= s*k_acc*2^12 is unchanged: same summands, same plane)."""
     import jax.numpy as jnp
     from jax import lax
     s = a_sl.shape[0]
     ka = 0 if a_km else 1
     kb = 1 if b_nk else 0
+    b_rev = jnp.flip(b_sl, 0)  # b_rev[t] = b_sl[s-1-t]
     outs = []
     for p in range(S.shape[0]):
-        acc = S[p]
-        for i in range(max(0, p - s + 1), min(p + 1, s)):
-            j = p - i
-            if not c_nm:
-                o = lax.dot_general(a_sl[i], b_sl[j],
-                                    (((ka,), (kb,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-            else:
-                o = lax.dot_general(b_sl[j], a_sl[i],
-                                    (((kb,), (ka,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-            acc = acc + o
-        outs.append(acc)
+        a_d = a_sl[:p + 1]          # planes i = 0..p
+        b_d = b_rev[s - 1 - p:]     # planes j = p..0 (aligned: i + j = p)
+        if not c_nm:
+            o = lax.dot_general(a_d, b_d,
+                                (((0, ka + 1), (0, kb + 1)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        else:
+            o = lax.dot_general(b_d, a_d,
+                                (((0, kb + 1), (0, ka + 1)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        outs.append(S[p] + o)
     return jnp.stack(outs)
 
 
@@ -139,23 +148,25 @@ def _sharded_slice_accum(mesh, s: int, a_km: bool, b_nk: bool,
         from jax import lax
         ka = 0 if a_km else 1
         kb = 1 if b_nk else 0
+        # anti-diagonal contraction (see _slice_accum): one dot + one
+        # psum_scatter per weight plane instead of p+1 of each —
+        # bit-identical int32 (the ICI reduction is an exact integer sum)
+        b_rev = jnp.flip(b_loc, 0)
         outs = []
         for p in range(S_loc.shape[0]):
-            acc = None
-            for i in range(max(0, p - s + 1), min(p + 1, s)):
-                j = p - i
-                if not c_nm:
-                    o = lax.dot_general(a_loc[i], b_loc[j],
-                                        (((ka,), (kb,)), ((), ())),
-                                        preferred_element_type=jnp.int32)
-                    sd = 1  # n dim of the (m, n) partial
-                else:
-                    o = lax.dot_general(b_loc[j], a_loc[i],
-                                        (((kb,), (ka,)), ((), ())),
-                                        preferred_element_type=jnp.int32)
-                    sd = 0  # n dim of the (n, m) partial
-                acc = o if acc is None else acc + o
-            red = lax.psum_scatter(acc, "y", scatter_dimension=sd,
+            a_d = a_loc[:p + 1]
+            b_d = b_rev[s - 1 - p:]
+            if not c_nm:
+                o = lax.dot_general(a_d, b_d,
+                                    (((0, ka + 1), (0, kb + 1)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                sd = 1  # n dim of the (m, n) partial
+            else:
+                o = lax.dot_general(b_d, a_d,
+                                    (((0, kb + 1), (0, ka + 1)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                sd = 0  # n dim of the (n, m) partial
+            red = lax.psum_scatter(o, "y", scatter_dimension=sd,
                                    tiled=True)
             outs.append(S_loc[p] + red)
         return jnp.stack(outs)

@@ -382,3 +382,35 @@ def test_frexp_exponent_1024_splits_exactly(ctx64):
     got = C.read_all()
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("a_km", [False, True])
+@pytest.mark.parametrize("b_nk", [False, True])
+@pytest.mark.parametrize("c_nm", [False, True])
+def test_slice_accum_diagonal_exact_vs_pairwise(a_km, b_nk, c_nm):
+    """The anti-diagonal contraction (one dot per weight plane,
+    contracting the plane index AND k together) must be BIT-identical
+    to the naive pairwise sum_{i+j=p} A_i@B_j — integer arithmetic has
+    one answer regardless of summation structure (no overflow here)."""
+    import jax.numpy as jnp
+
+    from bof_tpu.ops.gemm64 import _slice_accum
+    rng = np.random.default_rng(41)
+    s, m, n, k = 5, 24, 40, 16
+    a_shape = (s, k, m) if a_km else (s, m, k)
+    b_shape = (s, n, k) if b_nk else (s, k, n)
+    a_sl = rng.integers(-64, 65, a_shape).astype(np.int8)
+    b_sl = rng.integers(-64, 65, b_shape).astype(np.int8)
+    S0 = rng.integers(-1000, 1000,
+                      (s, n, m) if c_nm else (s, m, n)).astype(np.int32)
+    got = np.asarray(_slice_accum(jnp.asarray(S0), jnp.asarray(a_sl),
+                                  jnp.asarray(b_sl), a_km=a_km,
+                                  b_nk=b_nk, c_nm=c_nm))
+    want = S0.astype(np.int64)
+    for p in range(s):
+        for i in range(p + 1):
+            ai = a_sl[i].T if a_km else a_sl[i]
+            bj = b_sl[p - i].T if b_nk else b_sl[p - i]
+            prod = ai.astype(np.int64) @ bj.astype(np.int64)
+            want[p] += prod.T if c_nm else prod
+    np.testing.assert_array_equal(got, want.astype(np.int32))

@@ -6,7 +6,8 @@ Times the steady-state superblock step with DEVICE-RESIDENT slice stacks
 (no link traffic — the pure MXU term of the roofline), and the
 fp32-HIGHEST accum_step for context (the other high-accuracy path).
 Effective fp64 rate = 2*m*n*k / t per step; theory on v5e is
-~394 int8 TOPS / 36 products ~ 11 TF/s at s=8.
+~394 int8 TOPS / 36 products' worth of MACs ~ 11 TF/s at s=8 (the MACs
+run as s anti-diagonal dot_generals, not 36 separate products).
 
     python tools/fp64_bench.py [--sb 4096] [--slices 8] [--iters 8]
 """
@@ -37,7 +38,8 @@ def main():
     from bof_tpu.ops.gemm64 import _slice_accum
 
     print(f"backend: {jax.default_backend()}  sb={sb}  s={s} "
-          f"({s * (s + 1) // 2} int8 products/step)", file=sys.stderr)
+          f"({s * (s + 1) // 2} int8 products' MACs in {s} diagonal "
+          f"dots/step)", file=sys.stderr)
     rng = np.random.default_rng(1)
     a_sl = dev.to_device(rng.integers(-64, 65, (s, sb, sb), dtype=np.int8))
     b_sl = dev.to_device(rng.integers(-64, 65, (s, sb, sb), dtype=np.int8))
