@@ -175,6 +175,39 @@ def _sharded_slice_accum(mesh, s: int, a_km: bool, b_nk: bool,
 
 
 @functools.lru_cache(maxsize=None)
+def _renorm_digits(s: int):
+    """jitted exact base-2^7 redigitization of the weight planes.
+
+    The s int32 planes are a redundant signed-digit representation of
+    sum_p S_p 2^(-7p): consecutive planes overlap in 32-7=25 bits, so
+    downloading them all costs 4s bytes per C element while the value
+    they encode needs far fewer.  One carry sweep from the lowest weight
+    upward — carry = (S_p + 64) >> 7 (arithmetic shift: round-to-
+    nearest, ties down), d_p = S_p - (carry << 7) in [-64, 63],
+    S_{p-1} += carry — yields int8 digit planes plus an int32 head with
+    IDENTICAL value (integer identity S_p = 128*carry + d_p, no
+    rounding anywhere).  D2H drops 4s -> 4 + (s-1) bytes per element
+    (32 -> 11 at s=8) on the h2d/d2h-bound out-of-core path.  Overflow-
+    safe under the k_flush bound: |S_p| <= 2^30, |carry| <= 2^23, so
+    |S_{p-1} + carry| < 2^31.  No reference analog — the reference's
+    fp64 path is native dgemm (include/bof_types.h:24-42); this is
+    TPU-emulation plumbing."""
+    import jax
+    import jax.numpy as jnp
+
+    def renorm(S):
+        digits = []
+        cur = S[s - 1]
+        for p in range(s - 1, 0, -1):
+            carry = (cur + 64) >> 7
+            digits.append((cur - (carry << 7)).astype(jnp.int8))
+            cur = S[p - 1] + carry
+        return cur, jnp.stack(digits[::-1])
+
+    return jax.jit(renorm)
+
+
+@functools.lru_cache(maxsize=None)
 def _sharded_zeros(mesh, spec, shape):
     """jitted sharded-zeros initializer (no host upload: XLA materializes
     each shard on its own device)."""
@@ -389,10 +422,26 @@ def gemm64(a, b, c, alpha: float = 1.0, beta: float = 0.0,
             for p in range(planes.shape[0]):
                 block += w[p] * planes[p]  # int32 * f64: exact products
 
+    import os
+    # exact digit renorm before D2H (single-chip path; the mesh branch
+    # below moves plane shards host-intra, where 4s bytes don't ride the
+    # accelerator link).  Kill-switch mirrors BOF_NO_SPAN_COALESCE.
+    digit_d2h = mesh is None and not os.environ.get("BOF_NO_PLANE_DIGITS")
+
     def flush(S, c_acc):
         if not multihost:
-            planes = dev.from_device(S)  # (s, sb, sb) int32, exact
-            METRICS.add("gemm64.d2h_bytes", planes.nbytes)
+            if digit_d2h:
+                head, digs = _renorm_digits(s)(S)
+                head = dev.from_device(head)     # (sb, sb) int32
+                digs = dev.from_device(digs)     # (s-1, sb, sb) int8
+                METRICS.add("gemm64.d2h_bytes", head.nbytes + digs.nbytes)
+                # same value, same weights: head takes w[0], digit plane
+                # p-1 takes w[p]; widening to int32 reuses the fused fold
+                planes = np.concatenate(
+                    [head[None], digs.astype(np.int32)])
+            else:
+                planes = dev.from_device(S)  # (s, sb, sb) int32, exact
+                METRICS.add("gemm64.d2h_bytes", planes.nbytes)
             _fold(planes, c_acc)
             return c_acc
         record = not owned_regions

@@ -414,3 +414,44 @@ def test_slice_accum_diagonal_exact_vs_pairwise(a_km, b_nk, c_nm):
             prod = ai.astype(np.int64) @ bj.astype(np.int64)
             want[p] += prod.T if c_nm else prod
     np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_renorm_digits_exact_value_bounds_and_dtypes():
+    """The base-2^7 redigitization must encode EXACTLY the same value as
+    the raw planes (integer identity, checked in exact rational
+    arithmetic via Python ints scaled by 128^(s-1)) with every digit in
+    int8 range, including planes at the k_flush magnitude bound 2^30."""
+    import jax.numpy as jnp
+
+    from bof_tpu.ops.gemm64 import _renorm_digits
+    rng = np.random.default_rng(3)
+    s, h, w = 8, 9, 13
+    S = rng.integers(-(1 << 30), (1 << 30) + 1, (s, h, w)).astype(np.int32)
+    S[0, 0, 0] = (1 << 30)          # exact bound corners
+    S[s - 1, 0, 1] = -(1 << 30)
+    head, digs = _renorm_digits(s)(jnp.asarray(S))
+    head = np.asarray(head)
+    digs = np.asarray(digs)
+    assert head.dtype == np.int32 and digs.dtype == np.int8
+    assert digs.shape == (s - 1, h, w)
+    assert digs.min() >= -64 and digs.max() <= 63
+    B = 128
+    for i in range(h):
+        for j in range(w):
+            want = sum(int(S[p, i, j]) * B ** (s - 1 - p) for p in range(s))
+            got = int(head[i, j]) * B ** (s - 1) + sum(
+                int(digs[p, i, j]) * B ** (s - 2 - p) for p in range(s - 1))
+            assert got == want
+
+
+def test_digit_flush_matches_plane_flush(ctx64, monkeypatch):
+    """Digit-renormalized D2H vs raw int32 planes: same decomposition
+    value, so the folded C must agree to fp64 rounding (the summands
+    differ, so bit-identity is not promised — the scaled-error bound is
+    the contract both modes meet; multi-flush path included)."""
+    rng = np.random.default_rng(11)
+    run64(ctx64, rng, "R", "N", "N", m=33, n=21, k=64, blk=16,
+          k_flush=32, scale_rows=np.logspace(-8, 8, 33))
+    monkeypatch.setenv("BOF_NO_PLANE_DIGITS", "1")
+    run64(ctx64, np.random.default_rng(11), "R", "N", "N", m=33, n=21,
+          k=64, blk=16, k_flush=32, scale_rows=np.logspace(-8, 8, 33))
