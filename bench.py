@@ -28,13 +28,27 @@ BASELINE.json.configs entry (each prints its own one-JSON-line result):
   sgemm (default) | csrmm | csrgemv | kmeans | csrcsc_sort | map_reduce
   | io (native-engine disk GB/s, tunnel-independent; BOF_BENCH_IO_GB)
   | fp64 (sliced fp64 gemm on the chip; BOF_BENCH_FP64_N/_BLK)
+  | cache (Program-Cache pressure + prioritizer-vs-FCFS A/B, tunnel-
+    independent; BOF_BENCH_CACHE_N/_BLK/_BUDGET_MB)
+  | device (device-resident accum-step TF/s regression rows;
+    BOF_BENCH_DEV_SB/_ITERS)
+  | oocdisk (disk-axis scale proof: gemm at working set ~10x budget on
+    the CPU backend, journal armed; BOF_BENCH_DISK_N/_BLK/_BUDGET_MB)
 
 The default-mode artifact is self-labeling (VERDICT r3): `link_verdict`
 grades the measured window saturated/tunnel_degraded/pipeline_bubble from
 its own evidence, a degraded window is re-measured once when the re-probe
 shows recovery, the compressed-transfer secondary is guaranteed a sample
-(sub-sizing instead of skipping), and every artifact embeds a compact
-`last_good` summary of the most recent verified chip run.
+(and sizes its OWN n — int8 moves ~0.33x the bytes per sweep, so it runs
+a ~1.6x larger problem than the fp32 headline, VERDICT r4 #3), and every
+artifact embeds a compact `last_good` summary of the most recent verified
+chip run.
+
+Output contract (VERDICT r4 #1): the printed line is COMPACT (<= ~1500
+chars, so it survives the driver's 2000-char tail capture) with the
+headline keys repeated as the line's FINAL keys; the full telemetry is
+written to sidecar JSONs at docs/artifacts/bench_full_last.json and
+~/.cache/bof_tpu/bench/full_<kernel>_last.json.
 """
 from __future__ import annotations
 
@@ -720,6 +734,305 @@ def run_io(ctx) -> dict:
             "io_verified": ok}
 
 
+def _dag_gemm_run(a_path: str, b_path: str, c_path: str, n: int, blk: int,
+                  budget: int, use_prio: bool, shuffle_seed=None) -> dict:
+    """Blocked C = A @ B over the Task/Scheduler DAG machinery with HOST
+    numpy compute — the reference's own execution model (one MKL task per
+    (k,i,j) block with K-accumulate chains, src/blas/gemm.cpp:83-129) —
+    under REAL cache pressure: working set >> program_budget, so the
+    Program Cache must evict, write back dirty C tiles mid-chain, and
+    service its backlog under budget (reference: cache.cpp:346-390).
+    `use_prio` A/Bs the Prioritizer's min-bytes-to-fetch ranking against
+    FCFS (reference: prioritizer.h:116-139); `shuffle_seed` randomizes
+    task insertion order (the DAG-order-agnostic case).  Tunnel- and
+    device-independent: disk + host DRAM only."""
+    import shutil
+    import tempfile
+
+    import bof_tpu as bt
+    from bof_tpu.core.task import FnTask
+    from bof_tpu.io.stride import StrideInfo
+    from bof_tpu.utils import METRICS
+
+    scratch = tempfile.mkdtemp(prefix="bof_cachebench_")
+    ctx = bt.FlashContext(bt.FlashConfig(
+        scratch_dir=scratch, program_budget=budget,
+        n_io_threads=4, n_compute_threads=2,
+        enable_prioritizer=use_prio, use_o_direct=True))
+    try:
+        A = bt.map_array(a_path, (n, n), np.float32, "R", ctx=ctx)
+        B = bt.map_array(b_path, (n, n), np.float32, "R", ctx=ctx)
+        C = bt.map_array(c_path, (n, n), np.float32, "R", create=True,
+                         ctx=ctx)
+        nb = n // blk
+        si = StrideInfo(stride=n * 4, n_strides=blk, len_per_stride=blk * 4)
+        a_st, b_st, c_st = A.store, B.store, C.store
+
+        def make_task(i, j, ll):
+            t = FnTask()
+            a_off = (i * blk * n + ll * blk) * 4
+            b_off = (ll * blk * n + j * blk) * 4
+            c_off = (i * blk * n + j * blk) * 4
+            t.add_read(a_st, a_off, si)
+            t.add_read(b_st, b_off, si)
+            if ll > 0:
+                t.add_read(c_st, c_off, si)  # accumulate needs prior C
+            t.add_write(c_st, c_off, si)
+
+            def fn(tsk):
+                a = tsk.buf(a_st, a_off, si).reshape(blk, blk)
+                b = tsk.buf(b_st, b_off, si).reshape(blk, blk)
+                c = tsk.buf(c_st, c_off, si).reshape(blk, blk)
+                if ll == 0:
+                    np.matmul(a, b, out=c)  # beta=0: W-only alloc, no read
+                else:
+                    c += a @ b
+            t._fn = fn
+            return t
+
+        # K-accumulate chains exactly as the reference (gemm.cpp:114-126)
+        tasks, order = [], []
+        chain_prev = {}
+        for ll in range(nb):
+            for i in range(nb):
+                for j in range(nb):
+                    t = make_task(i, j, ll)
+                    if ll > 0:
+                        t.add_parent(chain_prev[(i, j)].id)
+                    chain_prev[(i, j)] = t
+                    tasks.append(t)
+        order = list(tasks)
+        if shuffle_seed is not None:
+            np.random.default_rng(shuffle_seed).shuffle(order)
+
+        sched = ctx.scheduler()
+        m0 = METRICS.snapshot()
+        t0 = time.perf_counter()
+        sched.add_tasks(order)
+        max_backlog = max_ready = 0
+        while not sched._all_done.is_set():
+            max_backlog = max(max_backlog, len(sched.cache._backlog))
+            max_ready = max(max_ready, len(sched.prio))
+            time.sleep(0.002)
+        sched.wait_for(tasks)  # raises on any task error
+        sched.flush_cache()
+        wall = time.perf_counter() - t0
+        m1 = METRICS.snapshot()
+
+        def d(key):
+            return m1.get(key, 0.0) - m0.get(key, 0.0)
+        # verify two windows (head + a deep (i,j) block) vs numpy goldens
+        ok = True
+        for (r0, c0) in ((0, 0), ((nb - 1) * blk, (nb // 2) * blk)):
+            a_rows = A.read_block(r0, 64, 0, n).astype(np.float64)
+            b_cols = B.read_block(0, n, c0, 64).astype(np.float64)
+            got = C.read_block(r0, 64, c0, 64).astype(np.float64)
+            want = a_rows @ b_cols
+            rel = float(np.abs(got - want).max()
+                        / (np.abs(want).max() or 1.0))
+            ok = ok and rel < 2e-4
+        return {
+            "wall_s": round(wall, 2),
+            "gflops": round(2.0 * n**3 / wall / 1e9, 2),
+            "fetch_gb": round(d("cache.fetch_bytes") / 1e9, 4),
+            "writeback_gb": round(d("cache.writeback_bytes") / 1e9, 4),
+            "evictions": int(d("cache.evict_clean") + d("cache.evict_dirty")),
+            "evict_dirty": int(d("cache.evict_dirty")),
+            "hits": int(d("cache.hit")), "misses": int(d("cache.miss")),
+            "resurrections": int(d("cache.resurrect")),
+            "alloc_fails": int(d("cache.alloc_fail")),
+            "max_backlog": max_backlog, "max_ready": max_ready,
+            "tasks": len(tasks), "ok": ok,
+        }
+    finally:
+        ctx.destroy()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def run_cache(_ctx_unused=None) -> dict:
+    """Program-Cache pressure benchmark with a Prioritizer A/B (VERDICT r4
+    #2): a task-DAG gemm whose working set is >= 4x the program budget,
+    run {natural, shuffled} insertion x {prioritizer, FCFS}.  Records
+    evictions (> 0 by construction), dirty write-back GB, backlog depth,
+    and the prioritizer-vs-FCFS bytes-fetched + wall ratios — the measured
+    number the reference paper's central machinery deserves
+    (cache.cpp:346-390, prioritizer.h:116-139)."""
+    n = int(os.environ.get("BOF_BENCH_CACHE_N", 4096))
+    blk = int(os.environ.get("BOF_BENCH_CACHE_BLK", 512))
+    ws = 3 * n * n * 4
+    budget = int(float(os.environ.get("BOF_BENCH_CACHE_BUDGET_MB",
+                                      ws / 4 / (1 << 20))) * (1 << 20))
+    a_path = os.path.join(CACHE_DIR, f"A_{n}.bin")
+    b_path = os.path.join(CACHE_DIR, f"B_{n}.bin")
+    _progress(f"cache-pressure operands n={n} (generate-if-missing)")
+    ensure_operand(a_path, n, 1)
+    ensure_operand(b_path, n, 2)
+    out = {"cache_n": n, "cache_blk": blk,
+           "budget_mb": round(budget / (1 << 20), 1),
+           "ws_over_budget": round(ws / budget, 2)}
+    # unrecorded warm-up DAG at 1/4 scale: numpy BLAS init, native engine
+    # load, scheduler thread spin-up — the FIRST measured run must not
+    # carry those one-time costs (measured 3.04s vs 0.51s at toy scale)
+    n_w = max(2 * blk, n // 4)
+    a_w = os.path.join(CACHE_DIR, f"A_{n_w}.bin")
+    b_w = os.path.join(CACHE_DIR, f"B_{n_w}.bin")
+    ensure_operand(a_w, n_w, 1)
+    ensure_operand(b_w, n_w, 2)
+    _progress("cache-pressure warm-up DAG")
+    _dag_gemm_run(a_w, b_w, output_path(f"cacheC_warm_{n_w}"), n_w, blk,
+                  max(budget, 3 * blk * blk * 4 * 2), True)
+    runs = {}
+    for tag, use_prio, seed in (("prio", True, None),
+                                ("fcfs", False, None),
+                                ("prio_shuf", True, 123),
+                                ("fcfs_shuf", False, 123)):
+        _progress(f"cache-pressure DAG gemm [{tag}]")
+        runs[tag] = _dag_gemm_run(a_path, b_path,
+                                  output_path(f"cacheC_{tag}_{n}"),
+                                  n, blk, budget, use_prio, seed)
+    out["runs"] = runs
+    ok = all(r["ok"] for r in runs.values())
+    ev = min(r["evictions"] for r in runs.values())
+    out["prio_fetch_ratio"] = round(
+        runs["fcfs"]["fetch_gb"] / max(runs["prio"]["fetch_gb"], 1e-9), 4)
+    out["prio_wall_ratio"] = round(
+        runs["fcfs"]["wall_s"] / max(runs["prio"]["wall_s"], 1e-9), 4)
+    out["prio_fetch_ratio_shuffled"] = round(
+        runs["fcfs_shuf"]["fetch_gb"]
+        / max(runs["prio_shuf"]["fetch_gb"], 1e-9), 4)
+    out["prio_wall_ratio_shuffled"] = round(
+        runs["fcfs_shuf"]["wall_s"]
+        / max(runs["prio_shuf"]["wall_s"], 1e-9), 4)
+    # verified = numerically correct AND the pressure machinery actually
+    # engaged (evictions in EVERY configuration)
+    out["cache_verified"] = bool(ok and ev > 0
+                                 and out["ws_over_budget"] >= 4)
+    return out
+
+
+def run_oocdisk(_unused=None) -> dict:
+    """Out-of-core scale proof on the DISK axis (VERDICT r4 #8): the full
+    gemm pipeline — tiled reads through the native pinned tile cache,
+    HBM-tier group schedule, async writer, resume journal armed — on the
+    CPU backend with operands ~10x the program budget, O_DIRECT so the
+    page cache cannot hide the disk traffic.  The BASELINE target
+    'operands >= 10x HBM' is unreachable through a 0.04 GB/s tunnel;
+    'operands >> cache budgets' is the same machinery on the disk axis.
+    Records the sustained disk GB/s against a same-run sequential-read
+    probe, pin-cache evictions, and the per-stage stall partition (on a
+    1-core host the wall is compute-bound; the stage rates and busy
+    fractions are the roofline evidence).  BOF_BENCH_DISK_N/_BLK/
+    _BUDGET_MB override the shape."""
+    import shutil
+    import tempfile
+
+    import bof_tpu as bt
+    from bof_tpu.io.stride import StrideInfo
+    from bof_tpu.ops.gemm import gemm as _gemm
+    from bof_tpu.utils import METRICS
+
+    n = int(os.environ.get("BOF_BENCH_DISK_N", 32768))
+    blk = int(os.environ.get("BOF_BENCH_DISK_BLK", 4096))
+    blk = min(blk, n)
+    budget = int(float(os.environ.get(
+        "BOF_BENCH_DISK_BUDGET_MB", 3 * n * n * 4 / 10.3 / (1 << 20)))
+        * (1 << 20))
+    ws = 3 * n * n * 4
+    scratch = tempfile.mkdtemp(prefix="bof_oocdisk_")
+    ctx = bt.FlashContext(bt.FlashConfig(
+        scratch_dir=scratch, program_budget=budget, hbm_budget=budget,
+        n_io_threads=8, use_o_direct=True, gemm_blk_size=blk,
+        pipeline_depth=3))
+    try:
+        a_path = os.path.join(CACHE_DIR, f"A_{n}.bin")
+        b_path = os.path.join(CACHE_DIR, f"B_{n}.bin")
+        _progress(f"oocdisk operands n={n} (generate-if-missing, "
+                  f"{ws / 1e9:.1f} GB working set)")
+        ensure_operand(a_path, n, 1)
+        ensure_operand(b_path, n, 2)
+        A = bt.map_array(a_path, (n, n), np.float32, "R", ctx=ctx)
+        B = bt.map_array(b_path, (n, n), np.float32, "R", ctx=ctx)
+        C = bt.map_array(output_path(f"Cd_{n}"), (n, n), np.float32, "R",
+                         create=True, ctx=ctx)
+
+        # same-run disk probe: 512 MiB sequential engine read of A
+        pb = min(512 << 20, n * n * 4)
+        from bof_tpu.io.native import alloc_aligned
+        out = alloc_aligned(pb)
+        req = 64 << 20
+        t0 = time.perf_counter()
+        ts = [A.store.read(off, StrideInfo.contiguous(min(req, pb - off)),
+                           out[off:off + min(req, pb - off)])
+              for off in range(0, pb, req)]
+        for t in ts:
+            t.wait()
+        probe_gbps = pb / (time.perf_counter() - t0) / 1e9
+        del out
+
+        warm = min(blk, n)
+        Aw = bt.FlashArray(A.store, (warm, warm), np.float32, "R", ld=n,
+                           ctx=ctx)
+        Bw = bt.FlashArray(B.store, (warm, warm), np.float32, "R", ld=n,
+                           ctx=ctx)
+        Cw = bt.FlashArray(C.store, (warm, warm), np.float32, "R", ld=n,
+                           ctx=ctx)
+        _progress("oocdisk warm-up superblock")
+        _gemm(Aw, Bw, Cw, blk=blk, ctx=ctx)
+        C.write_block(0, np.zeros((64, 64), np.float32))  # scrub verify win
+
+        nat = getattr(ctx.pin_cache(), "_nat", None)
+        s0 = nat.stats() if nat is not None else {}
+        m0 = METRICS.snapshot()
+        journal = os.path.join(scratch, "oocdisk.journal")
+        _progress(f"oocdisk measured gemm n={n} blk={blk} "
+                  f"budget={budget >> 20} MiB (journal armed)")
+        t0 = time.perf_counter()
+        _gemm(A, B, C, blk=blk, ctx=ctx, resume_journal=journal)
+        wall = time.perf_counter() - t0
+        m1 = METRICS.snapshot()
+        s1 = nat.stats() if nat is not None else {}
+
+        def d(key):
+            return m1.get(key, 0.0) - m0.get(key, 0.0)
+        tile_b = blk * blk * 4
+        fetched = (s1.get("misses", 0) - s0.get("misses", 0)) * tile_b
+        written = n * n * 4  # C written back once
+        a_rows = A.read_block(0, 64, 0, n).astype(np.float64)
+        b_cols = B.read_block(0, n, 0, 64).astype(np.float64)
+        got = C.read_block(0, 64, 0, 64).astype(np.float64)
+        want = a_rows @ b_cols
+        rel = float(np.abs(got - want).max() / (np.abs(want).max() or 1.0))
+        return {
+            "disk_n": n, "disk_blk": blk,
+            "budget_mb": round(budget / (1 << 20), 1),
+            "ws_gb": round(ws / 1e9, 2),
+            "ws_over_budget": round(ws / budget, 2),
+            "wall_s": round(wall, 1),
+            "gflops": round(2.0 * n**3 / wall / 1e9, 2),
+            "probe_seq_read_gbps": round(probe_gbps, 4),
+            "disk_fetched_gb": round(fetched / 1e9, 2),
+            "disk_written_gb": round(written / 1e9, 2),
+            "sustained_disk_gbps": round((fetched + written) / wall / 1e9,
+                                         4),
+            "disk_stall_s": round(d("gemm.disk_wait_s"), 1),
+            "write_wait_s": round(d("gemm.write_wait_s"), 1),
+            "stage_busy": {
+                "h2d_s": round(d("gemm.h2d_s"), 1),
+                "d2h_s": round(d("gemm.d2h_s"), 1),
+                "prep_s": round(d("gemm.prep_s"), 1),
+                "accum_wait_s": round(d("gemm.accum_wait_s"), 1),
+                "tile_wait_s": round(d("gemm.tile_wait_s"), 1)},
+            "tile_cache": {k: s1.get(k, 0) - s0.get(k, 0)
+                           for k in ("hits", "misses", "evictions")},
+            "journal_consumed": not os.path.exists(journal),
+            "max_rel_err": float(f"{rel:.3g}"),
+            "oocdisk_verified": bool(rel < 1e-3),
+        }
+    finally:
+        ctx.destroy()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def ensure_operand_f64(path: str, n: int, seed: int,
                        scale_decades: float = 0.0):
     """Cached square float64 operand; scale_decades > 0 spreads per-row
@@ -821,6 +1134,89 @@ def run_gemm64(ctx) -> dict:
     }
 
 
+def run_device(ctx) -> dict:
+    """Device-resident capability regression rows (VERDICT r4 #7): TF/s of
+    every accumulate-step variant at a fixed shape, ~60s on-device and
+    link-independent — one compact JSON per round so a regression in any
+    chip-side kernel is visible as a trend, not an anecdote.  Rows:
+    fp32-HIGHEST / fp32-default / bf16-transfer / int8-quantized
+    (ops/device.py accum_step / accum_step_q) / Pallas fp32-HI (TPU only,
+    ops/matmul_pallas.py) / sliced-fp64 step (ops/gemm64._slice_accum).
+    Reference analog: the per-task MKL call is the reference's device
+    term (gemm_task.h:67-93); these are its TPU replacements."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bof_tpu.ops import device as dev
+    from bof_tpu.ops.gemm64 import _slice_accum
+
+    sb = int(os.environ.get("BOF_BENCH_DEV_SB", 4096))
+    iters = int(os.environ.get("BOF_BENCH_DEV_ITERS", 4))
+    s = int(getattr(ctx.config, "fp64_slices", 8))
+    rng = np.random.default_rng(3)
+    a32 = dev.to_device(rng.standard_normal((sb, sb)).astype(np.float32))
+    b32 = dev.to_device(rng.standard_normal((sb, sb)).astype(np.float32))
+    flops = 2.0 * sb**3
+
+    def timed(step, c0, *args):
+        c = step(c0, *args)
+        dev.sync(c)  # compile + first run outside the window
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = step(c, *args)
+        dev.sync(c)
+        return flops * iters / (time.perf_counter() - t0) / 1e12
+
+    rows = {}
+    lay = {"a_km": False, "b_nk": False, "c_nm": False}
+    alpha = np.float32(1.0)
+    for prec in ("highest", "default"):
+        _progress(f"device row: fp32-{prec}")
+        step = jax.jit(functools.partial(dev.accum_step, prec=prec, **lay))
+        rows[f"fp32_{prec}_tflops"] = round(
+            timed(step, jnp.zeros((sb, sb), jnp.float32), a32, b32, alpha),
+            2)
+    _progress("device row: bf16 inputs")
+    step = jax.jit(functools.partial(dev.accum_step, prec="default", **lay))
+    rows["bf16_tflops"] = round(
+        timed(step, jnp.zeros((sb, sb), jnp.float32),
+              a32.astype(jnp.bfloat16), b32.astype(jnp.bfloat16), alpha), 2)
+    _progress("device row: int8 quantized")
+    a8 = dev.to_device(rng.integers(-127, 128, (sb, sb), dtype=np.int8))
+    b8 = dev.to_device(rng.integers(-127, 128, (sb, sb), dtype=np.int8))
+    rows["int8_tflops"] = round(
+        timed(functools.partial(dev.accum_step_q, **lay),
+              jnp.zeros((sb, sb), jnp.float32), a8, b8, np.float32(1e-4)),
+        2)
+    if dev.on_tpu():
+        _progress("device row: pallas fp32-HIGHEST")
+        step = jax.jit(functools.partial(dev.accum_step, prec="highest",
+                                         impl="pallas", **lay))
+        rows["pallas_fp32_highest_tflops"] = round(
+            timed(step, jnp.zeros((sb, sb), jnp.float32), a32, b32, alpha),
+            2)
+    _progress("device row: sliced fp64 step")
+    a_sl = dev.to_device(rng.integers(-64, 65, (s, sb, sb), dtype=np.int8))
+    b_sl = dev.to_device(rng.integers(-64, 65, (s, sb, sb), dtype=np.int8))
+
+    def step64(S, aa, bb):
+        return _slice_accum(S, aa, bb, a_km=False, b_nk=False, c_nm=False)
+    rows["fp64_step_tflops"] = round(
+        timed(step64, jnp.zeros((s, sb, sb), jnp.int32), a_sl, b_sl), 2)
+
+    # correctness spot-check: one int8 step vs numpy int32 exact product
+    got = np.asarray(dev.accum_step_q(
+        jnp.zeros((256, 256), jnp.float32), a8[:256, :256], b8[:256, :256],
+        np.float32(1.0), **lay))
+    want = (a8[:256, :256].astype(np.int32)
+            @ b8[:256, :256].astype(np.int32)).astype(np.float32)
+    ok = bool(np.array_equal(got, np.asarray(want)))
+    return {"device_rows": rows, "device_sb": sb, "device_iters": iters,
+            "device_backend": dev.backend(), "device_verified": ok}
+
+
 def ensure_operand_1d(path: str, n_elems: int, seed: int):
     nbytes = n_elems * 4
     if os.path.exists(path) and os.path.getsize(path) == nbytes:
@@ -890,6 +1286,83 @@ def _progress(msg: str):
           file=sys.stderr, flush=True)
 
 
+# ---- truncation-proof artifact emission (VERDICT r4 #1) -------------------
+# The driver records only the LAST 2000 chars of stdout; r04's JSON line
+# outgrew that and the recorded artifact lost its own headline number
+# (BENCH_r04.parsed = null).  Every mode now prints a COMPACT line (target
+# <= _MAX_LINE chars, nested telemetry summarized one level deep) and
+# writes the FULL result to sidecar JSONs — one under the repo's
+# docs/artifacts/ (committed with the round) and one under CACHE_DIR.
+# Belt-and-braces: the headline keys are REPEATED as the final keys of the
+# printed line, so even a mid-JSON truncation shows them in the tail.
+
+_MAX_LINE = 1500
+_TAIL_KEYS = ("metric", "value", "unit", "vs_baseline", "link_verdict",
+              "verified")
+SIDECAR_REL = "docs/artifacts/bench_full_last.json"
+
+
+def _render_line(compact: dict) -> str:
+    """One JSON line with the tail keys duplicated LAST.  Duplicate keys
+    are legal JSON; json.loads keeps the last occurrence (same value)."""
+    body = json.dumps(compact, separators=(",", ":"))
+    tail = {k: compact[k] for k in _TAIL_KEYS if k in compact}
+    if not tail:
+        return body
+    return body[:-1] + "," + json.dumps(tail, separators=(",", ":"))[1:]
+
+
+def emit(full: dict, compact: dict | None = None,
+         kernel: str = "sgemm") -> None:
+    """Write `full` to the sidecars, print the compact line (auto-dropping
+    trailing optional keys until it fits _MAX_LINE)."""
+    payload = {"ts": time.time(),
+               "iso": time.strftime("%Y-%m-%dT%H:%M:%S"),
+               "kernel": kernel, "result": full}
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = [os.path.join(CACHE_DIR, f"full_{kernel}_last.json"),
+             os.path.join(here, *SIDECAR_REL.split("/"))]
+    extra = os.environ.get("BOF_BENCH_SIDECAR")
+    if extra:
+        paths.append(extra)
+    for p in paths:
+        try:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = f"{p}.tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f, indent=1)
+            os.replace(tmp, p)
+        except OSError:
+            pass
+    if compact is None:
+        compact = dict(full)
+    compact.setdefault("sidecar", SIDECAR_REL)
+    line = _render_line(compact)
+    if len(line) > _MAX_LINE:
+        # drop optional keys, last-inserted first (builders order their
+        # compact dicts most-important-first), never the headline keys
+        keep = {"metric", "value", "unit", "vs_baseline", "verified"}
+        for k in [k for k in reversed(list(compact)) if k not in keep]:
+            compact.pop(k)
+            line = _render_line(compact)
+            if len(line) <= _MAX_LINE:
+                break
+    print(line)
+
+
+def _rates_summary(r: dict, limit: int = 6) -> dict:
+    """Small flat summary of a kernel-result dict: its rate/ratio keys."""
+    out = {}
+    for k, v in r.items():
+        if isinstance(v, (int, float)) and (
+                k.endswith(("_gbps", "_gflops", "_tflops"))
+                or k.endswith("_vs_inmem") or k == "verified"):
+            out[k] = v
+            if len(out) >= limit:
+                break
+    return out
+
+
 _T0 = time.perf_counter()
 
 
@@ -900,12 +1373,13 @@ def main():
 
     kernel = os.environ.get("BOF_BENCH_KERNEL", "sgemm")
     if kernel not in ("sgemm", "csrmm", "csrgemv", "kmeans", "csrcsc_sort",
-                      "map_reduce", "io", "fp64"):
-        print(json.dumps({"metric": "error", "value": 0, "unit": "",
-                          "vs_baseline": 0,
-                          "error": f"unknown BOF_BENCH_KERNEL={kernel!r}; "
-                          "use sgemm|csrmm|csrgemv|kmeans|csrcsc_sort|"
-                          "map_reduce|io|fp64"}))
+                      "map_reduce", "io", "fp64", "cache", "device",
+                      "oocdisk"):
+        emit({"metric": "error", "value": 0, "unit": "",
+              "vs_baseline": 0,
+              "error": f"unknown BOF_BENCH_KERNEL={kernel!r}; "
+              "use sgemm|csrmm|csrgemv|kmeans|csrcsc_sort|"
+              "map_reduce|io|fp64|cache|device|oocdisk"}, kernel="error")
         return 2
     budget_s = float(os.environ.get("BOF_BENCH_BUDGET_S", "240"))
     prec_name = os.environ.get("BOF_BENCH_PREC", "highest")
@@ -935,6 +1409,37 @@ def main():
     cfg.matmul_precision = prec_name
     ctx = bt.FlashContext(cfg)
 
+    if kernel == "cache":  # Program-Cache pressure mode: never touches
+        # the device (CPU numpy compute + native disk engine only)
+        ctx.destroy()  # run_cache builds its own budget-bounded contexts
+        r = run_cache()
+        ok = r.pop("cache_verified")
+        runs = r.pop("runs")
+        result = {"metric": "cache_prio_fetch_ratio",
+                  "value": r.pop("prio_fetch_ratio"), "unit": "x_fcfs/prio",
+                  "vs_baseline": r.pop("prio_wall_ratio"), **r,
+                  "evictions": runs["prio"]["evictions"],
+                  "evict_dirty": runs["prio"]["evict_dirty"],
+                  "writeback_gb": runs["prio"]["writeback_gb"],
+                  "fetch_gb": runs["prio"]["fetch_gb"],
+                  "max_backlog": runs["prio"]["max_backlog"],
+                  "runs": runs, "verified": ok}
+        emit(result, kernel=kernel)
+        return 0 if ok else 1
+    if kernel == "oocdisk":  # disk-axis scale proof: CPU backend only.
+        # NOTE: requires a CPU-pinned JAX platform (scrub the axon
+        # sitecustomize) — the gemm pipeline dispatches device steps.
+        ctx.destroy()  # run_oocdisk builds its own budget-bounded context
+        r = run_oocdisk()
+        ok = r.pop("oocdisk_verified")
+        # vs_baseline for this mode = working-set pressure ratio (the
+        # claim being proven); the disk probe is its own key
+        result = {"metric": "oocdisk_sustained_gbps",
+                  "value": r.pop("sustained_disk_gbps"), "unit": "GB/s",
+                  "vs_baseline": r["ws_over_budget"],
+                  **r, "verified": ok}
+        emit(result, kernel=kernel)
+        return 0 if ok else 1
     if kernel == "io":  # native-engine disk mode: never touches the device
         r = run_io(ctx)
         ctx.destroy()
@@ -943,7 +1448,7 @@ def main():
                   "value": r.pop("seq_read_gbps"), "unit": "GB/s",
                   "vs_baseline": r.pop("io_vs_buffered"), **r,
                   **last_good_blurb(), "verified": ok}
-        print(json.dumps(result))
+        emit(result, kernel=kernel)
         return 0 if ok else 1
     # first device contact — shared by EVERY device-touching mode (the
     # standalone kernel modes previously had an unguarded first device op:
@@ -1001,16 +1506,34 @@ def main():
                     (time.time() - float(lg.get("ts", 0))) / 3600, 1)}
         except (OSError, ValueError):
             pass
-        print(json.dumps({
+        emit({
             "metric": "error", "value": 0, "unit": "", "vs_baseline": 0,
             "error": f"device attach failed after {stall_s}s "
                      f"({tries + 1} attempts): {e}",
             "device_attach_s": stall_s, "attach_attempts": tries + 1,
-            "kernel_mode": kernel or "default", **io, **last_good}))
+            "kernel_mode": kernel or "default", **io, **last_good},
+            kernel="error")
         return 1
     device_attach_s = round(time.perf_counter() - t0, 1)
     _progress(f"device attached in {device_attach_s}s")
 
+    if kernel == "device":  # device-resident regression rows (VERDICT r4 #7)
+        r = run_device(ctx)
+        ctx.destroy()
+        ok = r.pop("device_verified")
+        rows = r.pop("device_rows")
+        # vs_baseline: fraction of the fp32-HIGHEST ceiling on v5e
+        # (197 bf16 TF/s / 6 passes ~ 32.8) — self-describing via the note
+        base = rows.get("fp32_highest_tflops", 0.0) / 32.8
+        result = {"metric": "device_fp32_hi_tflops",
+                  "value": rows.get("fp32_highest_tflops", 0.0),
+                  "unit": "TFLOP/s", "vs_baseline": round(base, 4),
+                  "baseline_note": "vs 197/6 TF/s fp32-HIGHEST ceiling "
+                                   "(v5e bf16 peak / 6 passes)",
+                  **rows, **r,
+                  "device_attach_s": device_attach_s, "verified": ok}
+        emit(result, kernel=kernel)
+        return 0 if ok else 1
     if kernel == "fp64":  # sliced fp64 gemm on the chip (VERDICT r3 #3)
         r = run_gemm64(ctx)
         ctx.destroy()
@@ -1020,7 +1543,7 @@ def main():
                   "vs_baseline": r.pop("fp64_vs_inmem"), **r,
                   "device_attach_s": device_attach_s,
                   **last_good_blurb(), "verified": ok}
-        print(json.dumps(result))
+        emit(result, kernel=kernel)
         return 0 if ok else 1
     if kernel == "csrmm":  # sparse-only mode
         h2d_1 = measure_h2d_gbps()
@@ -1031,7 +1554,7 @@ def main():
                   "unit": "GB/s", "vs_baseline": r.pop("csrmm_vs_inmem"),
                   "h2d_gbps": round(h2d_1, 4), **r,
                   **last_good_blurb(), "verified": ok}
-        print(json.dumps(result))
+        emit(result, kernel=kernel)
         return 0 if ok else 1
     if kernel == "csrgemv":  # sparse matrix-vector mode
         r = run_csrgemv(ctx)
@@ -1041,7 +1564,7 @@ def main():
                   "value": r.pop("csrgemv_n_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("csrgemv_n_vs_inmem"),
                   **r, **last_good_blurb(), "verified": ok}
-        print(json.dumps(result))
+        emit(result, kernel=kernel)
         return 0 if ok else 1
     if kernel == "kmeans":  # streaming Lloyd mode
         r = run_kmeans(ctx)
@@ -1050,7 +1573,7 @@ def main():
         result = {"metric": "ooc_kmeans_gbps", "value": r.pop("kmeans_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("kmeans_vs_inmem"),
                   **r, **last_good_blurb(), "verified": ok}
-        print(json.dumps(result))
+        emit(result, kernel=kernel)
         return 0 if ok else 1
     if kernel == "map_reduce":  # streamed map + reduce mode
         r = run_map_reduce(ctx)
@@ -1060,7 +1583,7 @@ def main():
                   "unit": "GB/s",
                   "vs_baseline": r.pop("map_reduce_vs_inmem"),
                   **r, **last_good_blurb(), "verified": ok}
-        print(json.dumps(result))
+        emit(result, kernel=kernel)
         return 0 if ok else 1
     if kernel == "csrcsc_sort":  # transpose + external sort mode
         r = run_csrcsc_sort(ctx)
@@ -1069,7 +1592,7 @@ def main():
         result = {"metric": "ooc_csrcsc_gbps", "value": r.pop("csrcsc_gbps"),
                   "unit": "GB/s", "vs_baseline": r.pop("csrcsc_vs_inmem"),
                   **r, **last_good_blurb(), "verified": ok}
-        print(json.dumps(result))
+        emit(result, kernel=kernel)
         return 0 if ok else 1
 
     t_bench_start = time.perf_counter()
@@ -1496,34 +2019,92 @@ def main():
 
         def xfer_predict(nn):
             return byte_ratio * 3 * nn * nn * 4 / 1e9 / rate_now + 5
+
+        def gen_cost_s(nn):
+            """Operand-pair generation cost when A_{nn}/B_{nn} are not
+            already cached (~150 MB/s numpy standard_normal + write)."""
+            if os.path.exists(os.path.join(CACHE_DIR, f"A_{nn}.bin")):
+                return 0.0
+            return 2 * nn * nn * 4 / 150e6
+
+        # the secondary sizes its OWN n (VERDICT r4 #3): int8 moves ~0.33x
+        # the bytes of fp32 per sweep, so at equal wall it affords a
+        # ~1.6-1.7x larger problem, and GFLOP/s on a link-bound run scales
+        # ~n.  Grow upward from the headline n while the remaining wall
+        # absorbs the sweep (+ operand generation when the larger pair is
+        # not cached) and disk has room; shrink below n only when even the
+        # headline size cannot fit.
+        sv2 = os.statvfs(CACHE_DIR)
+        free2 = sv2.f_frsize * sv2.f_bavail
         n2 = n
-        while (n2 - sb >= 2 * sb2
+        # hard cap 2n: int8 affords ~1.7x (bytes ~ 0.33x, n ~ 1/sqrt),
+        # and an uncapped loop on a fast link would grow the operand set
+        # without bound (the wall model is only approximate)
+        n2_cap = int(os.environ.get("BOF_BENCH_XFER_N", 2 * n))
+        while True:
+            cand = n2 + sb2
+            if cand > n2_cap or 3 * cand * cand * 4 > 0.4 * free2:
+                break
+            if (elapsed() + xfer_pad + xfer_predict(cand) + gen_cost_s(cand)
+                    > 1.2 * budget_s):
+                break
+            n2 = cand
+        while (n2 - sb2 >= 2 * sb2
                and elapsed() + xfer_pad + xfer_predict(n2)
                > 1.2 * budget_s):
-            n2 -= sb
+            n2 -= sb2
+        if n2 > n:
+            # prefer an already-cached larger operand pair within
+            # [0.75*n2, n2]: generating a fresh pair costs real wall
+            have2 = []
+            for f in os.listdir(CACHE_DIR):
+                if (f.startswith("A_") and f.endswith(".bin")
+                        and os.path.exists(os.path.join(
+                            CACHE_DIR, "B_" + f[2:]))):
+                    try:
+                        have2.append(int(f[2:-4]))
+                    except ValueError:
+                        pass
+            near2 = [h for h in have2 if n < h <= n2 and h % sb2 == 0]
+            if near2 and max(near2) >= int(0.75 * n2) \
+                    and gen_cost_s(n2) > 0:
+                n2 = max(near2)
         if n2 == n:
             A2, B2, C2 = A, B, C
-        else:
+        elif n2 < n:
             A2 = bt.FlashArray(A.store, (n2, n2), np.float32, "R", ld=n,
                                ctx=ctx)
             B2 = bt.FlashArray(B.store, (n2, n2), np.float32, "R", ld=n,
                                ctx=ctx)
             C2 = bt.FlashArray(C.store, (n2, n2), np.float32, "R", ld=n,
                                ctx=ctx)
+        else:
+            # dedicated larger operands (same seeds/naming as a future
+            # headline at this n, so the cache is shared both ways)
+            a2_path = os.path.join(CACHE_DIR, f"A_{n2}.bin")
+            b2_path = os.path.join(CACHE_DIR, f"B_{n2}.bin")
+            _progress(f"xfer operands n={n2} (generate-if-missing)")
+            ensure_operand(a2_path, n2, 1)
+            ensure_operand(b2_path, n2, 2)
+            A2 = bt.map_array(a2_path, (n2, n2), np.float32, "R", ctx=ctx)
+            B2 = bt.map_array(b2_path, (n2, n2), np.float32, "R", ctx=ctx)
+            C2 = bt.map_array(output_path(f"Cx_{n2}"), (n2, n2),
+                              np.float32, "R", create=True, ctx=ctx)
         flops2 = 2.0 * n2**3
         _progress(f"{xfer2}-transfer gemm secondary at n={n2} blk={sb2}")
         ctx.config.transfer_dtype = xfer_map[xfer2]
         ctx.config.c_transfer_dtype = "bfloat16"
         try:
-            warm2 = min(sb2, n)
-            Aw2 = bt.FlashArray(A.store, (warm2, warm2), np.float32, "R",
-                                ld=n, ctx=ctx)
-            Bw2 = bt.FlashArray(B.store, (warm2, warm2), np.float32, "R",
-                                ld=n, ctx=ctx)
-            Cw2 = bt.FlashArray(C.store, (warm2, warm2), np.float32, "R",
-                                ld=n, ctx=ctx)
+            warm2 = min(sb2, n2)
+            ld2 = max(n2, n) if n2 <= n else n2
+            Aw2 = bt.FlashArray(A2.store, (warm2, warm2), np.float32, "R",
+                                ld=ld2, ctx=ctx)
+            Bw2 = bt.FlashArray(B2.store, (warm2, warm2), np.float32, "R",
+                                ld=ld2, ctx=ctx)
+            Cw2 = bt.FlashArray(C2.store, (warm2, warm2), np.float32, "R",
+                                ld=ld2, ctx=ctx)
             gemm(Aw2, Bw2, Cw2, blk=sb2, ctx=ctx)  # compile warm-up
-            C.write_block(0, np.zeros((64, 64), np.float32))  # scrub
+            C2.write_block(0, np.zeros((64, 64), np.float32))  # scrub
             mb2 = METRICS.snapshot()
             nh2 = len(METRICS.samples("gemm.h2d_tile_gbps"))
             nd2 = len(METRICS.samples("gemm.d2h_tile_gbps"))
@@ -1531,9 +2112,14 @@ def main():
             gemm(A2, B2, C2, blk=sb2, ctx=ctx)
             dt2 = time.perf_counter() - t0
             ma2 = METRICS.snapshot()
-            got2 = C.read_block(0, 64, 0, 64).astype(np.float64)
-            want2 = (want if n2 == n
-                     else a_rows[:, :n2] @ b_cols[:n2, :])
+            got2 = C2.read_block(0, 64, 0, 64).astype(np.float64)
+            if n2 == n:
+                want2 = want
+            elif n2 < n:
+                want2 = a_rows[:, :n2] @ b_cols[:n2, :]
+            else:
+                want2 = (A2.read_block(0, 64, 0, n2).astype(np.float64)
+                         @ B2.read_block(0, n2, 0, 64).astype(np.float64))
             rel2 = float(np.abs(got2 - want2).max()
                          / (np.abs(want2).max() or 1.0))
             tol2 = {"bf16": 2e-2, "int8": 5e-2}[xfer2]
@@ -1620,7 +2206,44 @@ def main():
                 json.dump({"ts": time.time(), "result": result}, f)
         except OSError:
             pass
-    print(json.dumps(result))
+    # compact printed line, most-important-first (emit() drops from the
+    # end on overflow); the FULL result goes to the sidecars
+    compact = {k: result[k] for k in (
+        "metric", "value", "unit", "vs_baseline", "n", "blk", "seconds",
+        "precision", "in_mem_tflops", "in_mem_source", "link_verdict",
+        "link_utilization", "link_busy_frac", "combined_link_gbps",
+        "verified", "device_attach_s", "wall_s") if k in result}
+    xf = result.get("gemm_xfer")
+    if isinstance(xf, dict):
+        compact["xfer"] = {k: xf[k] for k in (
+            "mode", "n", "blk", "gflops", "speedup_vs_fp32", "verified")
+            if k in xf}
+    for k in ("csrmm_gbps", "csrmm_vs_inmem", "csrmm_host_gbps",
+              "csrmm_host_vs_inmem", "csrmm_verified"):
+        if k in result:
+            compact[k] = result[k]
+    tert = result.get("tertiary_kernel")
+    if tert:
+        pref = {"csrgemv": ("csrgemv_",), "kmeans": ("kmeans_",),
+                "csrcsc_sort": ("csrcsc_", "sort_"),
+                "map_reduce": ("map_", "reduce_"),
+                "fp64": ("fp64_",)}.get(tert, ())
+        compact["tertiary"] = {"kernel": tert, **_rates_summary(
+            {k: v for k, v in result.items() if k.startswith(pref)})}
+    tc = result.get("tile_cache")
+    if isinstance(tc, dict):
+        compact["tile_cache_evictions"] = tc.get("evictions")
+    lg = result.get("last_good")
+    if isinstance(lg, dict) and "value" in lg:
+        compact["last_good_gflops"] = lg["value"]
+        compact["last_good_age_h"] = result.get("last_good_age_h")
+    fa = result.get("first_attempt")
+    if isinstance(fa, dict):
+        compact["first_attempt_gflops"] = fa.get("gflops")
+    for k in ("csrmm_error", "gemm_xfer_error", "tertiary_error"):
+        if k in result:
+            compact[k] = str(result[k])[:120]
+    emit(result, compact, kernel="sgemm")
     return 0 if ok else 1
 
 

@@ -168,6 +168,7 @@ class TileCache:
             # keyed by store uid, never id()/fd — both recycle (CLAUDE.md)
             self._dirty_stores[store_uid(e.store)] = e.store
             METRICS.add("cache.evict_dirty")
+            METRICS.add("cache.writeback_bytes", e.nbytes)
             # real_size stays until the write completes
         else:
             self.real_size -= e.nbytes if e.buf is not None else 0
@@ -369,6 +370,7 @@ class TileCache:
                     try:
                         self._inflight_reads[k] = e.store.read(
                             e.offset, e.sinfo, e.buf)
+                        METRICS.add("cache.fetch_bytes", e.nbytes)
                     except Exception as ex:
                         # a synchronously-raising store must not leave a
                         # half-allocated entry that stalls its task forever

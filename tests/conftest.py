@@ -53,6 +53,21 @@ def pytest_configure(config):
     os._exit(proc.wait())
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default-on fast suite (VERDICT r4 #5): tests marked `slow` (the
+    bench-mode subprocess sweeps and the README end-to-end sweep, ~10 min
+    of the 14-min full run) are skipped unless BOF_SLOW=1.  The fast suite
+    stays under ~5 min on this 1-core box so it is actually run on every
+    change; run `BOF_SLOW=1 python -m pytest tests/ -q` before committing
+    bench/pipeline changes."""
+    if os.environ.get("BOF_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: opt in with BOF_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

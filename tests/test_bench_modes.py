@@ -14,6 +14,11 @@ import sys
 
 import pytest
 
+# ~6 min of subprocess bench runs (every mode at toy size): the heaviest
+# module in the suite, opt-in via BOF_SLOW=1 (tests/conftest.py) — run it
+# after any bench.py or kernel-pipeline change
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MODES = {
@@ -42,6 +47,14 @@ MODES = {
                     "BOF_BENCH_SP_NNZ": "8", "BOF_BENCH_SORT_N": "65536"},
     "map_reduce": {"BOF_BENCH_MR_N": "65536"},
     "io": {"BOF_BENCH_IO_GB": "0.1"},  # clamps to the 64 MiB floor
+    # Program-Cache pressure A/B at toy scale (VERDICT r4 #2): working
+    # set 4x budget, so evictions/write-backs/backlog must all engage
+    "cache": {"BOF_BENCH_CACHE_N": "1024", "BOF_BENCH_CACHE_BLK": "256"},
+    # device-resident regression rows at toy shape (VERDICT r4 #7)
+    "device": {"BOF_BENCH_DEV_SB": "512", "BOF_BENCH_DEV_ITERS": "2"},
+    # disk-axis pressure proof at toy scale (VERDICT r4 #8): ws 12 MB,
+    # budget ~1.2 MB -> journal + evictions machinery engages
+    "oocdisk": {"BOF_BENCH_DISK_N": "1024", "BOF_BENCH_DISK_BLK": "256"},
     "fp64": {"BOF_BENCH_FP64_N": "512", "BOF_BENCH_FP64_BLK": "256"},
 }
 
@@ -54,6 +67,9 @@ def bench_results(tmp_path_factory):
         env = dict(os.environ)
         env["HOME"] = str(home)  # isolates ~/.cache/bof_tpu/bench
         env["BOF_BENCH_KERNEL"] = mode
+        # per-mode full-telemetry sidecar (the "last" defaults collide
+        # when two sgemm-mode runs share a HOME)
+        env["BOF_BENCH_SIDECAR"] = str(home / f"sidecar_{mode}.json")
         env.update(extra)
         procs[mode] = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -62,45 +78,77 @@ def bench_results(tmp_path_factory):
     out = {}
     for mode, p in procs.items():
         stdout, stderr = p.communicate(timeout=900)
-        out[mode] = (p.returncode, stdout, stderr)
+        out[mode] = (p.returncode, stdout, stderr,
+                     str(home / f"sidecar_{mode}.json"))
     return out
 
 
 @pytest.mark.parametrize("mode", list(MODES))
 def test_bench_mode(bench_results, mode):
-    rc, stdout, stderr = bench_results[mode]
+    rc, stdout, stderr, sidecar = bench_results[mode]
     assert rc == 0, f"{mode} rc={rc}\n{stdout}\n{stderr[-2000:]}"
     lines = [ln for ln in stdout.strip().splitlines() if ln.strip()]
     assert len(lines) == 1, f"{mode}: expected ONE JSON line, got {lines!r}"
+    # the printed line must survive the driver's 2000-char tail capture
+    # (VERDICT r4 #1) and end with the duplicated headline keys
+    assert len(lines[0]) <= 2000, f"{mode}: line {len(lines[0])} chars"
     r = json.loads(lines[0])
+    tail = lines[0][-400:]
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in r, f"{mode}: missing {key} in {r}"
+        assert f'"{key}":' in tail, f"{mode}: {key} not near line end"
     assert r["verified"] is True
     assert r["value"] > 0
+    # the full telemetry must live in the sidecar, self-describing
+    with open(sidecar) as f:
+        side = json.load(f)
+    full = side["result"]
+    assert full["metric"] == r["metric"]
+    assert full["value"] == r["value"]
     if mode == "sgemm_full":
-        # the recorded artifact must carry the sparse secondary AND a
+        # the recorded line must carry the sparse secondary AND a
         # tertiary kernel alongside the gemm headline (VERDICT r2 #1/#7)
         assert "csrmm_gbps" in r, r
         assert r.get("csrmm_verified") is True
         # ...and the compressed-transfer gemm secondary (int8 link bytes)
-        assert r.get("gemm_xfer", {}).get("verified") is True, r
-        assert "tertiary_kernel" in r, r
-        assert "tertiary_error" not in r, r
-        # truthful-telemetry invariant: synced per-stage rates are real
-        # transfer rates, present as per-tile samples
-        assert r.get("telemetry_sync") is True
-        assert r.get("h2d_tile_gbps"), r
-        assert "accum_wait" in r.get("stall_s", {}), r
+        assert r.get("xfer", {}).get("verified") is True, r
+        assert r.get("xfer", {}).get("n"), r
+        assert r.get("tertiary", {}).get("kernel"), r
         # self-labeling artifact (VERDICT r3 #1): the window grades
         # itself from its own evidence
         assert r.get("link_verdict") in ("saturated", "tunnel_degraded",
                                          "pipeline_bubble"), r
-        assert "busy_frac" in r.get("link_verdict_evidence", {}), r
-        # the secondary records the size it actually ran at
-        assert r["gemm_xfer"].get("n"), r
+        # truthful-telemetry invariant: synced per-stage rates are real
+        # transfer rates, present as per-tile samples — in the SIDECAR
+        assert full.get("telemetry_sync") is True
+        assert full.get("h2d_tile_gbps"), full.keys()
+        assert "accum_wait" in full.get("stall_s", {}), full.keys()
+        assert "busy_frac" in full.get("link_verdict_evidence", {})
+        assert full.get("gemm_xfer", {}).get("verified") is True
+        assert "tertiary_error" not in full, full.get("tertiary_error")
     if mode == "fp64":
         assert r["metric"] == "ooc_fp64_gemm_gflops"
         assert r["fp64_max_scaled_err"] < 1e-12
+    if mode == "cache":
+        # the pressure machinery must actually engage: evictions, dirty
+        # write-backs, and backlog depth all non-zero (VERDICT r4 #2 —
+        # every earlier recorded round had evictions: 0)
+        assert r["evictions"] > 0 and r["evict_dirty"] > 0, r
+        assert r["writeback_gb"] > 0 and r["max_backlog"] > 0, r
+        assert r["ws_over_budget"] >= 4, r
+        for tag, run in full["runs"].items():
+            assert run["ok"] and run["evictions"] > 0, (tag, run)
+    if mode == "oocdisk":
+        assert r["ws_over_budget"] >= 10, r
+        assert r["tile_cache"]["evictions"] > 0, r
+        assert r["journal_consumed"] is True, r
+    if mode == "device":
+        # every capability row present and positive (pallas row is
+        # TPU-only and absent on the CPU backend)
+        for row in ("fp32_highest_tflops", "fp32_default_tflops",
+                    "bf16_tflops", "int8_tflops", "fp64_step_tflops"):
+            assert r.get(row, 0) > 0, (row, r)
+        assert r["device_backend"] == "cpu"
 
 
 def test_link_verdict_rules():
@@ -131,6 +179,7 @@ def test_blk_auto_shrink_exercises_hbm_lru(tmp_path):
     hits strictly dominate misses (each tile re-used across sweeps)."""
     env = dict(os.environ)
     env["HOME"] = str(tmp_path)
+    env["BOF_BENCH_SIDECAR"] = str(tmp_path / "sidecar.json")
     env.pop("BOF_BENCH_BLK", None)
     env.update({"BOF_BENCH_N": "4096", "BOF_BENCH_CSRMM": "0",
                 "BOF_BENCH_TERTIARY": "0", "BOF_BENCH_XFER": "0",
@@ -142,8 +191,11 @@ def test_blk_auto_shrink_exercises_hbm_lru(tmp_path):
     assert p.returncode == 0, p.stderr[-2000:]
     r = json.loads(p.stdout.strip().splitlines()[-1])
     assert r["verified"] is True
-    assert r["blk"] == 1024 and r.get("blk_auto_shrunk") is True, r
-    hbm = r["hbm_tier"]
+    assert r["blk"] == 1024, r
+    with open(tmp_path / "sidecar.json") as f:
+        full = json.load(f)["result"]
+    assert full.get("blk_auto_shrunk") is True, full.keys()
+    hbm = full["hbm_tier"]
     assert hbm["hits"] > hbm["misses"] > 0, hbm
 
 

@@ -2,7 +2,13 @@
 and call shape the README shows must exist and work, so the documented
 public API can't drift from the implementation."""
 import numpy as np
+import pytest
 import scipy.sparse as sps
+
+# ~200s: a broad end-to-end sweep of every README name at toy size; the
+# fast default suite covers the same API through the per-kernel tests
+# (opt in with BOF_SLOW=1, see tests/conftest.py)
+pytestmark = pytest.mark.slow
 
 
 def test_readme_quickstart_api(tmp_path, rng):
