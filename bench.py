@@ -382,12 +382,49 @@ def run_csrgemv(ctx) -> dict:
     want_t = sp.T @ x_t
     t_in_t = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    y_n = csrgemv(A, x_n, "N", ctx=ctx)
-    dt_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    y_t = csrgemv(A, x_t, "T", ctx=ctx)
-    dt_t = time.perf_counter() - t0
+    # same-run engine probe: sequential read of the vals file — the disk
+    # roofline this kernel's GB/s is judged against (VERDICT r4 #4: the
+    # artifact must carry the roofline next to the measured rate)
+    from bof_tpu.io.native import alloc_aligned
+    from bof_tpu.io.stride import StrideInfo
+    from bof_tpu.utils import METRICS
+    pb = min(256 << 20, int(nnz) * 4 // (1 << 20) * (1 << 20))
+    probe_gbps = 0.0
+    if pb >= 1 << 20:
+        buf = alloc_aligned(pb)
+        req = 64 << 20
+        t0 = time.perf_counter()
+        ts = [A.vals.store.read(off,
+                                StrideInfo.contiguous(min(req, pb - off)),
+                                buf[off:off + min(req, pb - off)])
+              for off in range(0, pb, req)]
+        for t in ts:
+            t.wait()
+        probe_gbps = pb / (time.perf_counter() - t0) / 1e9
+        del buf
+
+    def staged(run):
+        """Time one direction COLD: a fresh context per run, so the pin
+        cache warmed by the other direction (same ja/vals blocks) or by
+        the twin's read_all cannot inflate the recorded GB/s."""
+        import bof_tpu as bt
+        cold = bt.FlashContext(ctx.config)
+        try:
+            m0 = METRICS.snapshot()
+            t0 = time.perf_counter()
+            y = run(cold)
+            dt = time.perf_counter() - t0
+            m1 = METRICS.snapshot()
+            st = {kk: round(m1.get(f"csrgemv.{kk}", 0.0)
+                            - m0.get(f"csrgemv.{kk}", 0.0), 2)
+                  for kk in ("disk_wait_s", "prep_s", "compute_s",
+                             "dispatch_s")}
+            return y, dt, st
+        finally:
+            cold.destroy()
+
+    y_n, dt_n, st_n = staged(lambda c: csrgemv(A, x_n, "N", ctx=c))
+    y_t, dt_t, st_t = staged(lambda c: csrgemv(A, x_t, "T", ctx=c))
 
     def rel(got, want):
         return float(np.abs(got - want).max() / (np.abs(want).max() or 1.0))
@@ -400,6 +437,12 @@ def run_csrgemv(ctx) -> dict:
         "csrgemv_nnz": int(nnz), "csrgemv_shape": [m, k],
         "csrgemv_n_vs_inmem": round(t_in_n / dt_n, 4),
         "csrgemv_t_vs_inmem": round(t_in_t / dt_t, 4),
+        # stage partitions + the same-run disk roofline they are judged
+        # against: gap = wall - disk_wait - prep - compute/dispatch is
+        # python/loop overhead
+        "csrgemv_probe_gbps": round(probe_gbps, 4),
+        "csrgemv_n_stall_s": st_n,
+        "csrgemv_t_stall_s": st_t,
         "csrgemv_verified": ok,
     }
 
