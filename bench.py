@@ -1206,11 +1206,20 @@ def run_device(ctx) -> dict:
     def timed(step, c0, *args):
         c = step(c0, *args)
         dev.sync(c)  # compile + first run outside the window
+        # calibrate the window: one step + sync RTT.  The tunnel's ~30 ms
+        # scalar-fetch RTT dominates a 4-step window at these shapes
+        # (first chip run recorded 18.9 TF/s for a ~75 TF/s row), so size
+        # the loop for a >= 0.5 s window where RTT is <= ~6% error.
         t0 = time.perf_counter()
-        for _ in range(iters):
+        c = step(c, *args)
+        dev.sync(c)
+        est = time.perf_counter() - t0
+        it = max(iters, int(0.5 / max(est, 1e-4)) + 1)
+        t0 = time.perf_counter()
+        for _ in range(it):
             c = step(c, *args)
         dev.sync(c)
-        return flops * iters / (time.perf_counter() - t0) / 1e12
+        return flops * it / (time.perf_counter() - t0) / 1e12
 
     rows = {}
     lay = {"a_km": False, "b_nk": False, "c_nm": False}
