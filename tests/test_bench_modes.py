@@ -151,6 +151,36 @@ def test_bench_mode(bench_results, mode):
         assert r["device_backend"] == "cpu"
 
 
+def test_emit_line_fits_tail_capture(tmp_path, capsys, monkeypatch):
+    """emit() must keep the printed line under the driver's 2000-char
+    tail capture even when handed a bloated result (VERDICT r4 #1), drop
+    optional keys from the END first, never drop the headline keys, and
+    repeat them as the line's final keys.  The full result must land in
+    the sidecar regardless."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(REPO, "bench.py"))
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+    monkeypatch.setenv("BOF_BENCH_SIDECAR", str(tmp_path / "side.json"))
+    full = {"metric": "m", "value": 1.5, "unit": "u", "vs_baseline": 0.5,
+            "link_verdict": "saturated", "verified": True}
+    for i in range(200):
+        full[f"bulk_{i:03d}"] = {"x": i, "samples": list(range(16))}
+    compact = dict(full)
+    b.emit(full, compact, kernel="sgemm")
+    line = capsys.readouterr().out.strip()
+    assert len(line) <= b._MAX_LINE
+    r = json.loads(line)
+    assert r["metric"] == "m" and r["value"] == 1.5
+    assert r["verified"] is True and r["link_verdict"] == "saturated"
+    # duplicated tail keys present at the very end
+    assert line.rstrip("}").endswith('"verified":true')
+    # the full result survives in the sidecar
+    side = json.load(open(tmp_path / "side.json"))
+    assert side["result"]["bulk_199"]["samples"][-1] == 15
+
+
 def test_link_verdict_rules():
     """The artifact's self-grading decision rule (VERDICT r3 #1),
     exercised directly: saturated / tunnel_degraded / pipeline_bubble."""
