@@ -170,6 +170,11 @@ def load_library():
                  [ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
                   ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                   ctypes.c_void_p], None),
+                ("bof_ell_fill",
+                 [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+                  ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+                  ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                  ctypes.c_void_p, ctypes.c_int], None),
                 ("bof_merge_sorted_runs",
                  [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
                   ctypes.c_int], ctypes.c_int),
@@ -320,6 +325,48 @@ def fold_i32_f64(planes: np.ndarray, weights: np.ndarray,
                          acc.shape[0], acc.shape[1], w.ctypes.data,
                          acc.ctypes.data, acc.strides[0] // 8)
     return True
+
+
+def ell_fill(starts: np.ndarray, counts: np.ndarray, ja_blk: np.ndarray,
+             va_blk: np.ndarray, rows_pad: int, rmax: int,
+             idx_dtype, val_dtype):
+    """Native padded-ELL row gather (the sparse planners' host prep);
+    returns (ja_ell, va_ell) or None when the engine or this dtype
+    combination is unavailable (caller falls back to the numpy chain).
+    Supported: ja int64 -> int32|uint16; va f32 -> f32|bf16, f64 -> f64.
+    Bit-identical to the numpy path (bf16 rounding matches ml_dtypes)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "bof_ell_fill"):
+        return None
+    if ja_blk.dtype != np.int64 or not ja_blk.flags.c_contiguous \
+            or not va_blk.flags.c_contiguous:
+        return None
+    idx_dtype = np.dtype(idx_dtype)
+    if idx_dtype == np.int32:
+        jk = 0
+    elif idx_dtype == np.uint16:
+        jk = 1
+    else:
+        return None
+    import ml_dtypes
+    vd = np.dtype(val_dtype if val_dtype is not None else va_blk.dtype)
+    if va_blk.dtype == np.float32 and vd == np.float32:
+        vk = 0
+    elif va_blk.dtype == np.float32 and vd == ml_dtypes.bfloat16:
+        vk = 1
+    elif va_blk.dtype == np.float64 and vd == np.float64:
+        vk = 2
+    else:
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    ja_ell = np.empty((rows_pad, rmax), idx_dtype)
+    va_ell = np.empty((rows_pad, rmax), vd)
+    lib.bof_ell_fill(starts.ctypes.data, counts.ctypes.data,
+                     len(counts), rows_pad, rmax, ja_blk.ctypes.data,
+                     ja_ell.ctypes.data, jk, va_blk.ctypes.data,
+                     va_ell.ctypes.data, vk)
+    return ja_ell, va_ell
 
 
 def cast_bf16(src: np.ndarray) -> np.ndarray:

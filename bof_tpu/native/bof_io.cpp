@@ -857,6 +857,66 @@ void bof_split_f64_i8(const double* src, long long n_lines, long long width,
   });
 }
 
+// Padded-ELL row gather (the sparse planners' host prep,
+// sparse/spmm_device.py _ell_fill): for each selected row, copy
+// counts[r] column indices (int64 -> int32|uint16) and values
+// (f32 copy | f32 -> bf16 round-to-nearest-even | f64 copy) from the CSR
+// block into an (rows_pad, rmax) ELL pair and zero the padding.  One
+// sequential pass per output element, replacing the numpy formulation's
+// ~6 full-size temporaries (int64 idx matrix + mask + two fancy gathers
+// + astype), which the csrgemv/csrmm stage partitions exposed as the
+// dominant 'N'-path prep term; parallel over rows on multi-core hosts.
+// ja_kind: 0 int32, 1 uint16.  va_kind: 0 f32 copy, 1 f32->bf16,
+// 2 f64 copy.  The bf16 rounding is bit-identical to bof_cast_bf16.
+void bof_ell_fill(const long long* starts, const long long* counts,
+                  long long rows, long long rows_pad, long long rmax,
+                  const long long* ja, void* ja_out, int ja_kind,
+                  const void* va, void* va_out, int va_kind) {
+  prep_parallel(rows_pad, [&](int64_t lo, int64_t hi, int64_t) {
+    for (int64_t r = lo; r < hi; ++r) {
+      int64_t c = 0, s0 = 0;
+      if (r < rows) {
+        c = counts[r];
+        if (c > rmax) c = rmax;
+        if (c < 0) c = 0;
+        s0 = starts[r];
+      }
+      if (ja_kind == 0) {
+        int32_t* out = (int32_t*)ja_out + r * rmax;
+        for (int64_t j = 0; j < c; ++j) out[j] = (int32_t)ja[s0 + j];
+        std::memset(out + c, 0, (size_t)(rmax - c) * 4);
+      } else {
+        uint16_t* out = (uint16_t*)ja_out + r * rmax;
+        for (int64_t j = 0; j < c; ++j) out[j] = (uint16_t)ja[s0 + j];
+        std::memset(out + c, 0, (size_t)(rmax - c) * 2);
+      }
+      if (va_kind == 0) {
+        float* out = (float*)va_out + r * rmax;
+        std::memcpy(out, (const float*)va + s0, (size_t)c * 4);
+        std::memset(out + c, 0, (size_t)(rmax - c) * 4);
+      } else if (va_kind == 1) {
+        const float* src = (const float*)va + s0;
+        uint16_t* out = (uint16_t*)va_out + r * rmax;
+        for (int64_t j = 0; j < c; ++j) {
+          uint32_t u;
+          std::memcpy(&u, &src[j], 4);
+          if ((u & 0x7fffffffu) > 0x7f800000u) {  // NaN: quiet bit
+            out[j] = (uint16_t)((u >> 16) | 0x0040u);
+          } else {
+            uint32_t x = u + 0x7fffu + ((u >> 16) & 1u);
+            out[j] = (uint16_t)(x >> 16);
+          }
+        }
+        std::memset(out + c, 0, (size_t)(rmax - c) * 2);
+      } else {
+        double* out = (double*)va_out + r * rmax;
+        std::memcpy(out, (const double*)va + s0, (size_t)c * 8);
+        std::memset(out + c, 0, (size_t)(rmax - c) * 8);
+      }
+    }
+  });
+}
+
 // Merge adjacent pre-sorted runs (the parallel half of the reference's
 // __gnu_parallel::sort role, sort_task.h:8,37 — the sorted runs come
 // from numpy's SIMD np.sort on Python threads).  bounds has n_runs+1

@@ -194,6 +194,16 @@ def _ell_fill(starts: np.ndarray, counts: np.ndarray,
     rows_pad = rows_pad or d_rows_pad
     if rows > rows_pad:
         raise ValueError(f"rows {rows} exceed rows_pad {rows_pad}")
+    if len(ja_blk):
+        # native single-pass gather (io/native.py ell_fill) — the numpy
+        # formulation below builds ~6 full-size temporaries and was the
+        # dominant 'N'-path prep term in the csrgemv/csrmm stage
+        # partitions; bit-identical output, numpy fallback otherwise
+        from ..io.native import ell_fill
+        nat = ell_fill(starts, counts, ja_blk, va_blk, rows_pad, rmax,
+                       idx_dtype, val_dtype)
+        if nat is not None:
+            return nat
     slots = np.arange(rmax, dtype=np.int64)[None, :]
     idx = np.minimum(starts[:, None] + slots, max(len(ja_blk) - 1, 0))
     mask = slots < counts[:, None]

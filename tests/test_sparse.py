@@ -650,3 +650,79 @@ def test_csrcsc_rejects_row_count_past_index_dtype(ctx):
     out = CsrFlashMatrix(out_ia, out_ja, out_vals, (30, 2**31 + 8))
     with pytest.raises(ValueError, match="index dtype"):
         csrcsc(A, out, ctx=ctx)
+
+
+def test_native_ell_fill_matches_numpy(rng):
+    """The native single-pass ELL gather (io/native.py ell_fill ->
+    bof_ell_fill) must be BIT-identical to the numpy _ell_fill chain for
+    every supported dtype combination — int32/uint16 indices, f32/bf16/
+    f64 values, NaNs included (the bf16 rounding must match ml_dtypes) —
+    across ragged counts, zero-count rows, and row padding."""
+    import ml_dtypes
+
+    from bof_tpu.io.native import ell_fill, load_library
+    from bof_tpu.sparse import spmm_device as sdev
+
+    if load_library() is None:
+        import pytest
+        pytest.skip("native engine unavailable")
+
+    def numpy_fill(starts, counts, ja, va, rows_pad, rmax, idt, vdt):
+        rows = len(counts)
+        slots = np.arange(rmax, dtype=np.int64)[None, :]
+        idx = np.minimum(starts[:, None] + slots, max(len(ja) - 1, 0))
+        mask = slots < counts[:, None]
+        ja_ell = np.zeros((rows_pad, rmax), idt)
+        va_ell = np.zeros((rows_pad, rmax), vdt or va.dtype)
+        if len(ja):
+            ja_ell[:rows] = np.where(mask, ja[idx], 0).astype(idt)
+            va_ell[:rows] = np.where(mask, va[idx], 0)
+        return ja_ell, va_ell
+
+    for vdt_in, vdt_out in ((np.float32, None),
+                            (np.float32, np.dtype(ml_dtypes.bfloat16)),
+                            (np.float64, None)):
+        counts = rng.integers(0, 9, 37).astype(np.int64)
+        counts[5] = 0
+        nnz = int(counts.sum())
+        starts = np.zeros(37, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        ja = rng.integers(0, 60000, nnz).astype(np.int64)
+        va = rng.standard_normal(nnz).astype(vdt_in)
+        if nnz > 3:
+            va[3] = np.nan  # bf16 NaN handling must match ml_dtypes
+        for idt in (np.int32, np.uint16):
+            rows_pad, rmax = 64, 16
+            nat = ell_fill(starts, counts, ja, va, rows_pad, rmax,
+                           idt, vdt_out)
+            assert nat is not None
+            ref = numpy_fill(starts, counts, ja, va, rows_pad, rmax,
+                             idt, vdt_out)
+            np.testing.assert_array_equal(nat[0], ref[0])
+            np.testing.assert_array_equal(
+                nat[1].view(np.uint16 if vdt_out is not None
+                            and vdt_out.itemsize == 2 else nat[1].dtype),
+                ref[1].view(np.uint16 if vdt_out is not None
+                            and vdt_out.itemsize == 2 else ref[1].dtype))
+
+    # unsupported combos fall back (return None) instead of corrupting
+    assert ell_fill(np.zeros(1, np.int64), np.ones(1, np.int64),
+                    np.zeros(1, np.int32), np.zeros(1, np.float32),
+                    8, 8, np.int32, None) is None
+
+    # the routed public path still agrees with spmm end-to-end
+    ia = np.array([0, 3, 3, 7, 12], np.int64)
+    ja2 = rng.integers(0, 300, 12).astype(np.int64)
+    va2 = rng.standard_normal(12).astype(np.float32)
+    j32, v32 = sdev.to_ell(ia, ja2, va2)
+    assert j32.dtype == np.int32 and v32.dtype == np.float32
+    want = np.zeros((4, 300), np.float32)
+    for r in range(4):
+        for p in range(int(ia[r]), int(ia[r + 1])):
+            want[r, ja2[p]] += va2[p]
+    got = np.zeros_like(want)
+    rows, rmax = v32.shape[0], v32.shape[1]
+    for r in range(4):
+        for s in range(rmax):
+            got[r, j32[r, s]] += v32[r, s]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
