@@ -2074,10 +2074,13 @@ def main():
 
         def gen_cost_s(nn):
             """Operand-pair generation cost when A_{nn}/B_{nn} are not
-            already cached (~150 MB/s numpy standard_normal + write)."""
+            already cached.  Chip-measured: ~36 MB/s (numpy
+            standard_normal + chunked write while the link threads run),
+            not the ~150 MB/s an idle box manages — the 16384 pair cost
+            118 s where the idle model predicted 14."""
             if os.path.exists(os.path.join(CACHE_DIR, f"A_{nn}.bin")):
                 return 0.0
-            return 2 * nn * nn * 4 / 150e6
+            return 2 * nn * nn * 4 / 40e6
 
         # the secondary sizes its OWN n (VERDICT r4 #3): int8 moves ~0.33x
         # the bytes of fp32 per sweep, so at equal wall it affords a
@@ -2207,6 +2210,18 @@ def main():
                 "max_rel_err": round(rel2, 5),
                 "verified": rel2 < tol2,
             }
+            # the secondary grades its own window too (the chip run that
+            # validated self-sizing recorded 40 GFLOP/s at n=16384 on a
+            # mid-run tunnel collapse — tile medians half the probes —
+            # and without a label that reads as a slow feature)
+            xt = (METRICS.samples("gemm.h2d_tile_gbps")[nh2:]
+                  + METRICS.samples("gemm.d2h_tile_gbps")[nd2:])
+            xmed = sorted(xt)[len(xt) // 2] if xt else 0.0
+            xbusy = (xd("gemm.h2d_s") + xd("gemm.d2h_s")) / dt2 if dt2 \
+                else 0.0
+            result["gemm_xfer"]["link_verdict"] = link_verdict(
+                xbusy, xmed, sum(probes_all) / len(probes_all),
+                prev_sustained)
             ok = ok and rel2 < tol2
             xfer_warm[xfer_key] = True  # compile cost paid and cached
             save_state()
@@ -2268,8 +2283,8 @@ def main():
     xf = result.get("gemm_xfer")
     if isinstance(xf, dict):
         compact["xfer"] = {k: xf[k] for k in (
-            "mode", "n", "blk", "gflops", "speedup_vs_fp32", "verified")
-            if k in xf}
+            "mode", "n", "blk", "gflops", "speedup_vs_fp32",
+            "link_verdict", "verified") if k in xf}
     for k in ("csrmm_gbps", "csrmm_vs_inmem", "csrmm_host_gbps",
               "csrmm_host_vs_inmem", "csrmm_verified"):
         if k in result:
