@@ -1221,42 +1221,45 @@ def run_device(ctx) -> dict:
         dev.sync(c)
         return flops * it / (time.perf_counter() - t0) / 1e12
 
+    def sig4(x: float) -> float:
+        # 4 significant digits, not 2 decimals: a toy-shape row on a
+        # loaded 1-core box can measure ~1e-4 TF/s, and round(x, 2) = 0.0
+        # fails the artifact's every-row-positive invariant
+        return float(f"{x:.4g}")
+
     rows = {}
     lay = {"a_km": False, "b_nk": False, "c_nm": False}
     alpha = np.float32(1.0)
     for prec in ("highest", "default"):
         _progress(f"device row: fp32-{prec}")
         step = jax.jit(functools.partial(dev.accum_step, prec=prec, **lay))
-        rows[f"fp32_{prec}_tflops"] = round(
-            timed(step, jnp.zeros((sb, sb), jnp.float32), a32, b32, alpha),
-            2)
+        rows[f"fp32_{prec}_tflops"] = sig4(
+            timed(step, jnp.zeros((sb, sb), jnp.float32), a32, b32, alpha))
     _progress("device row: bf16 inputs")
     step = jax.jit(functools.partial(dev.accum_step, prec="default", **lay))
-    rows["bf16_tflops"] = round(
+    rows["bf16_tflops"] = sig4(
         timed(step, jnp.zeros((sb, sb), jnp.float32),
-              a32.astype(jnp.bfloat16), b32.astype(jnp.bfloat16), alpha), 2)
+              a32.astype(jnp.bfloat16), b32.astype(jnp.bfloat16), alpha))
     _progress("device row: int8 quantized")
     a8 = dev.to_device(rng.integers(-127, 128, (sb, sb), dtype=np.int8))
     b8 = dev.to_device(rng.integers(-127, 128, (sb, sb), dtype=np.int8))
-    rows["int8_tflops"] = round(
+    rows["int8_tflops"] = sig4(
         timed(functools.partial(dev.accum_step_q, **lay),
-              jnp.zeros((sb, sb), jnp.float32), a8, b8, np.float32(1e-4)),
-        2)
+              jnp.zeros((sb, sb), jnp.float32), a8, b8, np.float32(1e-4)))
     if dev.on_tpu():
         _progress("device row: pallas fp32-HIGHEST")
         step = jax.jit(functools.partial(dev.accum_step, prec="highest",
                                          impl="pallas", **lay))
-        rows["pallas_fp32_highest_tflops"] = round(
-            timed(step, jnp.zeros((sb, sb), jnp.float32), a32, b32, alpha),
-            2)
+        rows["pallas_fp32_highest_tflops"] = sig4(
+            timed(step, jnp.zeros((sb, sb), jnp.float32), a32, b32, alpha))
     _progress("device row: sliced fp64 step")
     a_sl = dev.to_device(rng.integers(-64, 65, (s, sb, sb), dtype=np.int8))
     b_sl = dev.to_device(rng.integers(-64, 65, (s, sb, sb), dtype=np.int8))
 
     def step64(S, aa, bb):
         return _slice_accum(S, aa, bb, a_km=False, b_nk=False, c_nm=False)
-    rows["fp64_step_tflops"] = round(
-        timed(step64, jnp.zeros((s, sb, sb), jnp.int32), a_sl, b_sl), 2)
+    rows["fp64_step_tflops"] = sig4(
+        timed(step64, jnp.zeros((s, sb, sb), jnp.int32), a_sl, b_sl))
 
     # correctness spot-check: one int8 step vs numpy int32 exact product
     got = np.asarray(dev.accum_step_q(

@@ -23,10 +23,43 @@ import numpy as np
 
 # Persistent compilation cache: kernel shapes are stable across processes,
 # and a cold jit over the remote-compile tunnel costs tens of seconds.
+# CPU-backend runs get a MACHINE-KEYED directory: XLA's persisted CPU
+# executables embed the compiling machine's feature set, and a stale entry
+# written by a different host can abort/SIGILL at execute time (the AOT
+# loader itself warns "could lead to execution errors such as SIGILL"; one
+# such entry aborted the full test suite mid-run at gemm_sharded's 8-device
+# step).  TPU executables are target-keyed, so tunnel runs keep ONE shared
+# dir for cross-process warmth.  The platform is decided from JAX_PLATFORMS
+# alone — importing bof_tpu must never initialize the backend (a tunnel
+# attach can take minutes).
+
+
+def _machine_sig() -> str:
+    """Stable signature of THIS machine's CPU features (mirrors
+    __graft_entry__._machine_sig — keep in sync so the dryrun and the
+    library share one warm CPU cache per host)."""
+    import hashlib
+    import platform
+    feats = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    feats.append(line.strip())
+                    if len(feats) >= 3:
+                        break
+    except OSError:
+        feats.append(platform.processor())
+    return hashlib.sha256("|".join(feats).encode()).hexdigest()[:12]
+
+
 if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _plat = os.environ.get("JAX_PLATFORMS", "").lower()
     _cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "bof_tpu", "jax_cache")
+        "bof_tpu",
+        "jax_cache" if ("axon" in _plat or "tpu" in _plat)
+        else f"jax_cache_cpu_{_machine_sig()}")
     os.makedirs(_cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -486,9 +486,18 @@ def gemm(a: FlashArray, b: FlashArray, c: FlashArray,
                                     c_full.nbytes / max(t2 - t1, 1e-9) / 1e9)
                     c_host = c_full[:ci_shape[0], :ci_shape[1]]
                 else:
+                    # split pipeline wait from the pull even off-tunnel:
+                    # from_device blocks on the pending accumulate chain,
+                    # which on the CPU backend is the XLA compute itself —
+                    # booking it all to d2h made the oocdisk stage
+                    # partition read transfer-bound when it was
+                    # compute-bound (docs/PERFORMANCE.md disk-axis row)
+                    dev.sync(c_dev)
+                    t1 = time.perf_counter()
                     c_host = dev.from_device(c_dev)[:ci_shape[0],
                                                     :ci_shape[1]]
-                    METRICS.add("gemm.d2h_s", time.perf_counter() - t0)
+                    METRICS.add("gemm.accum_wait_s", t1 - t0)
+                    METRICS.add("gemm.d2h_s", time.perf_counter() - t1)
                 METRICS.add("gemm.d2h_bytes", c_host.nbytes)
                 if c_xfer_bf16:  # promote back for fp32 storage
                     c_host = c_host.astype(np.float32)

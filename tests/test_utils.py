@@ -61,3 +61,31 @@ def test_trace_without_profiler():
     with trace("region"):
         x = np.ones(10).sum()
     assert x == 10
+
+
+def test_cpu_compile_cache_is_machine_keyed():
+    """CPU-backend processes must NOT share the tunnel's persistent
+    compile cache: XLA's persisted CPU executables embed the compiling
+    machine's feature set, and a stale entry from another host can
+    SIGILL/abort at execute time (it killed the full suite mid-run at
+    gemm_sharded's 8-device step).  ops/device.py keys the dir off
+    JAX_PLATFORMS without initializing the backend."""
+    import os
+    import subprocess
+    import sys
+
+    code = ("import bof_tpu.ops.device, jax; "
+            "print(jax.config.jax_compilation_cache_dir)")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "jax_cache_cpu_" in out.stdout, out.stdout
+
+    env["JAX_PLATFORMS"] = "axon"  # tunnel runs keep the shared warm dir
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().endswith("jax_cache"), out.stdout
