@@ -1203,23 +1203,45 @@ def run_device(ctx) -> dict:
     b32 = dev.to_device(rng.standard_normal((sb, sb)).astype(np.float32))
     flops = 2.0 * sb**3
 
+    # steps per dispatch: the r05 single-dispatch rows all floored at
+    # ~2.2 ms/step (fp32-hi 6.33 / default 2.60 / bf16 2.32 / int8 2.16)
+    # — a fixed per-dispatch tunnel cost serializing the async chain, so
+    # the faster the kernel the larger the under-read (bf16 read 59 TF/s
+    # on a 197 TF/s part).  Batching K steps into ONE fori_loop dispatch
+    # measures the silicon; K is static and fixed so each row costs one
+    # remote compile, amortized by the persistent cache.
+    K = int(os.environ.get("BOF_BENCH_DEV_K", 64))
+
     def timed(step, c0, *args):
-        c = step(c0, *args)
-        dev.sync(c)  # compile + first run outside the window
-        # calibrate the window: one step + sync RTT.  The tunnel's ~30 ms
-        # scalar-fetch RTT dominates a 4-step window at these shapes
-        # (first chip run recorded 18.9 TF/s for a ~75 TF/s row), so size
-        # the loop for a >= 0.5 s window where RTT is <= ~6% error.
+        def window(c, a0, *rest):
+            idx = (0,) * a0.ndim
+
+            def body(i, cc):
+                # the A operand must depend on the counter: a
+                # loop-invariant op(A)op(B) gets hoisted out of the
+                # window by XLA and the loop times an O(n^2) scale-add
+                # (first cut read 25x too fast on CPU).  An O(1)
+                # counter write refreshes A per step — an O(n^2) copy,
+                # <= ~6% of the matmul at these shapes
+                a_i = a0.at[idx].set(jnp.asarray(i).astype(a0.dtype))
+                return step(cc, a_i, *rest)
+            return jax.lax.fori_loop(0, K, body, c)
+        loop = jax.jit(window)
+        c = loop(c0, *args)
+        dev.sync(c)  # compile + first window outside the timing
         t0 = time.perf_counter()
-        c = step(c, *args)
+        c = loop(c, *args)
         dev.sync(c)
-        est = time.perf_counter() - t0
-        it = max(iters, int(0.5 / max(est, 1e-4)) + 1)
+        est = time.perf_counter() - t0  # one window incl. the sync RTT
+        # enough windows for a >= 0.5 s span: the ~30 ms scalar-fetch RTT
+        # (one, at the end) and the ~2 ms per-window dispatch are then
+        # <= ~6% error even on the tunnel
+        m = max(-(-iters // K), int(0.5 / max(est, 1e-4)) + 1)
         t0 = time.perf_counter()
-        for _ in range(it):
-            c = step(c, *args)
+        for _ in range(m):
+            c = loop(c, *args)
         dev.sync(c)
-        return flops * it / (time.perf_counter() - t0) / 1e12
+        return flops * K * m / (time.perf_counter() - t0) / 1e12
 
     def sig4(x: float) -> float:
         # 4 significant digits, not 2 decimals: a toy-shape row on a
@@ -1269,6 +1291,7 @@ def run_device(ctx) -> dict:
             @ b8[:256, :256].astype(np.int32)).astype(np.float32)
     ok = bool(np.array_equal(got, np.asarray(want)))
     return {"device_rows": rows, "device_sb": sb, "device_iters": iters,
+            "device_window_steps": K,
             "device_backend": dev.backend(), "device_verified": ok}
 
 
