@@ -142,6 +142,10 @@ def test_bench_mode(bench_results, mode):
         assert r["ws_over_budget"] >= 10, r
         assert r["tile_cache"]["evictions"] > 0, r
         assert r["journal_consumed"] is True, r
+        # both probes present: only the end probe shares the run's
+        # vdisk burst-credit state (the roofline comparator)
+        assert r["probe_seq_read_gbps"] > 0, r
+        assert r["probe_seq_read_gbps_end"] > 0, r
     if mode == "device":
         # every capability row present and positive (pallas row is
         # TPU-only and absent on the CPU backend)
@@ -149,6 +153,10 @@ def test_bench_mode(bench_results, mode):
                     "bf16_tflops", "int8_tflops", "fp64_step_tflops"):
             assert r.get(row, 0) > 0, (row, r)
         assert r["device_backend"] == "cpu"
+        # batched windows (one fori_loop dispatch per K steps) are the
+        # methodology — single-dispatch windows floored at the ~2.2 ms
+        # per-dispatch tunnel cost and under-read the fast rows 3-5x
+        assert r.get("device_window_steps", 0) >= 2, r
 
 
 def test_emit_line_fits_tail_capture(tmp_path, capsys, monkeypatch):
