@@ -252,6 +252,29 @@ def ensure_csr_operands(m: int, k: int, row_nnz: int, n: int):
     return prefix, b_path
 
 
+def engine_seq_probe_gbps(store, max_bytes: int = 512 << 20,
+                          chunk: int = 64 << 20) -> float:
+    """Sequential engine read rate of `store`'s head (GB/s) — the
+    same-run disk roofline the GB/s modes are judged against.  ONE
+    implementation shared by csrgemv and oocdisk (and any future mode)
+    so the comparator cannot drift between them; run_io keeps its own
+    loop because its read doubles as the write's content verification.
+    Returns 0.0 for stores under 1 MiB."""
+    from bof_tpu.io.native import alloc_aligned
+    from bof_tpu.io.stride import StrideInfo
+    pb = min(max_bytes, store.size()) // (1 << 20) * (1 << 20)
+    if pb < 1 << 20:
+        return 0.0
+    buf = alloc_aligned(pb)
+    t0 = time.perf_counter()
+    ts = [store.read(off, StrideInfo.contiguous(min(chunk, pb - off)),
+                     buf[off:off + min(chunk, pb - off)])
+          for off in range(0, pb, chunk)]
+    for t in ts:
+        t.wait()
+    return pb / (time.perf_counter() - t0) / 1e9
+
+
 def run_csrmm(ctx) -> dict:
     """Out-of-core csrmm GB/s (BASELINE.md: csrmm measured in GB/s; paper
     workload shape = project a bag-of-words matrix to ~1K dims, Table 3),
@@ -385,23 +408,8 @@ def run_csrgemv(ctx) -> dict:
     # same-run engine probe: sequential read of the vals file — the disk
     # roofline this kernel's GB/s is judged against (VERDICT r4 #4: the
     # artifact must carry the roofline next to the measured rate)
-    from bof_tpu.io.native import alloc_aligned
-    from bof_tpu.io.stride import StrideInfo
     from bof_tpu.utils import METRICS
-    pb = min(256 << 20, int(nnz) * 4 // (1 << 20) * (1 << 20))
-    probe_gbps = 0.0
-    if pb >= 1 << 20:
-        buf = alloc_aligned(pb)
-        req = 64 << 20
-        t0 = time.perf_counter()
-        ts = [A.vals.store.read(off,
-                                StrideInfo.contiguous(min(req, pb - off)),
-                                buf[off:off + min(req, pb - off)])
-              for off in range(0, pb, req)]
-        for t in ts:
-            t.wait()
-        probe_gbps = pb / (time.perf_counter() - t0) / 1e9
-        del buf
+    probe_gbps = engine_seq_probe_gbps(A.vals.store, 256 << 20)
 
     def staged(run):
         """Time one direction COLD: a fresh context per run, so the pin
@@ -807,6 +815,10 @@ def _dag_gemm_run(a_path: str, b_path: str, c_path: str, n: int, blk: int,
         B = bt.map_array(b_path, (n, n), np.float32, "R", ctx=ctx)
         C = bt.map_array(c_path, (n, n), np.float32, "R", create=True,
                          ctx=ctx)
+        if n % blk:
+            raise ValueError(f"_dag_gemm_run needs n % blk == 0 "
+                             f"(got n={n}, blk={blk}): a ragged tail "
+                             f"would silently truncate the K chain")
         nb = n // blk
         si = StrideInfo(stride=n * 4, n_strides=blk, len_per_stride=blk * 4)
         a_st, b_st, c_st = A.store, B.store, C.store
@@ -852,11 +864,16 @@ def _dag_gemm_run(a_path: str, b_path: str, c_path: str, n: int, blk: int,
         m0 = METRICS.snapshot()
         t0 = time.perf_counter()
         sched.add_tasks(order)
-        max_backlog = max_ready = 0
+        max_ready = 0
         while not sched._all_done.is_set():
-            max_backlog = max(max_backlog, len(sched.cache._backlog))
             max_ready = max(max_ready, len(sched.prio))
             time.sleep(0.002)
+        # authoritative: the cache's own high-water mark (this ctx's
+        # cache is fresh, so it covers exactly this run); the 2 ms poll
+        # above can miss backlog entries drained between samples and
+        # flake the evictions>0/backlog>0 pressure assertions at toy
+        # scale
+        max_backlog = sched.cache.backlog_hwm
         sched.wait_for(tasks)  # raises on any task error
         sched.flush_cache()
         wall = time.perf_counter() - t0
@@ -902,6 +919,11 @@ def run_cache(_ctx_unused=None) -> dict:
     (cache.cpp:346-390, prioritizer.h:116-139)."""
     n = int(os.environ.get("BOF_BENCH_CACHE_N", 4096))
     blk = int(os.environ.get("BOF_BENCH_CACHE_BLK", 512))
+    blk = min(blk, n)
+    # the DAG covers whole blk tiles only: a ragged n would silently
+    # truncate the K accumulation (verify windows span all n columns and
+    # would fail) while gflops counted the full 2n^3
+    n = (n // blk) * blk
     ws = 3 * n * n * 4
     budget = int(float(os.environ.get("BOF_BENCH_CACHE_BUDGET_MB",
                                       ws / 4 / (1 << 20))) * (1 << 20))
@@ -916,7 +938,7 @@ def run_cache(_ctx_unused=None) -> dict:
     # unrecorded warm-up DAG at 1/4 scale: numpy BLAS init, native engine
     # load, scheduler thread spin-up — the FIRST measured run must not
     # carry those one-time costs (measured 3.04s vs 0.51s at toy scale)
-    n_w = max(2 * blk, n // 4)
+    n_w = max(2 * blk, (n // 4 // blk) * blk)
     a_w = os.path.join(CACHE_DIR, f"A_{n_w}.bin")
     b_w = os.path.join(CACHE_DIR, f"B_{n_w}.bin")
     ensure_operand(a_w, n_w, 1)
@@ -978,7 +1000,6 @@ def run_oocdisk(_unused=None) -> dict:
     import tempfile
 
     import bof_tpu as bt
-    from bof_tpu.io.stride import StrideInfo
     from bof_tpu.ops.gemm import gemm as _gemm
     from bof_tpu.utils import METRICS
 
@@ -1010,22 +1031,7 @@ def run_oocdisk(_unused=None) -> dict:
         # taken before AND after the measured gemm — the vdisk throttles
         # ~5x once burst credits drain, and only the end probe shares
         # the run's credit state
-        from bof_tpu.io.native import alloc_aligned
-
-        def seq_probe() -> float:
-            pb = min(512 << 20, n * n * 4)
-            out = alloc_aligned(pb)
-            req = 64 << 20
-            t0 = time.perf_counter()
-            ts = [A.store.read(off,
-                               StrideInfo.contiguous(min(req, pb - off)),
-                               out[off:off + min(req, pb - off)])
-                  for off in range(0, pb, req)]
-            for t in ts:
-                t.wait()
-            return pb / (time.perf_counter() - t0) / 1e9
-
-        probe_gbps = seq_probe()
+        probe_gbps = engine_seq_probe_gbps(A.store, 512 << 20)
 
         warm = min(blk, n)
         Aw = bt.FlashArray(A.store, (warm, warm), np.float32, "R", ld=n,
@@ -1049,7 +1055,7 @@ def run_oocdisk(_unused=None) -> dict:
         wall = time.perf_counter() - t0
         m1 = METRICS.snapshot()
         s1 = nat.stats() if nat is not None else {}
-        probe_end_gbps = seq_probe()
+        probe_end_gbps = engine_seq_probe_gbps(A.store, 512 << 20)
 
         def d(key):
             return m1.get(key, 0.0) - m0.get(key, 0.0)
@@ -1086,7 +1092,12 @@ def run_oocdisk(_unused=None) -> dict:
                            for k in ("hits", "misses", "evictions")},
             "journal_consumed": not os.path.exists(journal),
             "max_rel_err": float(f"{rel:.3g}"),
-            "oocdisk_verified": bool(rel < 1e-3),
+            # the headline is a DISK rate: without the native pin cache
+            # (g++ absent -> python fallback) fetched bytes are
+            # uncounted and sustained would omit all read traffic —
+            # refuse to grade that verified even when the numerics pass
+            "pin_cache_native": nat is not None,
+            "oocdisk_verified": bool(rel < 1e-3 and nat is not None),
         }
     finally:
         ctx.destroy()
@@ -1252,8 +1263,11 @@ def run_device(ctx) -> dict:
         est = time.perf_counter() - t0  # one window incl. the sync RTT
         # enough windows for a >= 0.5 s span: the ~30 ms scalar-fetch RTT
         # (one, at the end) and the ~2 ms per-window dispatch are then
-        # <= ~6% error even on the tunnel
-        m = max(-(-iters // K), int(0.5 / max(est, 1e-4)) + 1)
+        # <= ~6% error even on the tunnel.  BOF_BENCH_DEV_ITERS is the
+        # window-count floor (pre-batching it was a step-count floor,
+        # which K-batching made unreachable: ceil(iters/K)=1 for any
+        # iters <= K)
+        m = max(iters, int(0.5 / max(est, 1e-4)) + 1)
         t0 = time.perf_counter()
         for _ in range(m):
             c = loop(c, *args)
@@ -1415,11 +1429,17 @@ def emit(full: dict, compact: dict | None = None,
                "iso": time.strftime("%Y-%m-%dT%H:%M:%S"),
                "kernel": kernel, "result": full}
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = [os.path.join(CACHE_DIR, f"full_{kernel}_last.json"),
-             os.path.join(here, *SIDECAR_REL.split("/"))]
+    paths = [os.path.join(CACHE_DIR, f"full_{kernel}_last.json")]
     extra = os.environ.get("BOF_BENCH_SIDECAR")
     if extra:
+        # an explicit sidecar REDIRECTS the repo write: ad-hoc and
+        # test-suite runs (9 concurrent toy subprocesses with cwd=repo)
+        # must not clobber the committed chip-run telemetry in
+        # docs/artifacts/ — only an unredirected run (the driver's
+        # recorded one) owns that file
         paths.append(extra)
+    else:
+        paths.append(os.path.join(here, *SIDECAR_REL.split("/")))
     for p in paths:
         try:
             os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -1431,7 +1451,7 @@ def emit(full: dict, compact: dict | None = None,
             pass
     if compact is None:
         compact = dict(full)
-    compact.setdefault("sidecar", SIDECAR_REL)
+    compact.setdefault("sidecar", extra if extra else SIDECAR_REL)
     line = _render_line(compact)
     if len(line) > _MAX_LINE:
         # drop optional keys, last-inserted first (builders order their
@@ -2120,10 +2140,17 @@ def main():
             already cached.  Chip-measured: ~36 MB/s (numpy
             standard_normal + chunked write while the link threads run),
             not the ~150 MB/s an idle box manages — the 16384 pair cost
-            118 s where the idle model predicted 14."""
-            if os.path.exists(os.path.join(CACHE_DIR, f"A_{nn}.bin")):
-                return 0.0
-            return 2 * nn * nn * 4 / 40e6
+            118 s where the idle model predicted 14.  BOTH halves must
+            exist (ensure_operand is sequential, so a killed run can
+            leave A complete and B missing; a free-cost prediction then
+            buys ~107 s of unbudgeted B generation at n=32768)."""
+            full = nn * nn * 4
+            cost = 0.0
+            for stem in ("A", "B"):
+                p = os.path.join(CACHE_DIR, f"{stem}_{nn}.bin")
+                if not (os.path.exists(p) and os.path.getsize(p) == full):
+                    cost += full / 40e6
+            return cost
 
         # the secondary sizes its OWN n (VERDICT r4 #3): int8 moves ~0.33x
         # the bytes of fp32 per sweep, so at equal wall it affords a
@@ -2194,7 +2221,8 @@ def main():
         ctx.config.c_transfer_dtype = "bfloat16"
         try:
             warm2 = min(sb2, n2)
-            ld2 = max(n2, n) if n2 <= n else n2
+            ld2 = max(n2, n)  # sub-view keeps the parent's ld; a grown
+            # pair is its own dense file
             Aw2 = bt.FlashArray(A2.store, (warm2, warm2), np.float32, "R",
                                 ld=ld2, ctx=ctx)
             Bw2 = bt.FlashArray(B2.store, (warm2, warm2), np.float32, "R",

@@ -111,6 +111,9 @@ class TileCache:
         self._entries: Dict[tuple, _Entry] = _UidKeyedDict()
         self._zero_ref = collections.OrderedDict()  # key -> None, LRU order
         self._backlog: collections.deque = collections.deque()
+        self.backlog_hwm = 0  # high-water mark: authoritative (a poll
+        #   loop sampling len(_backlog) can miss entries drained between
+        #   samples and under-report the pressure the budget created)
         self._inflight_reads: Dict[tuple, Ticket] = {}
         self._inflight_writes: Dict[tuple, tuple] = _UidKeyedDict()
         #   key -> (tkt, nbytes, buf)
@@ -298,6 +301,8 @@ class TileCache:
                     self.commit_size += e.nbytes
                     applied.append(("new", k, None))  # BEFORE a later raise
                     self._backlog.append(k)
+                    self.backlog_hwm = max(self.backlog_hwm,
+                                           len(self._backlog))
                     METRICS.add("cache.miss")
             except BaseException:
                 # exception-atomicity: an error escaping mid-loop must not
@@ -507,6 +512,8 @@ class TileCache:
             self._entries[k] = e
             self.commit_size += e.nbytes
             self._backlog.append(k)
+            self.backlog_hwm = max(self.backlog_hwm,
+                                   len(self._backlog))
             METRICS.add("cache.miss")
             return k
 

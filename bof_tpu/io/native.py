@@ -172,9 +172,9 @@ def load_library():
                   ctypes.c_void_p], None),
                 ("bof_ell_fill",
                  [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
-                  ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
-                  ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
-                  ctypes.c_void_p, ctypes.c_int], None),
+                  ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+                  ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                  ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int], None),
                 ("bof_merge_sorted_runs",
                  [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
                   ctypes.c_int], ctypes.c_int),
@@ -363,9 +363,9 @@ def ell_fill(starts: np.ndarray, counts: np.ndarray, ja_blk: np.ndarray,
     ja_ell = np.empty((rows_pad, rmax), idx_dtype)
     va_ell = np.empty((rows_pad, rmax), vd)
     lib.bof_ell_fill(starts.ctypes.data, counts.ctypes.data,
-                     len(counts), rows_pad, rmax, ja_blk.ctypes.data,
-                     ja_ell.ctypes.data, jk, va_blk.ctypes.data,
-                     va_ell.ctypes.data, vk)
+                     len(counts), rows_pad, rmax, len(ja_blk),
+                     ja_blk.ctypes.data, ja_ell.ctypes.data, jk,
+                     va_blk.ctypes.data, va_ell.ctypes.data, vk)
     return ja_ell, va_ell
 
 

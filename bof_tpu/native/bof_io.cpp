@@ -868,8 +868,13 @@ void bof_split_f64_i8(const double* src, long long n_lines, long long width,
 // dominant 'N'-path prep term; parallel over rows on multi-core hosts.
 // ja_kind: 0 int32, 1 uint16.  va_kind: 0 f32 copy, 1 f32->bf16,
 // 2 f64 copy.  The bf16 rounding is bit-identical to bof_cast_bf16.
+// nnz bounds the ja/va allocations: inconsistent CSR metadata (a
+// truncated ia making starts[r]+counts[r] exceed the block's nnz — the
+// case the numpy fallback clamps) must produce clamped output, not an
+// out-of-bounds heap read.
 void bof_ell_fill(const long long* starts, const long long* counts,
                   long long rows, long long rows_pad, long long rmax,
+                  long long nnz,
                   const long long* ja, void* ja_out, int ja_kind,
                   const void* va, void* va_out, int va_kind) {
   prep_parallel(rows_pad, [&](int64_t lo, int64_t hi, int64_t) {
@@ -880,6 +885,9 @@ void bof_ell_fill(const long long* starts, const long long* counts,
         if (c > rmax) c = rmax;
         if (c < 0) c = 0;
         s0 = starts[r];
+        if (s0 < 0) s0 = 0;
+        if (s0 > nnz) s0 = nnz;
+        if (c > nnz - s0) c = nnz - s0;
       }
       if (ja_kind == 0) {
         int32_t* out = (int32_t*)ja_out + r * rmax;

@@ -245,6 +245,9 @@ def test_bench_attach_failure_artifact(tmp_path):
     dying with a stack trace and leaving the round with no artifact."""
     env = dict(os.environ)
     env["HOME"] = str(tmp_path)
+    # redirect the sidecar: without it this error artifact would
+    # os.replace the committed docs/artifacts/bench_full_last.json
+    env["BOF_BENCH_SIDECAR"] = str(tmp_path / "err_side.json")
     env["JAX_PLATFORMS"] = "fakeplat"  # forces the init RuntimeError
     env["BOF_BENCH_ATTACH_RETRIES"] = "1"
     env["BOF_BENCH_ATTACH_SLEEP_S"] = "0"

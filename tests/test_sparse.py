@@ -710,6 +710,20 @@ def test_native_ell_fill_matches_numpy(rng):
                     np.zeros(1, np.int32), np.zeros(1, np.float32),
                     8, 8, np.int32, None) is None
 
+    # inconsistent CSR metadata (starts+counts past the block's nnz —
+    # a truncated ia) must clamp to the allocation, never read out of
+    # bounds: the in-range prefix is gathered, the overhang is zeroed
+    starts_bad = np.array([0, 2], np.int64)
+    counts_bad = np.array([2, 99], np.int64)  # row 1 claims 99 of 4 nnz
+    ja4 = np.array([7, 8, 9, 10], np.int64)
+    va4 = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    out = ell_fill(starts_bad, counts_bad, ja4, va4, 2, 8,
+                   np.int32, None)
+    assert out is not None
+    j_b, v_b = out
+    np.testing.assert_array_equal(j_b[1], [9, 10, 0, 0, 0, 0, 0, 0])
+    np.testing.assert_array_equal(v_b[1], [3, 4, 0, 0, 0, 0, 0, 0])
+
     # the routed public path still agrees with spmm end-to-end
     ia = np.array([0, 3, 3, 7, 12], np.int64)
     ja2 = rng.integers(0, 300, 12).astype(np.int64)

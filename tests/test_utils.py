@@ -89,3 +89,23 @@ def test_cpu_compile_cache_is_machine_keyed():
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().endswith("jax_cache"), out.stdout
+
+
+def test_machine_sig_copies_agree():
+    """__graft_entry__ keeps a self-contained copy of _machine_sig (the
+    driver-contract file must not depend on package internals at import
+    time); bof_tpu.ops.device holds the canonical one.  They key the SAME
+    per-host CPU compile-cache directory — drift would silently split the
+    warm cache.  This test enforces the sync the code comments promise."""
+    import importlib.util
+    import os as _os
+
+    import bof_tpu.ops.device as dev
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_sig", _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "__graft_entry__.py"))
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    assert g._machine_sig() == dev._machine_sig()
