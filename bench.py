@@ -31,7 +31,8 @@ BASELINE.json.configs entry (each prints its own one-JSON-line result):
   | cache (Program-Cache pressure + prioritizer-vs-FCFS A/B, tunnel-
     independent; BOF_BENCH_CACHE_N/_BLK/_BUDGET_MB)
   | device (device-resident accum-step TF/s regression rows;
-    BOF_BENCH_DEV_SB/_ITERS)
+    BOF_BENCH_DEV_SB/_ITERS = window-count floor, BOF_BENCH_DEV_K =
+    steps batched per dispatch)
   | oocdisk (disk-axis scale proof: gemm at working set ~10x budget on
     the CPU backend, journal armed; BOF_BENCH_DISK_N/_BLK/_BUDGET_MB)
 
@@ -40,15 +41,17 @@ grades the measured window saturated/tunnel_degraded/pipeline_bubble from
 its own evidence, a degraded window is re-measured once when the re-probe
 shows recovery, the compressed-transfer secondary is guaranteed a sample
 (and sizes its OWN n — int8 moves ~0.33x the bytes per sweep, so it runs
-a ~1.6x larger problem than the fp32 headline, VERDICT r4 #3), and every
-artifact embeds a compact `last_good` summary of the most recent verified
-chip run.
+a ~1.6x larger problem than the fp32 headline, VERDICT r4 #3;
+BOF_BENCH_XFER_N forces the secondary's n exactly, above or below the
+headline), and every artifact embeds a compact `last_good` summary of the
+most recent verified chip run.
 
 Output contract (VERDICT r4 #1): the printed line is COMPACT (<= ~1500
 chars, so it survives the driver's 2000-char tail capture) with the
 headline keys repeated as the line's FINAL keys; the full telemetry is
-written to sidecar JSONs at docs/artifacts/bench_full_last.json and
-~/.cache/bof_tpu/bench/full_<kernel>_last.json.
+written to sidecar JSONs at docs/artifacts/bench_full_last.json (headline
+sgemm; other modes write bench_full_<kernel>_last.json and error stubs
+never touch the repo copy) and ~/.cache/bof_tpu/bench/full_<kernel>_last.json.
 """
 from __future__ import annotations
 
@@ -254,11 +257,17 @@ def ensure_csr_operands(m: int, k: int, row_nnz: int, n: int):
 
 def engine_seq_probe_gbps(store, max_bytes: int = 512 << 20,
                           chunk: int = 64 << 20) -> float:
-    """Sequential engine read rate of `store`'s head (GB/s) — the
-    same-run disk roofline the GB/s modes are judged against.  ONE
-    implementation shared by csrgemv and oocdisk (and any future mode)
-    so the comparator cannot drift between them; run_io keeps its own
-    loop because its read doubles as the write's content verification.
+    """Queued sequential-span engine read rate of `store`'s head (GB/s)
+    — the same-run disk roofline the GB/s modes are judged against.
+    All chunk tickets are submitted up-front and then awaited, i.e. the
+    engine services them CONCURRENTLY (n_io_threads deep): that is
+    deliberately the same issue shape the kernels' tile pipelines use,
+    so the comparator is "what the engine can stream for this workload",
+    not a QD1 one-chunk-at-a-time read (which on this vdisk underreads
+    by the per-ticket sync bubble).  ONE implementation shared by
+    csrgemv and oocdisk (and any future mode) so the comparator cannot
+    drift between them; run_io keeps its own loop because its read
+    doubles as the write's content verification.
     Returns 0.0 for stores under 1 MiB."""
     from bof_tpu.io.native import alloc_aligned
     from bof_tpu.io.stride import StrideInfo
@@ -1431,6 +1440,7 @@ def emit(full: dict, compact: dict | None = None,
     here = os.path.dirname(os.path.abspath(__file__))
     paths = [os.path.join(CACHE_DIR, f"full_{kernel}_last.json")]
     extra = os.environ.get("BOF_BENCH_SIDECAR")
+    sidecar_ptr = extra or paths[0]
     if extra:
         # an explicit sidecar REDIRECTS the repo write: ad-hoc and
         # test-suite runs (9 concurrent toy subprocesses with cwd=repo)
@@ -1438,8 +1448,16 @@ def emit(full: dict, compact: dict | None = None,
         # docs/artifacts/ — only an unredirected run (the driver's
         # recorded one) owns that file
         paths.append(extra)
-    else:
-        paths.append(os.path.join(here, *SIDECAR_REL.split("/")))
+    elif kernel != "error":
+        # the repo sidecar is KERNEL-KEYED (the headline sgemm keeps the
+        # documented bench_full_last.json name): a later io/device/cache
+        # run must not overwrite the committed headline telemetry, and an
+        # attach-failure error stub must not destroy ANY repo artifact
+        # (the CACHE_DIR copy above still records it)
+        rel = (SIDECAR_REL if kernel == "sgemm" else
+               SIDECAR_REL.replace("_last.json", f"_{kernel}_last.json"))
+        paths.append(os.path.join(here, *rel.split("/")))
+        sidecar_ptr = rel
     for p in paths:
         try:
             os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -1451,12 +1469,15 @@ def emit(full: dict, compact: dict | None = None,
             pass
     if compact is None:
         compact = dict(full)
-    compact.setdefault("sidecar", extra if extra else SIDECAR_REL)
+    compact.setdefault("sidecar", sidecar_ptr)
     line = _render_line(compact)
     if len(line) > _MAX_LINE:
         # drop optional keys, last-inserted first (builders order their
         # compact dicts most-important-first), never the headline keys
-        keep = {"metric", "value", "unit", "vs_baseline", "verified"}
+        # nor the sidecar pointer — an overflowing line is exactly the
+        # case where the reader must be told where the rest went
+        keep = {"metric", "value", "unit", "vs_baseline", "verified",
+                "sidecar"}
         for k in [k for k in reversed(list(compact)) if k not in keep]:
             compact.pop(k)
             line = _render_line(compact)
@@ -1471,7 +1492,8 @@ def _rates_summary(r: dict, limit: int = 6) -> dict:
     for k, v in r.items():
         if isinstance(v, (int, float)) and (
                 k.endswith(("_gbps", "_gflops", "_tflops"))
-                or k.endswith("_vs_inmem") or k == "verified"):
+                or k.endswith("_vs_inmem") or k == "verified"
+                or k.endswith("_verified")):
             out[k] = v
             if len(out) >= limit:
                 break
@@ -1542,8 +1564,33 @@ def main():
         emit(result, kernel=kernel)
         return 0 if ok else 1
     if kernel == "oocdisk":  # disk-axis scale proof: CPU backend only.
-        # NOTE: requires a CPU-pinned JAX platform (scrub the axon
-        # sitecustomize) — the gemm pipeline dispatches device steps.
+        # The gemm pipeline dispatches real jnp steps, so a JAX pinned to
+        # the tunnel (the axon sitecustomize sets JAX_PLATFORMS=axon at
+        # interpreter start, before any env override can land) would
+        # stream ~10 GB through a 0.04 GB/s link — or die on a bad relay
+        # day with an unguarded backend-init traceback and ZERO JSON
+        # lines.  Re-exec once on a scrubbed CPU env instead (same trick
+        # as tests/conftest.py), so the mode works in the standard
+        # driver environment.
+        plat = os.environ.get("JAX_PLATFORMS", "")
+        if plat not in ("", "cpu"):
+            if os.environ.get("_BOF_BENCH_CPU_REEXEC") == "1":
+                emit({"metric": "error", "value": 0, "unit": "",
+                      "vs_baseline": 0,
+                      "error": "oocdisk needs the CPU backend but "
+                               f"JAX_PLATFORMS={plat!r} survived a "
+                               "re-exec"}, kernel="error")
+                return 2
+            _progress(f"oocdisk: JAX pinned to {plat!r}; re-exec on the "
+                      "CPU backend")
+            ctx.destroy()
+            env = dict(os.environ)
+            env["_BOF_BENCH_CPU_REEXEC"] = "1"
+            env["JAX_PLATFORMS"] = "cpu"
+            pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                  if p and "axon" not in p]
+            env["PYTHONPATH"] = os.pathsep.join(pp)
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
         ctx.destroy()  # run_oocdisk builds its own budget-bounded context
         r = run_oocdisk()
         ok = r.pop("oocdisk_verified")
@@ -2162,23 +2209,31 @@ def main():
         sv2 = os.statvfs(CACHE_DIR)
         free2 = sv2.f_frsize * sv2.f_bavail
         n2 = n
-        # hard cap 2n: int8 affords ~1.7x (bytes ~ 0.33x, n ~ 1/sqrt),
-        # and an uncapped loop on a fast link would grow the operand set
-        # without bound (the wall model is only approximate)
-        n2_cap = int(os.environ.get("BOF_BENCH_XFER_N", 2 * n))
-        while True:
-            cand = n2 + sb2
-            if cand > n2_cap or 3 * cand * cand * 4 > 0.4 * free2:
-                break
-            if (elapsed() + xfer_pad + xfer_predict(cand) + gen_cost_s(cand)
-                    > 1.2 * budget_s):
-                break
-            n2 = cand
-        while (n2 - sb2 >= 2 * sb2
-               and elapsed() + xfer_pad + xfer_predict(n2)
-               > 1.2 * budget_s):
-            n2 -= sb2
-        if n2 > n:
+        n2_env = os.environ.get("BOF_BENCH_XFER_N")
+        if n2_env:
+            # explicit target: honor it exactly (rounded down to a
+            # superblock multiple), above OR below the headline n, and
+            # skip the wall/disk model — previously the var only capped
+            # auto-growth, so a value <= n was silently ignored
+            n2 = max(sb2, int(n2_env) // sb2 * sb2)
+        else:
+            # hard cap 2n: int8 affords ~1.7x (bytes ~ 0.33x, n ~
+            # 1/sqrt), and an uncapped loop on a fast link would grow the
+            # operand set without bound (the wall model is approximate)
+            n2_cap = 2 * n
+            while True:
+                cand = n2 + sb2
+                if cand > n2_cap or 3 * cand * cand * 4 > 0.4 * free2:
+                    break
+                if (elapsed() + xfer_pad + xfer_predict(cand)
+                        + gen_cost_s(cand) > 1.2 * budget_s):
+                    break
+                n2 = cand
+            while (n2 - sb2 >= 2 * sb2
+                   and elapsed() + xfer_pad + xfer_predict(n2)
+                   > 1.2 * budget_s):
+                n2 -= sb2
+        if n2 > n and not n2_env:
             # prefer an already-cached larger operand pair within
             # [0.75*n2, n2]: generating a fresh pair costs real wall
             have2 = []

@@ -171,6 +171,10 @@ def test_emit_line_fits_tail_capture(tmp_path, capsys, monkeypatch):
     b = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(b)
     monkeypatch.setenv("BOF_BENCH_SIDECAR", str(tmp_path / "side.json"))
+    # emit() ALSO always writes CACHE_DIR/full_<kernel>_last.json — point
+    # it at the tmp dir so this in-process test cannot replace the cached
+    # copy of the last real chip run's telemetry with dummy data
+    monkeypatch.setattr(b, "CACHE_DIR", str(tmp_path))
     full = {"metric": "m", "value": 1.5, "unit": "u", "vs_baseline": 0.5,
             "link_verdict": "saturated", "verified": True}
     for i in range(200):
@@ -187,6 +191,45 @@ def test_emit_line_fits_tail_capture(tmp_path, capsys, monkeypatch):
     # the full result survives in the sidecar
     side = json.load(open(tmp_path / "side.json"))
     assert side["result"]["bulk_199"]["samples"][-1] == 15
+    # the sidecar pointer must survive an overflow drop — it is exactly
+    # the overflowing line whose telemetry lives only in the sidecar
+    assert r["sidecar"] == str(tmp_path / "side.json")
+
+
+def test_emit_sidecar_kernel_keying(tmp_path, capsys, monkeypatch):
+    """Unredirected repo sidecars are KERNEL-KEYED: a later io/device/
+    cache run must not overwrite the committed headline sgemm telemetry
+    (last-writer-wins was destroying it), and an error stub must write
+    NO repo artifact at all."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod3", os.path.join(REPO, "bench.py"))
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+    monkeypatch.delenv("BOF_BENCH_SIDECAR", raising=False)
+    monkeypatch.setattr(b, "CACHE_DIR", str(tmp_path / "cache"))
+    # emit() derives the repo dir from bench's __file__ — point it at a
+    # scratch "repo" so the test never touches the real docs/artifacts
+    monkeypatch.setattr(b, "__file__", str(tmp_path / "bench.py"))
+    art = tmp_path / "docs" / "artifacts"
+    base = {"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 0.0}
+    b.emit(dict(base), kernel="io")
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["sidecar"] == "docs/artifacts/bench_full_io_last.json"
+    assert (art / "bench_full_io_last.json").exists()
+    assert not (art / "bench_full_last.json").exists()
+    b.emit(dict(base), kernel="sgemm")
+    head_line = json.loads(capsys.readouterr().out.strip())
+    assert head_line["sidecar"] == "docs/artifacts/bench_full_last.json"
+    before = (art / "bench_full_last.json").read_text()
+    b.emit({**base, "metric": "error", "error": "boom"}, kernel="error")
+    err_line = json.loads(capsys.readouterr().out.strip())
+    # headline sidecar untouched, no repo error stub, pointer names the
+    # CACHE_DIR copy that WAS written
+    assert (art / "bench_full_last.json").read_text() == before
+    assert not list(art.glob("*error*"))
+    assert err_line["sidecar"].endswith("full_error_last.json")
+    assert json.load(open(err_line["sidecar"]))["result"]["error"] == "boom"
 
 
 def test_link_verdict_rules():
