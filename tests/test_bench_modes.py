@@ -311,3 +311,28 @@ def test_bench_attach_failure_artifact(tmp_path):
     assert "nitialize backend" in r["error"]
     assert r["attach_attempts"] == 2  # original + one re-exec retry
     assert "device_attach_s" in r
+
+
+def test_cache_medians_tool(tmp_path):
+    """tools/cache_medians.py — the paired multi-run estimator behind the
+    prioritizer wall-ratio claim (single-sample walls swing 0.43-1.15x on
+    this vdisk) — must run a pair at toy scale, keep the pressure
+    machinery engaged (evictions in both arms), and emit one JSON line
+    with the median/min/max ratio fields."""
+    env = dict(os.environ)
+    env["HOME"] = str(tmp_path)  # isolates CACHE_DIR operands
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "cache_medians.py"),
+         "--pairs", "1", "--n", "1024", "--blk", "256", "--no-artifact"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-2000:]
+    r = json.loads(p.stdout.strip().splitlines()[-1])
+    assert r["all_ok"] is True
+    assert r["evictions_min"] > 0
+    assert r["ws_over_budget"] >= 4
+    assert len(r["pairs"]) == 1
+    for key in ("fetch_ratio_median", "fetch_ratio_min", "fetch_ratio_max",
+                "wall_ratio_median", "wall_ratio_min", "wall_ratio_max"):
+        assert isinstance(r[key], float), (key, r[key])
+    assert "artifact" not in r  # --no-artifact must not touch the repo
