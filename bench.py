@@ -2249,6 +2249,12 @@ def main():
             if near2 and max(near2) >= int(0.75 * n2) \
                     and gen_cost_s(n2) > 0:
                 n2 = max(near2)
+        # self-label the sizing decision: a shrink below the headline n
+        # is the wall-budget model reacting to a degraded link (the
+        # headline's n came from a PREVIOUS run's sustained rate), not
+        # the r04 inherit-the-fp32-n bug recurring
+        sized2 = ("env" if n2_env else "grown" if n2 > n
+                  else "headline_n" if n2 == n else "wall_budget_shrink")
         if n2 == n:
             A2, B2, C2 = A, B, C
         elif n2 < n:
@@ -2309,7 +2315,7 @@ def main():
                 return ma2.get(key, 0.0) - mb2.get(key, 0.0)
             result["gemm_xfer"] = {
                 "mode": xfer2, "c_transfer": "bfloat16", "n": n2,
-                "blk": sb2,
+                "sized": sized2, "blk": sb2,
                 "gflops": round(flops2 / dt2 / 1e9, 2),
                 "seconds": round(dt2, 2),
                 "h2d_gb": round(xd("gemm.h2d_bytes") / 1e9, 3),
@@ -2409,7 +2415,7 @@ def main():
     xf = result.get("gemm_xfer")
     if isinstance(xf, dict):
         compact["xfer"] = {k: xf[k] for k in (
-            "mode", "n", "blk", "gflops", "speedup_vs_fp32",
+            "mode", "n", "sized", "blk", "gflops", "speedup_vs_fp32",
             "link_verdict", "verified") if k in xf}
     for k in ("csrmm_gbps", "csrmm_vs_inmem", "csrmm_host_gbps",
               "csrmm_host_vs_inmem", "csrmm_verified"):

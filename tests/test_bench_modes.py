@@ -113,6 +113,11 @@ def test_bench_mode(bench_results, mode):
         # ...and the compressed-transfer gemm secondary (int8 link bytes)
         assert r.get("xfer", {}).get("verified") is True, r
         assert r.get("xfer", {}).get("n"), r
+        # the secondary self-labels its n decision (a wall-budget shrink
+        # below the headline n on a degraded-link day must be readable
+        # from the line, not mistaken for the r04 inherit-n bug)
+        assert r.get("xfer", {}).get("sized") in (
+            "env", "grown", "headline_n", "wall_budget_shrink"), r
         assert r.get("tertiary", {}).get("kernel"), r
         # self-labeling artifact (VERDICT r3 #1): the window grades
         # itself from its own evidence
